@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import pytest
+
+from uw_mapreduce_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="uw-mapreduce-spark-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_small():
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_oracle():
+    return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    return REF

@@ -1,0 +1,57 @@
+"""Sampling + equi-depth quantile borders.
+
+Reference parity:
+- O4 Bernoulli sample: `SampleMapper` keeps each record with probability
+  ``my.threshold`` via an unseeded coin flip
+  (`/root/reference/src/SlidingAggregation.java:38-55`).  We expose the
+  same filter but SEEDED — the reference's nondeterminism never affects
+  answers (SURVEY.md §2.3.7), and determinism is what lets tests exist.
+- O5 quantile borders: `SampleReducer` collects the whole sample on ONE
+  reducer, sorts in memory, and emits the P-1 equi-depth quantiles
+  (`SlidingAggregation.java:57-84`, `chooseBorders` :75-83, forced single
+  reducer :444).  That single-reducer collect is the reference's
+  scalability bug; Spark's `RangePartitioner` (inside `repartitionByRange`
+  / `orderBy`) does the same job with a distributed reservoir sample, so
+  the *engine* never calls this — it exists as a queryable operator for
+  parity and for explicit-border workflows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """O4: keep each row independently with probability ``fraction``."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def equi_depth_borders(df: DataFrame, col: str, num_partitions: int) -> DataFrame:
+    """O5: the P-1 equi-depth partition borders of ``col``.
+
+    Border semantics mirror `chooseBorders` (`SlidingAggregation.java:75-83`):
+    with s sorted sample values and P partitions, border i (1-based) is the
+    sample element at 0-based index ``floor((i * s) / P) - 1`` clamped to
+    >= 0 — i.e. the largest value of the i-th equi-depth bucket.  Exact
+    (no sampling) so it is DuckDB-oracle-checkable; production code uses
+    `repartitionByRange`, which samples internally.
+
+    Returns (border_idx long, border <col-type>).
+    """
+    w = Window.orderBy(F.col(col), F.monotonically_increasing_id())
+    ranked = df.select(
+        F.col(col).alias("border"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    p = F.lit(num_partitions)
+    idx = F.floor(F.col("_i") * F.col("_n") / p)  # 1-based position of border _i
+    borders = (
+        ranked.crossJoin(
+            ranked.sparkSession.range(1, num_partitions).toDF("_i").hint("broadcast")
+        )
+        .where(F.col("_rn") == F.greatest(idx, F.lit(1)))
+        .select(F.col("_i").alias("border_idx"), "border")
+    )
+    return borders

@@ -1,0 +1,76 @@
+"""SparkSession construction with scale-minded defaults.
+
+Replaces the reference's entire cluster-provisioning surface
+(`/root/reference/scripts/{download,configure,start}.sh`) — on Spark the
+"cluster setup" is a builder call; everything else (HDFS, YARN heaps,
+slaves files) has no equivalent worth rebuilding.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs applied to any session we are handed (driver-owned or our
+# own).  These are all dynamic SQL confs, safe to set post-creation.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
+    # vectorized reader rejects; read as long (ns) and convert in the
+    # loader (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    # At 100 TB these replace all of the reference's hand-tuned
+    # partition-count knobs (-D my.reducers).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / mapInPandas path (similarity, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs; call on every session before using the engine."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds — builder path sets it then.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "uw-mapreduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session.
+
+    Defaults follow the driver environment: ``local[$SPARK_GRAFT_CPUS]``
+    (32 on the test box) and shuffle partitions sized to the core count —
+    at real cluster scale you would leave AQE to coalesce from a high
+    initial count instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*"))
+        except (IndexError, ValueError):
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

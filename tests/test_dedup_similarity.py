@@ -1,0 +1,98 @@
+"""Dedup + similarity operators on constructed ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uw_mapreduce_spark.operators.dedup import (
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from uw_mapreduce_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+
+
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, "  " + BASE.upper() + "  "),  # fingerprint dup of 0
+        (3, BASE + " extra tail words here"),  # near dup of 0
+        (4, "completely different content about spark window aggregation plans"),
+        (5, "another unrelated document mentioning parquet column pruning only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = {(r.keep_id, r.n_dups) for r in exact_duplicates(docs(spark), ["text"], "doc_id").collect()}
+    assert (0, 2) in out  # docs 0 and 1 collapse
+    assert len(out) == 5
+
+
+def test_fingerprint_duplicates_normalizes_case_and_space(spark):
+    out = {r.keep_id: r.n_dups for r in fingerprint_duplicates(docs(spark), "text", "doc_id").collect()}
+    assert out[0] == 3  # 0, 1, 2 share a fingerprint
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs(spark), threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recovers_exact_dups_and_verifies(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs(spark), threshold=0.5).collect()
+    }
+    # identical docs always collide in every band; verification keeps them
+    assert (0, 1) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_near_docs_close(spark):
+    fp = {r.doc: r.simhash64 for r in simhash(docs(spark)).collect()}
+    assert fp[0] == fp[1] == fp[2]
+    ham = bin((fp[0] ^ fp[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((fp[0] ^ fp[4]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far
+
+
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        jitter = [(x + 0.01 * ((i * 7 + j) % 5)) for j, x in enumerate(base)]
+        rows.append((i, [float(v) for v in jitter], i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_bruteforce_finds_same_cluster(spark):
+    emb = vectors(spark)
+    out = knn_bruteforce(emb, emb.where("vec_id < 4"), k=3).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.neighbor_id % 4 == r.query_id % 4  # same dominant axis
+
+
+def test_knn_ivf_matches_bruteforce_with_full_probes(spark):
+    emb = vectors(spark)
+    q = emb.where("vec_id < 4")
+    exact = {(r.query_id, r.neighbor_id, r.rnk) for r in knn_bruteforce(emb, q, k=3).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in knn_ivf(emb, q, k=3, num_centroids=8, n_probes=8).collect()
+    }
+    assert ivf == exact  # probing every bucket = exact

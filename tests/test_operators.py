@@ -1,0 +1,65 @@
+"""Unit tests for the reference-parity operators (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uw_mapreduce_spark.operators import (
+    bernoulli_sample,
+    equi_depth_borders,
+    global_rank,
+    global_rank_scalable,
+    rebalance_by_rank,
+    total_sort,
+)
+
+
+def kv(spark, rows):
+    return spark.createDataFrame(rows, "key long, value long")
+
+
+def test_equi_depth_borders_dense(spark):
+    # keys 1..100, P=4 -> borders at 1-based positions 25, 50, 75
+    df = kv(spark, [(i, i) for i in range(1, 101)])
+    got = {(r.border_idx, r.border) for r in equi_depth_borders(df, "key", 4).collect()}
+    assert got == {(1, 25), (2, 50), (3, 75)}
+
+
+def test_equi_depth_borders_fewer_rows_than_partitions(spark):
+    # F4: n < P must not crash (the reference's chooseBorders does).
+    df = kv(spark, [(1, 1), (2, 2), (3, 3)])
+    rows = equi_depth_borders(df, "key", 4).collect()
+    assert len(rows) == 3  # degenerate but defined: clamped to position >= 1
+
+
+def test_global_rank_paths_agree(spark):
+    df = kv(spark, [(i * 7 % 50, i) for i in range(200)])
+    a = {(r.key, r.value, r["rank"]) for r in global_rank(df, ["key", "value"]).collect()}
+    b = {
+        (r.key, r.value, r["rank"])
+        for r in global_rank_scalable(df, ["key", "value"], num_partitions=4).collect()
+    }
+    assert a == b
+    ranks = sorted(r[2] for r in a)
+    assert ranks == list(range(200))
+
+
+def test_total_sort_is_sorted_and_complete(spark):
+    df = kv(spark, [(i * 13 % 97, i) for i in range(97)])
+    got = [r.key for r in total_sort(df, ["key", "value"]).collect()]
+    assert got == sorted(got) and len(got) == 97
+
+
+def test_rebalance_preserves_content(spark):
+    df = kv(spark, [(i, i) for i in range(100)]).withColumnRenamed("key", "rank")
+    out = rebalance_by_rank(df, "rank", 5)
+    assert {(r["rank"], r.value) for r in out.collect()} == {(i, i) for i in range(100)}
+    assert out.rdd.getNumPartitions() == 5
+
+
+def test_bernoulli_sample_deterministic_with_seed(spark):
+    df = kv(spark, [(i, i) for i in range(1000)])
+    a = sorted(r.key for r in bernoulli_sample(df, 0.1, seed=7).collect())
+    b = sorted(r.key for r in bernoulli_sample(df, 0.1, seed=7).collect())
+    assert a == b
+    assert 40 < len(a) < 200  # ~100 expected

@@ -1,0 +1,77 @@
+"""Text functions, multimodal plumbing, as-of join — constructed truth."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from uw_mapreduce_spark.functions.multimodal import attach_media, decode_image, extract_features
+from uw_mapreduce_spark.functions.text import doc_stats, fingerprint, lang_id
+from uw_mapreduce_spark.operators.asof import asof_join
+
+
+def test_lang_id_on_real_sentences(spark):
+    rows = [
+        (0, "the cat sat on the mat and it is a good day for all of us"),
+        (1, "der Hund und die Katze sind ein gutes Team und das ist nicht schlecht"),
+        (2, "le chat est sur la table et les enfants sont dans le jardin"),
+        (3, "el perro y el gato son los mejores amigos de la casa"),
+        (4, "xyzzy plugh qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.pred for r in df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_doc_stats_known_string(spark):
+    df = spark.createDataFrame([(1, "The quick fox, the lazy dog.")], "doc_id long, text string")
+    r = doc_stats(df).collect()[0]
+    assert r.n_chars == 28
+    assert r.n_tokens == 6
+    assert r.n_uniq_tokens == 5  # 'the' twice (lowercased)
+    assert r.n_punct == 2
+    assert r.n_stopwords == 2
+    assert r.stopword_permille == 333
+    assert r.uniq_permille == 833
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = attach_media(df.withColumn("p", F.encode("text", "utf-8")), "doc_id", "p")
+    feats = {r.media_id: r for r in extract_features(media, bins=4).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].byte_mean == pytest.approx((97 + 98 + 99) / 3)
+    assert feats[1].byte_histogram == [0, 3, 0, 0]  # 'abc' all in bin 1 (64..127)
+    assert feats[2].byte_mean == 0.0
+
+
+def test_decode_is_declared_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_asof_join_constructed(spark):
+    ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(20), "p2"), (2, ts(5), "p3")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(15), 150), (2, ts(6), 200)],
+        "user_id long, ts timestamp, val int",
+    )
+    out = {r.tag: (r.val_asof, r.ts_asof) for r in asof_join(left, right, on="user_id").collect()}
+    assert out["p1"] == (100, ts(10))   # equal ts is inclusive
+    assert out["p2"] == (150, ts(15))   # latest at-or-before
+    assert out["p3"] == (None, None)    # nothing precedes

@@ -1,0 +1,103 @@
+"""Text-analysis expressions for large-scale corpus pipelines.
+
+All pure Catalyst expressions (JVM-side, codegen'd) — no Python UDFs in
+the hot path.  The reference's only scalar function is int-parse
+(SURVEY.md §2.2); this module is the LLM-pipeline extension surface:
+tokenization, quality scoring, fingerprinting, language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+TOKEN_SPLIT_RE = r"\s+"
+PUNCT_CLASS = "[.,!?;:]"
+# Small, fixed stopword profiles.  Deliberately tiny and deterministic —
+# a language-ID *heuristic*, not a model; swap in real profiles at will.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "del", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.trim(F.lower(text)), TOKEN_SPLIT_RE)
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-ish tokenization: split on whitespace AND punctuation /
+    letter-digit boundaries — a cheap stand-in for BPE token counting."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"([\p{Punct}])", r" $1 "),
+        r"(\d+)",
+        r" $1 ",
+    )
+    return F.filter(F.split(F.trim(normalized), r"\s+"), lambda t: t != F.lit(""))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Number of tokens (with repeats) that appear in ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics.
+
+    Ratios are returned as exact integers per mille (floor(1000·x)) so the
+    result is bit-stable across engines (IEEE division then floor is
+    deterministic; raw double ratios are hash-fragile).
+    """
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop = stopword_hits(toks, STOPWORDS["en"])
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        punct.cast("long").alias("n_punct"),
+        stop.cast("long").alias("n_stopwords"),
+        F.floor(F.lit(1000.0) * stop / n_tokens).cast("long").alias("stopword_permille"),
+        F.floor(F.lit(1000.0) * F.size(F.array_distinct(toks)) / n_tokens)
+        .cast("long")
+        .alias("uniq_permille"),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-profile hit counts.
+
+    Ties break lexicographically-descending on the language code via the
+    struct ordering, making the answer deterministic.  Returns 'und' when
+    no profile matches at all.
+    """
+    toks = tokens(text)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, words).alias("score"),
+                F.lit(code).alias("lang"),
+            )
+            for code, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized, lowercased text.
+
+    Identical in any engine with md5 (DuckDB oracle included); the
+    rolling-hash winnowing variant lives in operators/dedup.py (simhash).
+    """
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))

@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+The reference has none of these (SURVEY.md §2.2) — they're the
+LLM-pipeline extension surface.  Four levels, cheapest first:
+
+- exact duplicate grouping (hash groupBy — one shuffle on the dedup key),
+- content fingerprinting (md5 of normalized text — catches
+  whitespace/case variants at groupBy cost),
+- n-gram (token-shingle) Jaccard similarity join — exact near-dup
+  pairs via an inverted-index self-join (no quadratic blow-up: the join
+  key is the shingle, so cost scales with shared-shingle pairs),
+- MinHash-LSH and SimHash — sub-quadratic probabilistic candidate
+  generation for 100 TB corpora, built on `xxhash64` (JVM-side,
+  deterministic; no Python UDFs anywhere in this module).
+
+Scale notes: the Jaccard join's hot keys are ultra-common shingles;
+``max_df`` drops shingles appearing in more than that many documents
+(standard inverted-index pruning — at 100 TB you always set this).
+MinHash banding keeps the candidate join's key space bounded; AQE's
+skew-join splitting handles residual hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens
+
+
+def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Group identical rows by ``key_cols``: representative id + count.
+
+    One hash-shuffle on the dedup key; partial aggregation map-side.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def fingerprint_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on md5(normalized text)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct token n-gram shingles per document: (id, shingle).
+
+    Tokenization happens in its OWN projection before the shingle
+    lambda: inlining ``split()`` into the `transform` lambda makes
+    Catalyst re-evaluate the regex split per shingle (no CSE inside
+    lambda bodies) — measured 5-6× slower.
+    """
+    tok_df = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        tok_df.select("doc", F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs by Jaccard over token n-gram shingles.
+
+    Inverted-index self-join: explode distinct shingles, join docs that
+    share one, count the intersection, derive the union from per-doc
+    shingle counts.  Output (doc_a, doc_b, jaccard_permille) with
+    doc_a < doc_b; the similarity is reported as floor(1000·J) so it is
+    integer-exact across engines.
+    """
+    sh = _shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    # Referenced three times below (sizes + both join sides): persist so
+    # the explode+distinct runs once, not three times.
+    sh = sh.persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard_permille",
+            F.floor(
+                F.lit(1000.0) * F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).cast("long"),
+        )
+    )
+    return jac.where(F.col("jaccard_permille") >= int(threshold * 1000)).select(
+        "doc_a", "doc_b", "jaccard_permille"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: k independent min-over-shingles of
+    seeded xxhash64.  Pure aggregation — one shuffle, JVM-side hashing."""
+    sh = _shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with
+    exact Jaccard.
+
+    With r = num_hashes/bands rows per band, collision probability is
+    ~s^r per band (s = true Jaccard) — the standard LSH S-curve.  The
+    band join's key is (band index, hash of the band's minhashes), so the
+    candidate join never goes quadratic.  Candidates are then verified
+    with the exact shingle-Jaccard (so no false positives; recall is
+    probabilistic, as with any LSH).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col("doc"), F.explode(band_cols).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    l, rgt = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            rgt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard_permille") >= int(threshold * 1000))
+        .select("doc_a", "doc_b", "jaccard_permille")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Each token hashes to 64 bits; bit b of the fingerprint is the sign of
+    Σ_tokens (±1 weighted by token frequency).  Implemented as 64 sum
+    aggregates over exploded tokens — a single hash aggregation, fully
+    codegen'd, no UDFs.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).where(F.col("t") != "")
+    h = F.xxhash64(F.col("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc").agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        fp = term if fp is None else fp + term
+    return sums.select(F.col("doc"), fp.alias("simhash64"))

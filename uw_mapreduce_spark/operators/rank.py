@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def global_rank(
@@ -46,19 +45,19 @@ def global_rank_scalable(
 ) -> DataFrame:
     """0-based global rank with no single-partition stage (100 TB path).
 
-    Plan: range-partition + sort by ``order_by`` (Spark's sampled
-    RangePartitioner ≈ reference Sample+Sort jobs), then zipWithIndex's
-    two passes (count-per-partition ≈ O8 sentinels, prefix offsets ≈ O9).
-    The DataFrame->RDD->DataFrame hop loses whole-stage codegen for this
-    one operator but keeps every partition O(n/P).
+    Plan: range-partition by ``order_by`` (Spark's sampled
+    RangePartitioner ≈ reference Sample+Sort jobs), per-partition counts
+    collected as P tiny rows (≈ O8 sentinel counts), broadcast back as
+    rank offsets added to a per-partition row_number (≈ O9 prefix-count
+    ranking) — the two-pass prefix-count algorithm, entirely JVM-side
+    (see scale._ranged_with_offsets).
     """
+    from .scale import _ranged_with_offsets
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sorted_df = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_by])
-        .sortWithinPartitions(*[F.col(c) for c in order_by])
-    )
-    schema = StructType(sorted_df.schema.fields + [StructField(rank_col, LongType(), False)])
-    indexed = sorted_df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return spark.createDataFrame(indexed, schema)
+    out = _ranged_with_offsets(df, order_by, None, num_partitions)
+    if rank_col != "rank":
+        out = out.withColumnRenamed("rank", rank_col)
+    return out

@@ -8,58 +8,102 @@ reference solves global windowing with 5 MR jobs: sampled range partition
 evaluation (Aggr) — `/root/reference/src/SlidingAggregation.java:433-536`.
 
 This module reproduces those guarantees (O(n/P) per-task memory, O(1)
-extra rounds, no broadcast of data) with a Spark-native plan that is
-*simpler* than the reference because SUM-like aggregates are invertible:
+extra rounds, no broadcast of data) with a Spark-native plan that stays
+entirely JVM-side — no Python row serialization anywhere:
 
-  1. ``repartitionByRange(order) + sortWithinPartitions`` — Spark's
-     RangePartitioner does the Sample job's reservoir-sample + quantile
-     borders internally (replaces jobs 1-2).
-  2. pass 1 (``mapPartitionsWithIndex``): per-partition (count, total) —
-     the reference's in-band sentinel counts (:159-168) and partition
-     totals (:305-310), but collected to the driver as P tiny rows and
-     rebroadcast, instead of smuggled through the shuffle as negative
-     keys.
-  3. pass 2 (``mapPartitionsWithIndex`` over the SAME shuffle output —
-     no recompute): assign global rank = partition offset + local
-     position (replaces job 3) and a running global prefix aggregate
-     S(r) = prefix_total(p) + local_prefix (replaces job 5's :401-417).
+  1. ``repartitionByRange(order)`` — Spark's RangePartitioner runs the
+     reference's Sample job (reservoir sample + quantile borders) inside
+     the exchange; the partition id then plays the role of the
+     reference's partition index, with the key property that partition
+     i's keys all precede partition i+1's.  The ranged frame is
+     persisted (MEMORY_AND_DISK) so both passes see identical borders.
+  2. pass 1: per-partition (count, total) via ``groupBy(pid)`` — a
+     JVM hash aggregate replacing the reference's in-band sentinel
+     counts (:159-168) and partition totals (:305-310); P tiny rows
+     collected and turned into prefix offsets on the driver.
+  3. pass 2: a PER-PARTITION window (PARTITION BY pid ORDER BY key) —
+     parallel, spillable — assigns local row numbers and local prefix
+     sums; broadcast-joining the P-row offset table turns them into the
+     global rank (replaces job 3) and the global running aggregate
+     S(r) (replaces job 5's prefix pass :401-417).
   4. window by prefix difference: agg over ranks [r-l+1, r] is
      S(r) - S(r-l), fetched with an equi self-join on rank-l — a plain
      shuffled 1:1 join instead of the reference's bounded replication
-     (job 4, :241-313).  Replication factor 2 (each row shipped once as
-     itself, once as its r+l lookup), independent of window size —
-     strictly better than the reference's ≤3× which degrades with l.
+     (job 4, :241-313).  Data shipped twice total, independent of
+     window size — strictly better than the reference's ≤3× which
+     degrades as l grows.
 
-Every stage is O(n/P) memory and fully parallel; no stage ever sees more
-than one partition of data.  The prefix-difference trick requires an
-invertible aggregate (sum/count/avg).  Non-invertible aggregates
-(min/max) would need the reference's replication scheme; the engine
-routes those to the Window path (or a partition_by spec) instead.
+Every stage is O(n/P) memory and fully parallel.  The prefix-difference
+trick requires an invertible aggregate (sum/count/avg); non-invertible
+aggregates (min/max) route to the Window path or a partition_by spec.
+
+Integer values accumulate in int64 (the reference's int32 overflow
+fixed — SURVEY.md §2.3.5); floats accumulate in double.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.storagelevel import StorageLevel
 
 _INVERTIBLE = ("sum", "count", "avg")
 
 
-def _partition_stats(sorted_rdd, value_idx: int, zero):
-    """Pass 1: per-partition (pid, row_count, value_total)."""
+def _ranged_with_offsets(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str | None,
+    num_partitions: int,
+) -> DataFrame:
+    """Range-partition ``df`` and attach global rank (and, when
+    ``value_col`` is given, the global inclusive prefix sum ``_prefix``).
 
-    def stats(pid, it):
-        n = 0
-        total = zero
-        for row in it:
-            n += 1
-            v = row[value_idx]
-            if v is not None:
-                total += v
-        yield (pid, n, total)
+    The returned frame is the input plus ``rank`` (dense, 0-based, in
+    ``order_by`` order) [and ``_prefix``]; internal columns are dropped.
+    """
+    spark = df.sparkSession
+    order_cols = [F.col(c) for c in order_by]
 
-    return sorted_rdd.mapPartitionsWithIndex(stats, preservesPartitioning=True).collect()
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    integral = value_col is not None and dict(df.dtypes)[value_col] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("_total"))
+    stats = sorted(
+        (tuple(r) for r in ranged.groupBy("_pid").agg(*aggs).collect()),
+        key=lambda t: t[0],
+    )
+
+    zero = 0 if integral else 0.0
+    offset_rows, r_acc, s_acc = [], 0, zero
+    for row in stats:
+        pid, n = row[0], row[1]
+        offset_rows.append((pid, r_acc, s_acc))
+        r_acc += n
+        if value_col is not None and row[2] is not None:
+            s_acc += row[2]
+    offsets = spark.createDataFrame(
+        offset_rows,
+        f"_pid int, _rank_off long, _sum_off {'long' if integral else 'double'}",
+    )
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = ranged.join(F.broadcast(offsets), "_pid").withColumn(
+        "rank", (F.col("_rank_off") + F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+    if value_col is not None:
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local_prefix = F.coalesce(F.sum(F.col(value_col)).over(w_run), F.lit(zero))
+        out = out.withColumn("_prefix", F.col("_sum_off") + local_prefix)
+    return out.drop("_pid", "_rank_off", "_sum_off")
 
 
 def sliding_aggregate_scalable(
@@ -89,51 +133,14 @@ def sliding_aggregate_scalable(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    order_cols = [F.col(c) for c in order_by]
-    sorted_df = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(*order_cols)
-    # Materialize the RDD once so pass 2 reuses pass 1's shuffle output
-    # instead of re-sorting.
-    sorted_rdd = sorted_df.rdd
-    value_idx = sorted_df.columns.index(value_col)
-    # Integer values accumulate exactly (Python ints are unbounded, the
-    # result column is int64 — the reference's int32 overflow fixed,
-    # SURVEY.md §2.3.5); floats accumulate in double.
-    integral = dict(sorted_df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
-    prefix_type = LongType() if integral else DoubleType()
+    integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
     zero = 0 if integral else 0.0
-
-    stats = sorted(_partition_stats(sorted_rdd, value_idx, zero))
-    rank_offset: dict[int, int] = {}
-    sum_offset: dict[int, float] = {}
-    r_acc, s_acc = 0, zero
-    for pid, n, total in stats:
-        rank_offset[pid] = r_acc
-        sum_offset[pid] = s_acc
-        r_acc += n
-        s_acc += total
-    b_rank = spark.sparkContext.broadcast(rank_offset)
-    b_sum = spark.sparkContext.broadcast(sum_offset)
-
-    def number(pid, it):
-        r = b_rank.value.get(pid, 0)
-        s = b_sum.value.get(pid, zero)
-        for row in it:
-            v = row[value_idx]
-            if v is not None:
-                s += v
-            yield (*row, r, s)
-            r += 1
-
-    schema = StructType(
-        sorted_df.schema.fields
-        + [StructField(rank_col, LongType(), False), StructField("_prefix", prefix_type, False)]
-    )
-    prefix_df = spark.createDataFrame(
-        sorted_rdd.mapPartitionsWithIndex(number, preservesPartitioning=True), schema
-    )
+    prefix_df = _ranged_with_offsets(df, order_by, value_col, num_partitions)
+    if rank_col != "rank":
+        prefix_df = prefix_df.withColumnRenamed("rank", rank_col)
 
     # Window by prefix difference: S(r) - S(r-l).  1:1 equi-join on a
-    # unique dense key — shuffles both sides by rank, AQE picks the join.
+    # unique dense key; AQE picks the physical join.
     lookup = prefix_df.select(
         (F.col(rank_col) + F.lit(window)).alias(rank_col),
         F.col("_prefix").alias("_prefix_before"),

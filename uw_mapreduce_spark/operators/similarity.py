@@ -1,0 +1,120 @@
+"""Embedding similarity search (approximate-nearest-neighbor surface).
+
+Not in the reference (SURVEY.md §2.2) — LLM-pipeline extension.  Two
+paths:
+
+- ``knn_bruteforce`` — exact top-k cosine: broadcast the (small) query
+  set against the corpus; the score is a pure Catalyst expression
+  (functions/vectors.py), so scoring is a single codegen'd map stage +
+  a per-query top-k window.  At 100 TB the broadcast-queries pattern is
+  exactly right: corpus stays partitioned, no shuffle until the
+  (tiny) per-query top-k aggregation.
+- ``knn_ivf`` — IVF-style pruned search: cluster the corpus once by
+  nearest centroid (deterministic seed centroids), search only the
+  ``n_probes`` closest buckets per query.  Same output schema; recall
+  is probabilistic.  This is the scale path when the *query set* is
+  also huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rnk) — ids only; raw cosine doubles
+    are hash-fragile across engines, ranks are not.  Ties break on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def assign_centroids(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Tag every corpus vector with its nearest centroid id (one
+    broadcast map stage — the IVF build step)."""
+    cent = centroids.select(F.col("cent_id"), F.col(vec_col).alias("_centvec"))
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", dot(F.col(vec_col), F.col("_centvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_d").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_centvec", "_d", "_r")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned approximate top-k cosine.
+
+    Centroids = the ``num_centroids`` lowest-id corpus vectors
+    (deterministic; a k-means refinement would slot in here).  Each query
+    scores only vectors whose centroid is among its ``n_probes`` nearest
+    centroids — at 1000 partitions this skips (1 - n_probes/C) of the
+    corpus scan.
+    """
+    centroids = (
+        corpus.orderBy(id_col).limit(num_centroids)
+        .withColumn("cent_id", F.row_number().over(Window.orderBy(id_col)))
+        .select("cent_id", vec_col)
+    )
+    tagged = assign_centroids(corpus, centroids, vec_col)
+    q_probe = assign_probes(queries, centroids, n_probes, id_col, vec_col)
+    joined = tagged.join(q_probe, "cent_id").where(F.col(id_col) != F.col("query_id"))
+    scored = joined.withColumn("_cos", cosine_similarity(F.col("_qvec"), F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def assign_probes(
+    queries: DataFrame, centroids: DataFrame, n_probes: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, _qvec, cent_id) for each query's n_probes nearest centroids."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    cent = centroids.select("cent_id", F.col(vec_col).alias("_centvec"))
+    scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", dot(F.col("_qvec"), F.col("_centvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_probes)
+        .select("query_id", "_qvec", "cent_id")
+    )

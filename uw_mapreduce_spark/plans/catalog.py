@@ -1,0 +1,746 @@
+"""The engine's query catalog: every operator from SURVEY.md §2 plus the
+general-analytics and LLM-pipeline surface, each as a (spark, sf_dir) ->
+DataFrame callable with (where SQL-expressible) a colocated DuckDB
+oracle that the driver hash-compares at sf0.01.
+
+Cross-engine hash-robustness rules used throughout (see FIXTURES.md
+"Oracle notes"):
+- doubles never ride through an aggregate: money/qty/values are scaled
+  to integer cents/micro-units with floor(x * 10^k) BEFORE summing
+  (IEEE multiplication+floor is bit-identical across engines; double
+  SUM order is not),
+- ratios are reported as integer per-milles (floor(1000·x)),
+- raw cosine scores/timestamps are kept out of outputs (ids, ranks and
+  epoch-micros instead),
+- every computed column is aliased identically on both sides, and ties
+  in any top-k are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import attach_media, extract_features
+from ..functions.text import doc_stats, lang_id, tokens
+from ..operators.asof import asof_join
+from ..operators.dedup import (
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.partitioning import rebalance_by_rank
+from ..operators.rank import global_rank, global_rank_scalable
+from ..operators.sampling import bernoulli_sample, equi_depth_borders
+from ..operators.scale import sliding_aggregate_scalable
+from ..operators.similarity import knn_bruteforce, knn_ivf
+from ..operators.window import sliding_aggregate
+from ..sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def register(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return register
+
+
+# --------------------------------------------------------------------------
+# shared fragments
+# --------------------------------------------------------------------------
+
+def events_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + value_u = floor(value·1e6) as int64 (hash-stable sums)."""
+    return load_table(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    )
+
+
+EVENTS_U_SQL = (
+    "SELECT *, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u FROM events"
+)
+
+_SLIDING_SQL = """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rank, event_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT rank, event_id,
+       SUM(value_u) OVER (ORDER BY rank ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW) AS agg_u
+FROM base
+"""
+
+
+def _sliding(spark, sf_dir, window, scalable=False):
+    fn = sliding_aggregate_scalable if scalable else sliding_aggregate
+    out = fn(
+        events_u(spark, sf_dir),
+        order_by=["ts", "event_id"],
+        value_col="value_u",
+        window=window,
+        agg="sum",
+        agg_col="agg_u",
+    )
+    return out.select("rank", "event_id", "agg_u")
+
+
+# --------------------------------------------------------------------------
+# reference operators (SURVEY.md §2.1) on the events table
+# --------------------------------------------------------------------------
+
+for _l in (16, 79, 91):
+    query(f"sliding_sum_{_l}", _SLIDING_SQL.format(pre=_l - 1))(
+        lambda spark, sf_dir, _l=_l: _sliding(spark, sf_dir, _l)
+    )
+
+query("sliding_sum_91_scalable", _SLIDING_SQL.format(pre=90))(
+    lambda spark, sf_dir: _sliding(spark, sf_dir, 91, scalable=True)
+)
+
+
+@query(
+    "sliding_count_16",
+    """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rank, event_id FROM events
+)
+SELECT rank, event_id,
+       COUNT(*) OVER (ORDER BY rank ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS cnt
+FROM base
+""",
+)
+def sliding_count_16(spark, sf_dir):
+    out = sliding_aggregate(
+        load_table(spark, sf_dir, "events"),
+        order_by=["ts", "event_id"],
+        value_col="event_id",
+        window=16,
+        agg="count",
+        agg_col="cnt",
+    )
+    return out.select("rank", "event_id", "cnt")
+
+
+@query(
+    "sliding_avg_79_scalable",
+    """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rank, event_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT rank, event_id,
+       CAST(SUM(value_u) OVER w AS DOUBLE) / COUNT(value_u) OVER w AS avg_u
+FROM base
+WINDOW w AS (ORDER BY rank ROWS BETWEEN 78 PRECEDING AND CURRENT ROW)
+""",
+)
+def sliding_avg_79_scalable(spark, sf_dir):
+    out = sliding_aggregate_scalable(
+        events_u(spark, sf_dir),
+        order_by=["ts", "event_id"],
+        value_col="value_u",
+        window=79,
+        agg="avg",
+        agg_col="avg_u",
+    )
+    return out.select("rank", "event_id", F.col("avg_u").cast("double").alias("avg_u"))
+
+
+_RANK_SQL = """
+SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rank, event_id FROM events
+"""
+
+
+@query("global_rank_events", _RANK_SQL)
+def global_rank_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return global_rank(ev, order_by=["ts", "event_id"]).select("rank", "event_id")
+
+
+@query("global_rank_scalable_events", _RANK_SQL)
+def global_rank_scalable_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return global_rank_scalable(ev, order_by=["ts", "event_id"]).select("rank", "event_id")
+
+
+@query(
+    "total_sort_events",
+    "SELECT event_id, user_id, event_type FROM events ORDER BY ts, event_id",
+)
+def total_sort_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy("ts", "event_id").select("event_id", "user_id", "event_type")
+
+
+@query("rebalance_events", _RANK_SQL)
+def rebalance_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ranked = global_rank(ev, order_by=["ts", "event_id"]).select("rank", "event_id")
+    return rebalance_by_rank(ranked, "rank", 8)
+
+
+@query(
+    "record_counts",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, count(*) AS n FROM {t}"
+        for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+    ),
+)
+def record_counts(spark, sf_dir):
+    parts = []
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("n")).select(F.lit(t).alias("tbl"), "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "equi_depth_borders_events",
+    """
+WITH v AS (SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS value_u FROM events),
+ranked AS (
+  SELECT value_u AS border, row_number() OVER (ORDER BY value_u) AS rn,
+         count(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(i AS BIGINT) AS border_idx, border
+FROM ranked, generate_series(1, 7) t(i)
+WHERE rn = greatest(CAST(floor(i * n / 8.0) AS BIGINT), 1)
+""",
+)
+def equi_depth_borders_events(spark, sf_dir):
+    v = events_u(spark, sf_dir).select("value_u")
+    return equi_depth_borders(v, "value_u", 8)
+
+
+@query("bernoulli_sample_events")  # nondeterministic across engines: rows-only check
+def bernoulli_sample_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return bernoulli_sample(ev, 0.1, seed=42).select("event_id", "user_id")
+
+
+# --------------------------------------------------------------------------
+# general analytics surface (absent in the reference — SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+_REV_C = "(l_extendedprice * (1.0 - l_discount)) * 100.0"
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_c,
+       SUM(CAST(floor({_REV_C}) AS BIGINT)) AS sum_disc_c,
+       SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) * 100.0) AS BIGINT)) AS sum_charge_c,
+       count(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+    charge = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ) * F.lit(100.0)
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")).alias("sum_qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")).alias("sum_base_c"),
+            F.sum(F.floor(disc).cast("long")).alias("sum_disc_c"),
+            F.sum(F.floor(charge).cast("long")).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey, SUM(CAST(floor({_REV_C}) AS BIGINT)) AS revenue_c
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.floor(rev).cast("long")).alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    f"""
+SELECT n_name, SUM(CAST(floor({_REV_C}) AS BIGINT)) AS revenue_c
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.floor(rev).cast("long")).alias("revenue_c"))
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    """
+SELECT c_custkey, c_name, SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS total_c
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_c DESC, c_custkey
+LIMIT 10
+""",
+)
+def top_customers_by_revenue(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("total_c"))
+        .orderBy(F.col("total_c").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "group_rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def group_rollup_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")).alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "group_cube_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS total_c, count(*) AS n_rows
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def group_cube_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("total_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "distinct_agg_lineitem",
+    """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def distinct_agg_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "semi_join_parts",
+    "SELECT p_partkey, p_name FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)",
+)
+def semi_join_parts(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@query(
+    "anti_join_customers",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def anti_join_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "set_ops_custkeys",
+    """
+SELECT 'both' AS tag, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+UNION ALL
+SELECT 'only_big' AS tag, custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+""",
+)
+def set_ops_custkeys(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    recent = orders.where(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date")
+    ).select(F.col("o_custkey").alias("custkey"))
+    both = big.intersect(recent).select(F.lit("both").alias("tag"), "custkey")
+    only_big = big.distinct().exceptAll(recent.distinct()).select(
+        F.lit("only_big").alias("tag"), "custkey"
+    )
+    return both.unionByName(only_big)
+
+
+@query(
+    "window_analytics_orders",
+    """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS seq,
+       date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS gap_days,
+       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_analytics_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("gap_days"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).over(w_run).alias("run_total_c"),
+    )
+
+
+@query(
+    "scalar_functions_part",
+    """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_pfx,
+       concat(p_brand, ':', p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_slug,
+       p_size * 2 AS size2,
+       CAST(floor(abs(p_retailprice) * 100.0) AS BIGINT) AS price_c,
+       p_partkey % 7 AS key_mod
+FROM part
+""",
+)
+def scalar_functions_part(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+        (F.col("p_size") * 2).cast("long").alias("size2"),
+        F.floor(F.abs(F.col("p_retailprice")) * F.lit(100.0)).cast("long").alias("price_c"),
+        (F.col("p_partkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+@query(
+    "date_functions_orders",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders
+""",
+)
+def date_functions_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+    )
+
+
+@query(
+    "asof_join_purchases",
+    """
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS last_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_join_purchases(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id", ts_col="ts", right_value_cols=[])
+    return joined.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_asof")).alias("last_click_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions (north star; not in reference)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+)
+def dedup_exact_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, ["text"], "doc_id").select("keep_id", "n_dups")
+
+
+@query(
+    "dedup_fingerprint_documents",
+    r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_fingerprint_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_duplicates(docs, "text", "doc_id").select("fp", "keep_id", "n_dups")
+
+
+_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) AS BIGINT) AS jaccard_permille
+FROM common JOIN sizes s1 ON doc_a = s1.doc_id JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 800
+"""
+
+
+@query("ngram_jaccard_documents", _JACCARD_SQL)
+def ngram_jaccard_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
+
+
+@query("minhash_lsh_documents")  # xxhash64 has no DuckDB twin: rows-only
+def minhash_lsh_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+
+
+@query("simhash_documents")  # rows-only
+def simhash_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+@query(
+    "knn_cosine_top5",
+    """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def knn_cosine_top5(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return knn_bruteforce(emb, queries, k=5)
+
+
+@query("knn_ivf_top5")  # probabilistic recall: rows-only
+def knn_ivf_top5(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return knn_ivf(emb, queries, k=5, num_centroids=16, n_probes=4)
+
+
+@query(
+    "embedding_stats_by_label",
+    """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+       SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_e0_u
+FROM embeddings GROUP BY label
+""",
+)
+def embedding_stats_by_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.element_at("embedding", 1).cast("double") * F.lit(1000000.0)).cast("long")
+        ).alias("sum_e0_u"),
+    )
+
+
+@query(
+    "doc_stats_documents",
+    r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','that','for'], tk))) AS BIGINT) AS n_stopwords,
+       CAST(floor(1000.0 * len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','that','for'], tk))) / len(toks)) AS BIGINT) AS stopword_permille,
+       CAST(floor(1000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS uniq_permille
+FROM t
+""",
+)
+def doc_stats_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_stats(docs, "text", "doc_id")
+
+
+@query(
+    "token_count_by_lang",
+    r"""
+SELECT lang, count(*) AS n_docs,
+       SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)) AS total_tokens,
+       SUM(CAST(length(text) AS BIGINT)) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def token_count_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+
+
+@query("lang_id_documents")  # heuristic classifier: rows-only
+def lang_id_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query("multimodal_features")  # mapInPandas plumbing: rows-only
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("payload", F.encode(F.col("text"), "utf-8")), "doc_id", "payload"
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.floor(F.col("byte_mean") * F.lit(1000.0)).cast("long").alias("byte_mean_milli"),
+    )

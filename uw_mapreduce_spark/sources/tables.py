@@ -38,9 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 ns -> µs -> TimestampType; floor division matches DuckDB's
-        # ns->µs truncation for the (positive) epochs in the test data.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # int64 ns -> µs -> TimestampType.  Integer DIV, not `/`: epoch-ns
+        # (~1.7e18) exceeds double's 2^53 integer range, so float division
+        # would be off by ±1 µs.  Truncating DIV matches DuckDB's ns->µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -1,0 +1,75 @@
+"""Structured Streaming variant of the sliding aggregation.
+
+The reference is batch-only — its "sliding window" is over RANK order,
+not event time (SURVEY.md §1).  A modern engine needs the event-time
+analogue: overlapping time windows with watermark-bounded state, which
+is exactly Spark's built-in windowed aggregation.  This module exposes
+it plus a file-replay source so the batch `events` table doubles as a
+deterministic stream for tests.
+
+State bound: with watermark w and slide s, Spark keeps only windows
+newer than (max event time - w) — O(active windows) state per key,
+late rows beyond w dropped deterministically.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay the events parquet as a file-source stream (ns ts handled
+    as in the batch loader)."""
+    apply_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file stream source requires a DIRECTORY; stage the single
+    # events file into a temp dir (copy — testdata is read-only).
+    stage = tempfile.mkdtemp(prefix="uwms_events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format("parquet")
+        .load(stage)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def sliding_event_time_sum(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    slide_duration: str = "5 minutes",
+    watermark: str = "30 minutes",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Sliding event-time SUM(value) with late-data handling.
+
+    Works on both a streaming and a batch DataFrame (same code path —
+    that is the point of Structured Streaming); batch runs give the
+    exact answer a fully-drained stream converges to, which is how the
+    tests verify it.
+    """
+    keys = [F.col(c) for c in (by or [])]
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration, slide_duration), *keys)
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0)).cast("long")).alias("sum_value_u"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *[F.col(c) for c in (by or [])],
+            "sum_value_u",
+            "n_events",
+        )
+    )

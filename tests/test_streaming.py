@@ -28,3 +28,42 @@ def test_stream_converges_to_batch(spark, sf_small):
     got = {tuple(r) for r in spark.sql("select * from stream_out").collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_sessionize_stream_converges_to_batch(spark, sf_small):
+    from uw_mapreduce_spark.streaming.sliding import sessionize
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {tuple(r) for r in sessionize(batch, gap="15 minutes").collect()}
+    assert expected
+
+    agg = sessionize(stream_events(spark, sf_small), gap="15 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from sess_out").collect()}
+    assert got == expected
+
+
+def test_stream_dedup_bounded_state(spark, sf_small):
+    from uw_mapreduce_spark.streaming.sliding import stream_dedup
+
+    stream = stream_events(spark, sf_small)
+    out = stream_dedup(stream, ["user_id", "event_type"], watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select user_id, event_type, count(*) c from dedup_out group by 1,2 having count(*) > 1").collect()
+    # one file = one microbatch: watermark never advances mid-batch, so
+    # every duplicate key within the batch collapses to one row
+    assert got == []

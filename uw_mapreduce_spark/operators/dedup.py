@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint, tokens
 
@@ -76,6 +77,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.8,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs by Jaccard over token n-gram shingles.
 
@@ -85,13 +87,18 @@ def ngram_jaccard_pairs(
     doc_a < doc_b; the similarity is reported as floor(1000·J) so it is
     integer-exact across engines.
     """
-    sh = _shingles(df, text_col, id_col, n)
+    sh = _shingles(df, text_col, id_col, n) if shingles is None else shingles
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
-    # Referenced three times below (sizes + both join sides): persist so
-    # the explode+distinct runs once, not three times.
-    sh = sh.persist()
+    # The shingle table feeds three subtrees (sizes + both join sides).
+    # Persist AND materialize eagerly: inside a single action, AQE
+    # launches the three subtree stages concurrently and they would race
+    # the cache, computing the explode+distinct up to 3x (measured ~3x
+    # wall-clock).  The count() is an optimization barrier, exactly like
+    # the reference's per-job HDFS materialization but in memory.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,7 +156,12 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sh = _shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
     band_cols = F.array(
         *[
             F.struct(
@@ -173,7 +185,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0, shingles=sh)
     return (
         cand.join(exact, ["doc_a", "doc_b"])
         .where(F.col("jaccard_permille") >= int(threshold * 1000))

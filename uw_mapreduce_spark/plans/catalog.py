@@ -744,3 +744,51 @@ def multimodal_features(spark, sf_dir):
         "n_bytes",
         F.floor(F.col("byte_mean") * F.lit(1000.0)).cast("long").alias("byte_mean_milli"),
     )
+
+
+@query(
+    "grouping_sets_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c, count(*) AS n_rows
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def grouping_sets_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")).alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS total_f_c,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS total_o_c,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS total_p_c
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_priority_by_status(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    def bucket(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, cents).otherwise(F.lit(0)))
+    return orders.groupBy("o_orderpriority").agg(
+        bucket("F").alias("total_f_c"),
+        bucket("O").alias("total_o_c"),
+        bucket("P").alias("total_p_c"),
+    )
+
+
+@query("approx_distinct_parts")  # HLL sketches differ per engine: rows-only
+def approx_distinct_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )

@@ -73,3 +73,40 @@ def sliding_event_time_sum(
             "n_events",
         )
     )
+
+
+def sessionize(events: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user: activity bursts separated by >= ``gap``.
+
+    `session_window` keeps one open window per (user, session) in state;
+    the watermark closes and emits sessions deterministically.  Batch and
+    drained-stream answers agree (tested).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0)).cast("long")).alias("sum_value_u"),
+        )
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value_u",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    `dropDuplicatesWithinWatermark` keeps only keys newer than the
+    watermark in state — the streaming analogue of
+    operators/dedup.exact_duplicates, with O(active keys) state instead
+    of O(history).
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -63,3 +63,23 @@ def test_bernoulli_sample_deterministic_with_seed(spark):
     b = sorted(r.key for r in bernoulli_sample(df, 0.1, seed=7).collect())
     assert a == b
     assert 40 < len(a) < 200  # ~100 expected
+
+
+def test_sliding_minmax_scalable_matches_window_path(spark):
+    from uw_mapreduce_spark.operators.scale import sliding_minmax_scalable
+    from uw_mapreduce_spark.operators.window import sliding_aggregate
+
+    df = kv(spark, [((i * 37) % 101, (i * 53) % 997) for i in range(300)])
+    for agg in ("min", "max"):
+        for l in (1, 7, 64, 300, 500):
+            a = {
+                (r["rank"], r["agg"])
+                for r in sliding_aggregate(df, ["key", "value"], "value", l, agg=agg).collect()
+            }
+            b = {
+                (r["rank"], r["agg"])
+                for r in sliding_minmax_scalable(
+                    df, ["key", "value"], "value", l, agg=agg, num_partitions=5
+                ).collect()
+            }
+            assert a == b, (agg, l)

@@ -1,0 +1,70 @@
+"""Sinks (partitioned + bucketed) and the CLI entry point."""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+from uw_mapreduce_spark.sources.sinks import write_bucketed, write_table
+from uw_mapreduce_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = tempfile.mkdtemp(prefix="uwms_part_")
+    write_table(orders, out, partition_by=["o_year"])
+    assert glob.glob(f"{out}/o_year=*"), "expected hive-style partition dirs"
+
+    back = spark.read.parquet(out).where(F.col("o_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan's partition filter carries o_year
+    assert back.count() == orders.where(F.col("o_year") == 1997).count()
+    assert "PartitionFilters" in plan or "o_year" in plan
+
+
+def test_bucketed_join_skips_exchange(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bkt", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "ord_bkt", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    a = spark.table("li_bkt")
+    b = spark.table("ord_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # bucketing pre-shuffled both sides
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_cli_end_to_end_matches_golden(reference_dir):
+    out = tempfile.mkdtemp(prefix="uwms_cli_") + "/out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "uw_mapreduce_spark",
+            f"{reference_dir}/input/simple103.txt", out,
+            "--window", "16", "--partitions", "4", "--master", "local[2]",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = set()
+    for path in glob.glob(f"{out}/part-*"):
+        with open(path) as f:
+            got |= {tuple(map(int, line.split("\t"))) for line in f if line.strip()}
+    golden = set()
+    for path in glob.glob(f"{reference_dir}/expected16/part-r-*"):
+        with open(path) as f:
+            golden |= {tuple(map(int, line.split("\t"))) for line in f if line.strip()}
+    assert got == golden

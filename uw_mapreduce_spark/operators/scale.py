@@ -155,3 +155,72 @@ def sliding_aggregate_scalable(
     else:  # avg
         agg_expr = win_sum / win_count
     return joined.withColumn(agg_col, agg_expr).drop("_prefix", "_prefix_before")
+
+
+def sliding_minmax_scalable(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    window: int,
+    agg: str = "min",
+    rank_col: str = "rank",
+    agg_col: str = "agg",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed trailing-window MIN/MAX — the non-invertible case.
+
+    Prefix-difference does not invert min/max, so this uses the classic
+    block decomposition (two-stacks / sparse-table idea, expressed in
+    SQL windows): with blocks of exactly ``window`` rows
+    (block = rank DIV window), the trailing window [r-l+1, r] spans at
+    most two adjacent blocks, and
+
+        win_min(r) = min( suffix_min(block of r-l+1, from r-l+1),
+                          prefix_min(block of r, up to r) )
+
+    Both pieces are RUNNING aggregates inside a block (one forward, one
+    backward) — per-block windows, fully parallel, O(window) rows per
+    block.  The suffix piece for rank r-l+1 is fetched with the same
+    1:1 equi self-join on a shifted rank the sum path uses.  Total: one
+    range exchange, two per-block windows, one shuffled join — no
+    replication, no single-partition stage.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if agg not in ("min", "max"):
+        raise ValueError("use sliding_aggregate_scalable for invertible aggregates")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    agg_fn = F.min if agg == "min" else F.max
+
+    ranked = _ranged_with_offsets(df, order_by, None, num_partitions)
+    if rank_col != "rank":
+        ranked = ranked.withColumnRenamed("rank", rank_col)
+    ranked = ranked.withColumn("_blk", F.expr(f"{rank_col} DIV {window}"))
+
+    w_fwd = Window.partitionBy("_blk").orderBy(F.col(rank_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_bwd = Window.partitionBy("_blk").orderBy(F.col(rank_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pieces = ranked.withColumn("_pfx", agg_fn(F.col(value_col)).over(w_fwd)).withColumn(
+        "_sfx", agg_fn(F.col(value_col)).over(w_bwd)
+    )
+
+    # Row r looks up the suffix piece at rank r-l+1; ship it keyed by the
+    # rank that will need it.  Rows in r's own block contribute via _pfx,
+    # so when r-l+1 falls in the same block (only possible when
+    # r-l+1 == block start) the suffix piece is redundant but harmless.
+    lookup = pieces.select(
+        (F.col(rank_col) + F.lit(window - 1)).alias(rank_col),
+        F.col("_sfx").alias("_sfx_prev"),
+    )
+    joined = pieces.join(lookup, on=rank_col, how="left")
+    win_val = F.when(
+        F.col("_sfx_prev").isNotNull(), F.least(F.col("_pfx"), F.col("_sfx_prev"))
+        if agg == "min"
+        else F.greatest(F.col("_pfx"), F.col("_sfx_prev")),
+    ).otherwise(F.col("_pfx"))
+    return joined.withColumn(agg_col, win_val).drop("_blk", "_pfx", "_sfx", "_sfx_prev")

@@ -792,3 +792,62 @@ def approx_distinct_parts(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts")
     )
+
+
+_SLIDING_MINMAX_SQL = """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rank, event_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT rank, event_id,
+       {fn}(value_u) OVER (ORDER BY rank ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW) AS agg_u
+FROM base
+"""
+
+
+def _sliding_minmax(spark, sf_dir, window, agg):
+    from ..operators.scale import sliding_minmax_scalable
+
+    out = sliding_minmax_scalable(
+        events_u(spark, sf_dir),
+        order_by=["ts", "event_id"],
+        value_col="value_u",
+        window=window,
+        agg=agg,
+        agg_col="agg_u",
+    )
+    return out.select("rank", "event_id", "agg_u")
+
+
+query("sliding_min_79_scalable", _SLIDING_MINMAX_SQL.format(fn="MIN", pre=78))(
+    lambda spark, sf_dir: _sliding_minmax(spark, sf_dir, 79, "min")
+)
+query("sliding_max_91_scalable", _SLIDING_MINMAX_SQL.format(fn="MAX", pre=90))(
+    lambda spark, sf_dir: _sliding_minmax(spark, sf_dir, 91, "max")
+)
+
+
+# --------------------------------------------------------------------------
+# SQL front-end: the oracle strings are ANSI enough to run verbatim on
+# Spark SQL itself — same text, two engines, hash-identical results.
+# --------------------------------------------------------------------------
+
+def _sql_passthrough(sql: str, tables: list[str]):
+    def run(spark, sf_dir):
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run
+
+
+query("sql_api_q1", ORACLE["q1_pricing_summary"])(
+    _sql_passthrough(ORACLE["q1_pricing_summary"], ["lineitem"])
+)
+query("sql_api_sliding_16", ORACLE["sliding_sum_16"])(
+    _sql_passthrough(ORACLE["sliding_sum_16"], ["events"])
+)
+query("sql_api_top_customers", ORACLE["top_customers_by_revenue"])(
+    _sql_passthrough(ORACLE["top_customers_by_revenue"], ["customer", "orders"])
+)

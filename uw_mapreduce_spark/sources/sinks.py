@@ -1,0 +1,58 @@
+"""Sinks: partitioned and bucketed table writes.
+
+The reference's only sink is per-reducer tab-text (`TextOutputFormat`,
+`/root/reference/src/SlidingAggregation.java:451,469,486,510,528`) —
+covered by ``text_kv.write_text_kv``.  A real engine lands data as:
+
+- **partitioned parquet** (`partitionBy`): directory-level partition
+  pruning — a date/region filter then skips whole directories at scan
+  time, the single biggest lever on a 100 TB table;
+- **bucketed tables** (`bucketBy` + `saveAsTable`): pre-shuffled layout
+  on the join/agg key, so repeated joins and aggregations on that key
+  run with NO exchange — the physical plan shows both join sides
+  scan→join directly (verified in tests/test_sinks.py).
+
+At 100 TB you bucket the fact tables once on their join key (e.g.
+lineitem by orderkey) and every subsequent orderkey join in every query
+skips its shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Write a (optionally directory-partitioned) table."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sort-ordered) managed table.
+
+    Joins/aggregations keyed on ``bucket_cols`` between tables with the
+    same bucket count then plan without an Exchange.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

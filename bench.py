@@ -20,6 +20,7 @@ import time
 HEADLINE = [
     "sliding_sum_91",
     "sliding_sum_91_scalable",
+    "sliding_max_91_scalable",
     "global_rank_scalable_events",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -33,6 +34,7 @@ HEADLINE = [
     "minhash_lsh_documents",
     "simhash_documents",
     "knn_cosine_top5",
+    "cosine_near_dup_pairs",
     "doc_stats_documents",
 ]
 

@@ -96,3 +96,18 @@ def test_knn_ivf_matches_bruteforce_with_full_probes(spark):
         for r in knn_ivf(emb, q, k=3, num_centroids=8, n_probes=8).collect()
     }
     assert ivf == exact  # probing every bucket = exact
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_small):
+    from uw_mapreduce_spark.operators.similarity import (
+        cosine_near_dup_lsh,
+        cosine_near_dup_pairs,
+    )
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, 0.45).collect()}
+    lsh = {(r.id_a, r.id_b) for r in cosine_near_dup_lsh(emb, 0.45).collect()}
+    assert lsh <= exact          # exact precision
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3   # sane recall floor

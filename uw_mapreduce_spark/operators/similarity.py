@@ -118,3 +118,108 @@ def assign_probes(
         .where(F.col("_r") <= n_probes)
         .select("query_id", "_qvec", "cent_id")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Brute-force O(n²/2) scoring — the exact baseline the LSH variant is
+    judged against.  The cross join is self-broadcast so the corpus
+    streams once per executor; at real corpus sizes use
+    ``cosine_near_dup_lsh``.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def cosine_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    num_planes: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) blocked near-dup search.
+
+    Signature bit i = sign(<v, h_i>) with h_i a deterministic ±1
+    hyperplane derived from xxhash64(i, dim) — no randomness, no Python.
+    Candidate pairs share a signature BAND (signature split into
+    ``max_hamming+1`` bands: any pair within Hamming distance
+    ``max_hamming`` shares at least one exact band — pigeonhole), then
+    exact cosine verifies.  Probabilistic recall, exact precision.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    # ±1 hyperplanes as literal arrays: deterministic from (plane, dim).
+    import struct
+    import zlib
+
+    def sign(i, j):
+        return 1.0 if zlib.crc32(struct.pack("<II", i, j)) & 1 else -1.0
+
+    planes = [[sign(i, j) for j in range(dim)] for i in range(num_planes)]
+
+    def signature(vec):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in planes[i]]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(num_planes)
+        ]
+        sig = None
+        for i, b in enumerate(bits):
+            term = b.cast("long") * F.lit(1 << i).cast("long")
+            sig = term if sig is None else sig + term
+        return sig
+
+    bands = max_hamming + 1
+    per_band = num_planes // bands
+    mask = (1 << per_band) - 1
+    sigs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), signature(F.col(vec_col)).alias("sig")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * per_band).bitwiseAND(F.lit(mask)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", "v", F.explode(band_arr).alias("bk")).select(
+        "id", "v", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.v").alias("_va"), F.col("r.v").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.where(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -851,3 +851,26 @@ query("sql_api_sliding_16", ORACLE["sliding_sum_16"])(
 query("sql_api_top_customers", ORACLE["top_customers_by_revenue"])(
     _sql_passthrough(ORACLE["top_customers_by_revenue"], ["customer", "orders"])
 )
+
+
+@query(
+    "cosine_near_dup_pairs",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+""",
+)
+def cosine_near_dup_pairs_q(spark, sf_dir):
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+@query("cosine_near_dup_lsh")  # probabilistic recall: rows-only
+def cosine_near_dup_lsh_q(spark, sf_dir):
+    from ..operators.similarity import cosine_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_lsh(emb, threshold=0.45)

@@ -68,3 +68,19 @@ def test_cli_end_to_end_matches_golden(reference_dir):
         with open(path) as f:
             golden |= {tuple(map(int, line.split("\t"))) for line in f if line.strip()}
     assert got == golden
+
+
+def test_csv_json_roundtrip(spark, sf_small):
+    import tempfile
+
+    nation = load_table(spark, sf_small, "nation")
+    base = tempfile.mkdtemp(prefix="uwms_fmt_")
+    write_table(nation, f"{base}/n_csv", fmt="csv", header=True)
+    write_table(nation, f"{base}/n_json", fmt="json")
+    back_csv = (
+        spark.read.option("header", True).schema(nation.schema).csv(f"{base}/n_csv")
+    )
+    back_json = spark.read.schema(nation.schema).json(f"{base}/n_json")
+    expected = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in back_csv.collect()} == expected
+    assert {tuple(r) for r in back_json.collect()} == expected

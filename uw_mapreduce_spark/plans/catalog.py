@@ -77,7 +77,7 @@ WITH base AS (
   FROM events
 )
 SELECT rank, event_id,
-       SUM(value_u) OVER (ORDER BY rank ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW) AS agg_u
+       CAST(SUM(value_u) OVER (ORDER BY rank ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW) AS BIGINT) AS agg_u
 FROM base
 """
 
@@ -246,10 +246,10 @@ _REV_C = "(l_extendedprice * (1.0 - l_discount)) * 100.0"
     "q1_pricing_summary",
     f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c,
-       SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_c,
-       SUM(CAST(floor({_REV_C}) AS BIGINT)) AS sum_disc_c,
-       SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) * 100.0) AS BIGINT)) AS sum_charge_c,
+       CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(floor({_REV_C}) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) * 100.0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
        count(*) AS n_rows
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
@@ -279,7 +279,7 @@ def q1_pricing_summary(spark, sf_dir):
 @query(
     "q3_shipping_priority",
     f"""
-SELECT l_orderkey, SUM(CAST(floor({_REV_C}) AS BIGINT)) AS revenue_c
+SELECT l_orderkey, CAST(SUM(CAST(floor({_REV_C}) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -312,7 +312,7 @@ def q3_shipping_priority(spark, sf_dir):
 @query(
     "q5_local_supplier",
     f"""
-SELECT n_name, SUM(CAST(floor({_REV_C}) AS BIGINT)) AS revenue_c
+SELECT n_name, CAST(SUM(CAST(floor({_REV_C}) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -349,7 +349,7 @@ def q5_local_supplier(spark, sf_dir):
 @query(
     "top_customers_by_revenue",
     """
-SELECT c_custkey, c_name, SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS total_c
+SELECT c_custkey, c_name, CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total_c DESC, c_custkey
@@ -372,7 +372,7 @@ def top_customers_by_revenue(spark, sf_dir):
     "group_rollup_lineitem",
     """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c, count(*) AS n_rows
+       CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c, count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
@@ -388,7 +388,7 @@ def group_rollup_lineitem(spark, sf_dir):
     "group_cube_orders",
     """
 SELECT o_orderstatus, o_orderpriority,
-       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS total_c, count(*) AS n_rows
+       CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c, count(*) AS n_rows
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
 )
@@ -474,9 +474,9 @@ def set_ops_custkeys(spark, sf_dir):
 SELECT o_custkey, o_orderkey,
        row_number() OVER w AS seq,
        date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS gap_days,
-       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+       CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_total_c
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
@@ -671,7 +671,7 @@ def knn_ivf_top5(spark, sf_dir):
     "embedding_stats_by_label",
     """
 SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
-       SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_e0_u
+       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e0_u
 FROM embeddings GROUP BY label
 """,
 )
@@ -711,8 +711,8 @@ def doc_stats_documents(spark, sf_dir):
     "token_count_by_lang",
     r"""
 SELECT lang, count(*) AS n_docs,
-       SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)) AS total_tokens,
-       SUM(CAST(length(text) AS BIGINT)) AS total_chars
+       CAST(SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """,
 )
@@ -750,7 +750,7 @@ def multimodal_features(spark, sf_dir):
     "grouping_sets_lineitem",
     """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c, count(*) AS n_rows
+       CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c, count(*) AS n_rows
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
 )
@@ -768,9 +768,9 @@ def grouping_sets_lineitem(spark, sf_dir):
     "pivot_priority_by_status",
     """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS total_f_c,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS total_o_c,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS total_p_c
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_f_c,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_o_c,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_p_c
 FROM orders GROUP BY o_orderpriority
 """,
 )

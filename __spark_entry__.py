@@ -10,7 +10,14 @@ reference operators (SURVEY.md §2.1), the general analytics surface
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the engine importable regardless of the caller's cwd.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -20,7 +20,6 @@ import time
 HEADLINE = [
     "sliding_sum_91",
     "sliding_sum_91_scalable",
-    "sliding_max_91_scalable",
     "global_rank_scalable_events",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -862,10 +862,10 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """,
 )
 def cosine_near_dup_pairs_q(spark, sf_dir):
-    from ..operators.similarity import cosine_near_dup_pairs
+    from ..operators.similarity import cosine_near_dup_pairs_numpy
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.45)
+    return cosine_near_dup_pairs_numpy(emb, threshold=0.45)
 
 
 @query("cosine_near_dup_lsh")  # probabilistic recall: rows-only
@@ -874,3 +874,28 @@ def cosine_near_dup_lsh_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_lsh(emb, threshold=0.45)
+
+
+@query(
+    "array_functions_embeddings",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS e0_u,
+       CAST(floor(CAST(embedding[64] AS DOUBLE) * 1000000.0) AS BIGINT) AS e63_u,
+       CAST(floor(CAST(list_aggregate(embedding::DOUBLE[], 'sum') AS DOUBLE) * 1000.0) AS BIGINT) AS sum_milli
+FROM embeddings
+""",
+)
+def array_functions_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.floor(F.element_at("embedding", 1).cast("double") * F.lit(1000000.0)).cast("long").alias("e0_u"),
+        F.floor(F.element_at("embedding", 64).cast("double") * F.lit(1000000.0)).cast("long").alias("e63_u"),
+        F.floor(arr_sum * F.lit(1000.0)).cast("long").alias("sum_milli"),
+    )

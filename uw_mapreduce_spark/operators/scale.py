@@ -199,12 +199,12 @@ def sliding_minmax_scalable(
         ranked = ranked.withColumnRenamed("rank", rank_col)
     ranked = ranked.withColumn("_blk", F.expr(f"{rank_col} DIV {window}"))
 
-    w_fwd = Window.partitionBy("_blk").orderBy(F.col(rank_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_bwd = Window.partitionBy("_blk").orderBy(F.col(rank_col).desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # Both pieces share ONE window spec (same partitioning + ascending
+    # order, different frames) so Spark evaluates them in a single
+    # WindowExec pass: no second exchange, no descending re-sort.
+    w_base = Window.partitionBy("_blk").orderBy(F.col(rank_col))
+    w_fwd = w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_bwd = w_base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     pieces = ranked.withColumn("_pfx", agg_fn(F.col(value_col)).over(w_fwd)).withColumn(
         "_sfx", agg_fn(F.col(value_col)).over(w_bwd)
     )

@@ -111,3 +111,23 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_small):
     assert lsh <= exact          # exact precision
     if exact:
         assert len(lsh) / len(exact) >= 0.3   # sane recall floor
+
+
+def test_winnow_fingerprints_overlap_properties(spark):
+    from uw_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, BASE),
+        (1, BASE),                              # identical
+        (2, BASE.replace("fox", "cat")),        # one-word edit
+        (3, "entirely different text about columnar shuffles and spill files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc, set()).add(r.fp)
+    assert fps[0] == fps[1]                     # identical docs: identical fingerprints
+    j_edit = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    j_far = len(fps[0] & fps[3]) / len(fps[0] | fps[3])
+    assert j_edit > 0.5                         # local edit keeps most fingerprints
+    assert j_far < 0.1

@@ -67,3 +67,29 @@ def test_stream_dedup_bounded_state(spark, sf_small):
     # one file = one microbatch: watermark never advances mid-batch, so
     # every duplicate key within the batch collapses to one row
     assert got == []
+
+
+def test_stateful_user_profiles_stream_matches_batch(spark, sf_small):
+    from uw_mapreduce_spark.streaming.stateful import user_profiles
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {
+        (r.user_id, r.n_events, r.sum_value_u, r.last_ts)
+        for r in user_profiles(batch).collect()
+    }
+
+    out = user_profiles(stream_events(spark, sf_small))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("prof_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # one input file = one micro-batch, so the single update per key is final
+    got = {
+        (r.user_id, r.n_events, r.sum_value_u, r.last_ts)
+        for r in spark.sql("select * from prof_out").collect()
+    }
+    assert got == expected

@@ -57,10 +57,15 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     Catalyst re-evaluate the regex split per shingle (no CSE inside
     lambda bodies) — measured 5-6× slower.
     """
-    tok_df = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    # Docs with fewer than n tokens have no shingles.  The filter also
+    # guards Spark's sequence(1, 0), which yields a DESCENDING [1, 0]
+    # (not an empty array) and would feed slice() an illegal start of 0.
+    tok_df = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size(F.col("_toks")) >= n)
     toks = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return (
@@ -218,3 +223,42 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
         fp = term if fp is None else fp + term
     return sums.select(F.col("doc"), fp.alias("simhash64"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every char k-gram (rolling-hash role played by JVM xxhash64),
+    then keep the minimum hash of every window of ``w`` consecutive
+    k-gram hashes.  Guarantees: identical substrings of length >= k+w-1
+    always share a fingerprint, so local edits leave most fingerprints
+    intact — the standard plagiarism/near-dup signature.
+
+    Pure Catalyst expressions (sequence/transform/slice/array_min); one
+    explode; output (doc, fp) distinct rows.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # Guard short texts: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], not an empty array, so texts shorter than k (or with
+    # fewer than w k-grams) must be filtered out before sequencing.
+    tok_df = df.select(F.col(id_col).alias("doc"), norm.alias("_t")).where(
+        F.length(norm) >= k + w - 1
+    )
+    m = F.length(F.col("_t"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), m - F.lit(k - 1)),
+        lambda i: F.xxhash64(F.col("_t").substr(i, F.lit(k))),
+    )
+    picks = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return (
+        tok_df.select("doc", F.explode(F.array_distinct(picks)).alias("fp"))
+        .distinct()
+    )

@@ -899,3 +899,11 @@ def array_functions_embeddings(spark, sf_dir):
         F.floor(F.element_at("embedding", 64).cast("double") * F.lit(1000000.0)).cast("long").alias("e63_u"),
         F.floor(arr_sum * F.lit(1000.0)).cast("long").alias("sum_milli"),
     )
+
+
+@query("winnow_fingerprint_documents")  # xxhash64: no DuckDB twin, rows-only
+def winnow_fingerprint_documents(spark, sf_dir):
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)

@@ -22,7 +22,7 @@ skew-join splitting handles residual hot buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -249,16 +249,24 @@ def winnow_fingerprints(
     tok_df = df.select(F.col(id_col).alias("doc"), norm.alias("_t")).where(
         F.length(norm) >= k + w - 1
     )
-    m = F.length(F.col("_t"))
-    hashes = F.transform(
-        F.sequence(F.lit(1), m - F.lit(k - 1)),
-        lambda i: F.xxhash64(F.col("_t").substr(i, F.lit(k))),
+    hashes = F.expr(
+        f"transform(sequence(1, length(_t) - {k - 1}), i -> xxhash64(substring(_t, i, {k})))"
     )
-    picks = F.transform(
-        F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+    # Explode once, then per-window min via a bounded-following window.
+    # Two traps avoided here, both measured at ~100x on 500 docs:
+    # - any scalar of the array (e.g. size(hashes)) projected NEXT TO
+    #   posexplode re-evaluates the whole transform per OUTPUT row
+    #   (O(m^2) hashing per doc) - so no size column at all; full
+    #   windows are detected with lead(w-1) IS NOT NULL instead;
+    # - O(m*w) interpreted array slices (the naive transform+slice
+    #   formulation) are replaced by one shuffle and a streaming
+    #   window scan.
+    flat = tok_df.select("doc", F.posexplode(hashes).alias("_i", "_h"))
+    w_spec = Window.partitionBy("doc").orderBy("_i")
+    picks = (
+        flat.withColumn("_full", F.lead("_h", w - 1).over(w_spec))
+        .withColumn("_fp", F.min("_h").over(w_spec.rowsBetween(0, w - 1)))
+        .where(F.col("_full").isNotNull())
+        .select("doc", F.col("_fp").alias("fp"))
     )
-    return (
-        tok_df.select("doc", F.explode(F.array_distinct(picks)).alias("fp"))
-        .distinct()
-    )
+    return picks.distinct()

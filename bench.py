@@ -35,6 +35,7 @@ HEADLINE = [
     "knn_cosine_top5",
     "cosine_near_dup_pairs",
     "doc_stats_documents",
+    "curation_pipeline",
 ]
 
 

@@ -907,3 +907,55 @@ def winnow_fingerprint_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs)
+
+
+@query(
+    "curation_pipeline",
+    r"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_uniq
+  FROM documents
+),
+deduped AS (
+  SELECT * FROM stats
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+),
+kept AS (
+  SELECT * FROM deduped
+  WHERE n_tokens >= 20 AND floor(1000.0 * n_uniq / n_tokens) >= 300
+)
+SELECT lang, count(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_kept
+FROM kept GROUP BY lang
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE lazy DataFrame: fingerprint
+    dedup (keep lowest doc_id per normalized-content hash) -> quality
+    gate (length + lexical diversity) -> per-language token budget.
+    Composes fingerprint(), tokens() and a window dedup; Catalyst fuses
+    the whole thing into scan -> project -> window -> filter -> agg."""
+    from ..functions.text import fingerprint, tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tok_fn(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = stats.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    kept = deduped.where(
+        (F.col("n_tokens") >= 20)
+        & (F.floor(F.lit(1000.0) * F.col("n_uniq") / F.col("n_tokens")) >= 300)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("total_tokens_kept"),
+    )

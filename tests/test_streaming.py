@@ -93,3 +93,34 @@ def test_stateful_user_profiles_stream_matches_batch(spark, sf_small):
         for r in spark.sql("select * from prof_out").collect()
     }
     assert got == expected
+
+
+def test_stateful_timeout_evicts_without_emitting():
+    """When the idle-key timeout fires, _update must remove state and
+    emit nothing — not re-arm the timeout or yield a spurious row."""
+    from uw_mapreduce_spark.streaming.stateful import _update
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (3, 42, 1_000_000)
+
+        def __init__(self):
+            self.removed = False
+            self.updated = None
+            self.timeout_set = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = True
+
+    st = FakeState()
+    rows = list(_update((7,), iter([]), st))
+    assert rows == []
+    assert st.removed
+    assert st.updated is None and not st.timeout_set

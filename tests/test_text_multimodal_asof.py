@@ -75,3 +75,19 @@ def test_asof_join_constructed(spark):
     assert out["p1"] == (100, ts(10))   # equal ts is inclusive
     assert out["p2"] == (150, ts(15))   # latest at-or-before
     assert out["p3"] == (None, None)    # nothing precedes
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """ASOF semantics: ALL carried values come from the single most
+    recent right row — a legitimately-NULL column must stay NULL, not
+    fall back to an older row's non-null value (per-column last() bug)."""
+    ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, ts(30), "q")], "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts(10), 100, "old"), (1, ts(20), None, "new")],
+        "user_id long, ts timestamp, val int, label string",
+    )
+    r = asof_join(left, right, on="user_id").collect()[0]
+    assert r.ts_asof == ts(20)
+    assert r.label_asof == "new"
+    assert r.val_asof is None  # matched row's NULL, not 100 from ts(10)

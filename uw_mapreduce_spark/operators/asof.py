@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -39,20 +40,29 @@ def asof_join(
     """
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (on, ts_col)]
-    right_types = dict(right.dtypes)
     left_types = dict(left.dtypes)
     carry_src = right_value_cols + [ts_col]
     carry_dst = [f"{c}{suffix}" for c in carry_src]
 
-    l_side = left.withColumn("_tag", F.lit(1))
-    for src, dst in zip(carry_src, carry_dst):
-        l_side = l_side.withColumn(dst, F.lit(None).cast(right_types[src]))
+    # All carried columns travel as ONE struct so a single
+    # last(ignorenulls) picks every value from the same matched right row
+    # (per-column last() would mix rows when a carried value is NULL).
+    r_fields = {f.name: f.dataType for f in right.schema.fields}
+    carry_type = StructType(
+        [StructField(dst, r_fields[src], True) for src, dst in zip(carry_src, carry_dst)]
+    )
+
+    l_side = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_carry", F.lit(None).cast(carry_type)
+    )
 
     r_side = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_tag"),
-        *[F.col(src).alias(dst) for src, dst in zip(carry_src, carry_dst)],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in zip(carry_src, carry_dst)]
+        ).alias("_carry"),
     )
     for c in left.columns:
         if c not in (on, ts_col):
@@ -64,7 +74,7 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
+    out = unioned.withColumn("_carry", F.last("_carry", ignorenulls=True).over(w))
     for dst in carry_dst:
-        out = out.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
-    return out.where(F.col("_tag") == 1).drop("_tag")
+        out = out.withColumn(dst, F.col("_carry").getField(dst))
+    return out.where(F.col("_tag") == 1).drop("_tag", "_carry")

@@ -26,7 +26,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..caching import materialize_and_release
 from ..functions.text import fingerprint, tokens
+
+
+def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set.
+
+    Joins the candidate pairs to the shingle table on each side, so the
+    intersection count is computed ONLY for candidate pairs — cost is
+    O(|pairs| · shingles/doc), never the full shared-shingle self-join.
+    The candidate frame is small (bounded by the LSH S-curve), so AQE
+    broadcasts it against the shingle table.
+    """
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
+        )
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard_permille",
+            F.floor(
+                F.lit(1000.0) * F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).cast("long"),
+        )
+        .select("doc_a", "doc_b", "jaccard_permille")
+    )
 
 
 def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -92,7 +124,8 @@ def ngram_jaccard_pairs(
     doc_a < doc_b; the similarity is reported as floor(1000·J) so it is
     integer-exact across engines.
     """
-    sh = _shingles(df, text_col, id_col, n) if shingles is None else shingles
+    own_shingles = shingles is None
+    sh = _shingles(df, text_col, id_col, n) if own_shingles else shingles
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
@@ -122,9 +155,14 @@ def ngram_jaccard_pairs(
             ).cast("long"),
         )
     )
-    return jac.where(F.col("jaccard_permille") >= int(threshold * 1000)).select(
+    out = jac.where(F.col("jaccard_permille") >= int(threshold * 1000)).select(
         "doc_a", "doc_b", "jaccard_permille"
     )
+    if own_shingles:
+        # Pair output is tiny; materialize it and free the shingle cache
+        # so repeated invocations don't accumulate executor storage.
+        out = materialize_and_release(out, sh)
+    return out
 
 
 def minhash_signatures(
@@ -155,8 +193,11 @@ def minhash_lsh_pairs(
     ~s^r per band (s = true Jaccard) — the standard LSH S-curve.  The
     band join's key is (band index, hash of the band's minhashes), so the
     candidate join never goes quadratic.  Candidates are then verified
-    with the exact shingle-Jaccard (so no false positives; recall is
-    probabilistic, as with any LSH).
+    with exact Jaccard computed ONLY over the candidate pairs (join
+    candidates back to the shingle table per side) — no false positives,
+    and the verification cost stays proportional to the candidate set,
+    which is what makes LSH sub-quadratic.  Recall is probabilistic, as
+    with any LSH.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -190,12 +231,10 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0, shingles=sh)
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
-        .where(F.col("jaccard_permille") >= int(threshold * 1000))
-        .select("doc_a", "doc_b", "jaccard_permille")
+    out = _jaccard_for_pairs(cand, sh).where(
+        F.col("jaccard_permille") >= int(threshold * 1000)
     )
+    return materialize_and_release(out, sh)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

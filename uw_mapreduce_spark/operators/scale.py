@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..caching import materialize_and_release
+
 _INVERTIBLE = ("sum", "count", "avg")
 
 
@@ -61,6 +63,12 @@ def _ranged_with_offsets(
 
     The returned frame is the input plus ``rank`` (dense, 0-based, in
     ``order_by`` order) [and ``_prefix``]; internal columns are dropped.
+
+    The result is eagerly materialized (lineage-truncated) before the
+    intermediate ranged frame is unpersisted: callers reference the
+    result from two join subtrees, and without the barrier each subtree
+    would re-run the window pass; with it, both read one stored copy and
+    no cache entry outlives this call.
     """
     spark = df.sparkSession
     order_cols = [F.col(c) for c in order_by]
@@ -103,7 +111,8 @@ def _ranged_with_offsets(
         w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         local_prefix = F.coalesce(F.sum(F.col(value_col)).over(w_run), F.lit(zero))
         out = out.withColumn("_prefix", F.col("_sum_off") + local_prefix)
-    return out.drop("_pid", "_rank_off", "_sum_off")
+    out = out.drop("_pid", "_rank_off", "_sum_off")
+    return materialize_and_release(out, ranged)
 
 
 def sliding_aggregate_scalable(
@@ -208,6 +217,10 @@ def sliding_minmax_scalable(
     pieces = ranked.withColumn("_pfx", agg_fn(F.col(value_col)).over(w_fwd)).withColumn(
         "_sfx", agg_fn(F.col(value_col)).over(w_bwd)
     )
+    # Both join sides below reference `pieces`; materialize once so the
+    # window pass is not evaluated per subtree (no common-subplan reuse
+    # across DataFrame self-joins).
+    pieces = pieces.localCheckpoint(eager=True)
 
     # Row r looks up the suffix piece at rank r-l+1; ship it keyed by the
     # rank that will need it.  Rows in r's own block contribute via _pfx,

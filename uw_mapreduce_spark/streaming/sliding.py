@@ -14,6 +14,7 @@ late rows beyond w dropped deterministically.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -23,14 +24,28 @@ from pyspark.sql import functions as F
 from ..session import apply_runtime_confs
 
 
-def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    staging_dir: str | None = None,
+) -> DataFrame:
     """Replay the events parquet as a file-source stream (ns ts handled
-    as in the batch loader)."""
+    as in the batch loader).
+
+    Pass ``staging_dir`` to own the staging location; otherwise a temp
+    dir is created and removed at interpreter exit (each call otherwise
+    leaks a copy of events.parquet for the process lifetime).
+    """
     apply_runtime_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file stream source requires a DIRECTORY; stage the single
     # events file into a temp dir (copy — testdata is read-only).
-    stage = tempfile.mkdtemp(prefix="uwms_events_stream_")
+    if staging_dir is None:
+        stage = tempfile.mkdtemp(prefix="uwms_events_stream_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    else:
+        stage = staging_dir
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     stream = (
         spark.readStream.schema(static.schema)

@@ -45,6 +45,12 @@ STATE_SCHEMA = StructType(
 
 def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     (user_id,) = key
+    if state.hasTimedOut:
+        # Timeout fire: no data, just evict the idle key's state.  Do not
+        # re-arm the timeout or emit a row — otherwise state lives forever
+        # and every timeout yields a spurious duplicate profile.
+        state.remove()
+        return
     n, s, last_us = state.get if state.exists else (0, 0, None)
     import numpy as np
 

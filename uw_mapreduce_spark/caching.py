@@ -26,12 +26,57 @@ storage would flip this to ``spark.sparkContext.setCheckpointDir`` +
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_scoped: dict[str, list[DataFrame]] = {}
 
 
 def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Eagerly materialize ``result``, then unpersist every frame in
-    ``cached``.  Returns the materialized (lineage-truncated) frame."""
+    ``cached``.  Returns the materialized (lineage-truncated) frame.
+
+    Use ONLY for small results (pair sets, aggregates): the checkpoint
+    stores deserialized rows on the JVM heap, so checkpointing a large
+    frame trades a compact columnar cache for heap pressure that taxes
+    every subsequent query (measured: multi-× GC slowdown at sf0.1).
+    """
     out = result.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()
     return out
+
+
+def persist_scoped(df: DataFrame, scope: str, keep: int = 2) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK, compact columnar cache) under a
+    bounded session scope: registering a frame beyond the newest
+    ``keep`` unpersists the oldest — repeated operator invocations can
+    never accumulate more than ``keep`` cached intermediates per scope.
+
+    If ``df``'s plan already matches a live cache entry (Spark's
+    CacheManager matches by analyzed plan, so e.g. two dedup operators
+    building the identical shingle table share one entry), the frame is
+    returned as-is without re-registering — deliberate cross-operator
+    reuse, and it keeps one eviction from orphaning a handle that a
+    later registration of the same plan would otherwise share.
+
+    Lifecycle contract: frames cached this way must be DETERMINISTIC to
+    recompute (stable source + deterministic partitioning/expressions).
+    If a still-lazy plan outlives its cache entry, Spark recomputes the
+    exact same rows — slower, never wrong.
+    """
+    if df.storageLevel != StorageLevel.NONE:
+        return df
+    frames = _scoped.setdefault(scope, [])
+    frames.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+    while len(frames) > keep:
+        frames.pop(0).unpersist()
+    return df
+
+
+def release_scope(scope: str) -> None:
+    """Unpersist every frame registered under ``scope``."""
+    for df in _scoped.pop(scope, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to free

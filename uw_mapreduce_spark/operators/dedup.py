@@ -24,10 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from ..caching import materialize_and_release
+from ..caching import materialize_and_release, persist_scoped
 from ..functions.text import fingerprint, tokens
+
+_SCOPE = "uwms.dedup"
 
 
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -135,7 +136,9 @@ def ngram_jaccard_pairs(
     # the cache, computing the explode+distinct up to 3x (measured ~3x
     # wall-clock).  The count() is an optimization barrier, exactly like
     # the reference's per-job HDFS materialization but in memory.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # Scoped (bounded) registration: other dedup operators building the
+    # identical shingle table share the entry instead of recomputing.
+    sh = persist_scoped(sh, _SCOPE)
     sh.count()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -159,9 +162,9 @@ def ngram_jaccard_pairs(
         "doc_a", "doc_b", "jaccard_permille"
     )
     if own_shingles:
-        # Pair output is tiny; materialize it and free the shingle cache
-        # so repeated invocations don't accumulate executor storage.
-        out = materialize_and_release(out, sh)
+        # Pair output is tiny; materialize it so the result no longer
+        # depends on the scoped shingle cache's residency.
+        out = materialize_and_release(out)
     return out
 
 
@@ -202,7 +205,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sh = _shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_scoped(_shingles(df, text_col, id_col, n), _SCOPE)
     sh.count()
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)
@@ -234,7 +237,7 @@ def minhash_lsh_pairs(
     out = _jaccard_for_pairs(cand, sh).where(
         F.col("jaccard_permille") >= int(threshold * 1000)
     )
-    return materialize_and_release(out, sh)
+    return materialize_and_release(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

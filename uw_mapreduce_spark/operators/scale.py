@@ -11,12 +11,15 @@ This module reproduces those guarantees (O(n/P) per-task memory, O(1)
 extra rounds, no broadcast of data) with a Spark-native plan that stays
 entirely JVM-side — no Python row serialization anywhere:
 
-  1. ``repartitionByRange(order)`` — Spark's RangePartitioner runs the
-     reference's Sample job (reservoir sample + quantile borders) inside
-     the exchange; the partition id then plays the role of the
-     reference's partition index, with the key property that partition
-     i's keys all precede partition i+1's.  The ranged frame is
-     persisted (MEMORY_AND_DISK) so both passes see identical borders.
+  1. deterministic range partitioning — a hash-sampled border pass
+     (the reference's Sample job with its unseeded Random made
+     deterministic, see ``_deterministic_borders``) assigns each row an
+     explicit partition-id column with the key property that partition
+     i's keys all precede partition i+1's.  The ranged frame is cached
+     for the two passes, but because the borders are a pure function of
+     the data, cache loss or early release merely recomputes identical
+     partitions — it can never re-border mid-query (which Spark's
+     randomly-seeded RangePartitioner could, under cache eviction).
   2. pass 1: per-partition (count, total) via ``groupBy(pid)`` — a
      JVM hash aggregate replacing the reference's in-band sentinel
      counts (:159-168) and partition totals (:305-310); P tiny rows
@@ -45,11 +48,64 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from ..caching import materialize_and_release
+from ..caching import persist_scoped
 
 _INVERTIBLE = ("sum", "count", "avg")
+_SCOPE = "uwms.scale"
+
+
+def _deterministic_borders(
+    df: DataFrame, order_col: str, num_partitions: int, sample_mod: int = 64
+) -> list:
+    """Equi-depth range borders from a DETERMINISTIC hash sample.
+
+    This is the reference's Sample job (`SlidingAggregation.java:38-84`:
+    Bernoulli-sample the keys, sort the sample, pick the P-1 equi-depth
+    positions — `chooseBorders` :75-83) with its unseeded ``Random``
+    (:35) replaced by a value hash (``xxhash64(key) % sample_mod == 0``),
+    so the sample — and therefore the whole partitioning — is a pure
+    function of the data.  That determinism is what makes it safe to
+    drop the cached ranged frame at any time: a recompute reproduces
+    identical partitions, ranks, and offsets.  (Spark's built-in
+    RangePartitioner samples with a random seed per execution, so a
+    recompute under cache loss could silently re-border mid-query.)
+
+    ``sample_mod`` bounds the driver collect at ~n/sample_mod keys; at
+    larger scales raise it (the reference exposes the same knob as
+    ``-D my.threshold``).  Hashing the VALUE means duplicate keys are
+    sampled all-or-nothing — harmless for borders, since equal keys must
+    land in one partition anyway.
+    """
+    if num_partitions <= 1:
+        return []
+    key = F.col(order_col)
+    sample = sorted(
+        r[0]
+        for r in df.select(key.alias("k"))
+        .where(key.isNotNull() & (F.pmod(F.xxhash64(key), F.lit(sample_mod)) == 0))
+        .collect()
+    )
+    if not sample:
+        return []
+    borders = []
+    for i in range(num_partitions - 1):
+        b = sample[min((i + 1) * len(sample) // num_partitions, len(sample) - 1)]
+        if not borders or b > borders[-1]:
+            borders.append(b)
+    return borders
+
+
+def _pid_expr(order_col: str, borders: list):
+    """Partition id for a key given sorted borders: the reference's
+    ``find_border`` linear scan (`SlidingAggregation.java:128-134`) as a
+    codegen'd WHEN chain; partition j holds keys in (b_{j-1}, b_j].
+    NULL keys take partition 0 (Spark ASC sorts NULLS FIRST)."""
+    key = F.col(order_col)
+    expr = F.when(key.isNull(), F.lit(0))
+    for i, b in enumerate(borders):
+        expr = expr.when(key <= F.lit(b), F.lit(i))
+    return expr.otherwise(F.lit(len(borders)))
 
 
 def _ranged_with_offsets(
@@ -64,20 +120,23 @@ def _ranged_with_offsets(
     The returned frame is the input plus ``rank`` (dense, 0-based, in
     ``order_by`` order) [and ``_prefix``]; internal columns are dropped.
 
-    The result is eagerly materialized (lineage-truncated) before the
-    intermediate ranged frame is unpersisted: callers reference the
-    result from two join subtrees, and without the barrier each subtree
-    would re-run the window pass; with it, both read one stored copy and
-    no cache entry outlives this call.
+    The ranged frame keeps its partition id as an explicit COLUMN
+    computed from deterministic borders (not ``spark_partition_id()``,
+    which is an execution artifact), is cached for the offsets pass and
+    the rank pass, and registered in a bounded session scope (older
+    invocations' frames are evicted) — cache accumulation is bounded at
+    ~one invocation's working set, and because the whole lineage is
+    deterministic, releasing (or losing) the cache can only cost
+    recompute time, never correctness.
     """
     spark = df.sparkSession
     order_cols = [F.col(c) for c in order_by]
 
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    borders = _deterministic_borders(df, order_by[0], num_partitions)
+    ranged = df.withColumn("_pid", _pid_expr(order_by[0], borders)).repartition(
+        num_partitions, "_pid"
     )
+    ranged = persist_scoped(ranged, _SCOPE)
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     integral = value_col is not None and dict(df.dtypes)[value_col] in (
@@ -111,8 +170,7 @@ def _ranged_with_offsets(
         w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         local_prefix = F.coalesce(F.sum(F.col(value_col)).over(w_run), F.lit(zero))
         out = out.withColumn("_prefix", F.col("_sum_off") + local_prefix)
-    out = out.drop("_pid", "_rank_off", "_sum_off")
-    return materialize_and_release(out, ranged)
+    return out.drop("_pid", "_rank_off", "_sum_off")
 
 
 def sliding_aggregate_scalable(
@@ -217,10 +275,13 @@ def sliding_minmax_scalable(
     pieces = ranked.withColumn("_pfx", agg_fn(F.col(value_col)).over(w_fwd)).withColumn(
         "_sfx", agg_fn(F.col(value_col)).over(w_bwd)
     )
-    # Both join sides below reference `pieces`; materialize once so the
-    # window pass is not evaluated per subtree (no common-subplan reuse
-    # across DataFrame self-joins).
-    pieces = pieces.localCheckpoint(eager=True)
+    # Both join sides below reference `pieces`; cache it (columnar,
+    # same scope as the ranged frame) so the window pass is not
+    # evaluated per subtree — there is no common-subplan reuse across
+    # DataFrame self-joins.  The count() is the usual eager barrier so
+    # AQE's concurrent subtree stages don't race the cache population.
+    pieces = persist_scoped(pieces, _SCOPE)
+    pieces.count()
 
     # Row r looks up the suffix piece at rank r-l+1; ship it keyed by the
     # rank that will need it.  Rows in r's own block contribute via _pfx,

@@ -569,6 +569,289 @@ def asof_join_purchases(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# subquery / outer-join family (TPC-H-shaped; adapted to the driver's
+# slimmer schemas — no partsupp/commitdate/receiptdate columns exist)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * F.lit(100.0)).cast("long")
+            ).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority_exists",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """Correlated EXISTS with an inequality: semi-join on the key plus a
+    non-equi condition — Spark plans a single shuffled semi-join, no row
+    multiplication and no distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate.cast("date") > orders.o_orderdate.cast("date")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """Left outer join + two-level aggregation (order-count histogram);
+    customers with no orders survive the outer join with c_count = 0."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_c, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_rev_c,
+       CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+       CAST(floor(1000.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) / SUM(rev_c)) AS BIGINT) AS promo_permille
+FROM j
+""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-10-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        rev_c.alias("rev_c"), "p_type"
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(F.lit(0)))
+    total = F.sum("rev_c")
+    return j.agg(
+        promo.cast("long").alias("promo_rev_c"),
+        total.cast("long").alias("total_rev_c"),
+        F.floor(F.lit(1000.0) * promo / total).cast("long").alias("promo_permille"),
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN pa ON pk = l_partkey
+WHERE p_brand = 'Brand#21'
+  AND 5 * CAST(floor(l_quantity * 100.0) AS BIGINT) * cnt < sum_qty_c
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery (per-part average quantity), decided in
+    EXACT integer arithmetic: qty < 0.2·avg(qty) is evaluated as
+    5·qty_c·cnt < sum_qty_c, so no engine-dependent double division can
+    flip a borderline row.  The per-part aggregate is computed only for
+    lineitems of the filtered brand (semi-join pruning) — result-
+    identical, and at scale it shrinks the aggregate's input by the
+    brand's selectivity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#21")
+    qty_c = F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+    pa = li_brand.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
+    )
+    joined = li_brand.join(pa, li_brand.l_partkey == pa.pk).where(
+        F.lit(5) * qty_c * F.col("cnt") < F.col("sum_qty_c")
+    )
+    return joined.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+SELECT c_custkey, o_orderkey, sum_qty_c
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) > 30000
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty_c DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """IN-subquery-with-HAVING shape: the big-order set is an aggregate
+    used as a join input; it is tiny after the HAVING, so it broadcasts
+    into orders and customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty_c = F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > 30000)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "sum_qty_c")
+        .orderBy(F.col("sum_qty_c").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """OR-of-ANDs mixing both join sides: the part-only disjunction
+    (brand/size) is pushed below the broadcast join as a pre-filter;
+    the cross-side residual stays as the join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & (q >= qlo)
+        & (q <= qhi)
+    )
+    pred = arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(pred)
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+                ).cast("long")
+            ).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS n_cust,
+       CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS total_bal_c
+FROM customer, pos
+WHERE CAST(floor(c_acctbal * 100.0) AS BIGINT) * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+  )
+GROUP BY c_nationkey
+""",
+)
+def q22_dormant_customers(spark, sf_dir):
+    """Global-average scalar subquery + anti join: above-average-balance
+    customers with no recent orders.  The average compare runs in exact
+    integer cross-multiplication (bal_c·n > sum_c); the one-row scalar
+    broadcasts; the anti join prunes its right side to recent orders
+    before shuffling."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal_c = F.floor(F.col("c_acctbal") * F.lit(100.0)).cast("long")
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = orders.where(F.col("o_orderdate").cast("date") >= F.lit("1999-01-01").cast("date"))
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(bal_c * F.col("n") > F.col("s"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum(bal_c).alias("total_bal_c"))
+    )
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (north star; not in reference)
 # --------------------------------------------------------------------------
 

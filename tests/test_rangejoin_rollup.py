@@ -1,0 +1,68 @@
+"""Range join and continuous-aggregate rollup — constructed truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uw_mapreduce_spark.operators.rangejoin import range_join
+from uw_mapreduce_spark.operators.rollup import continuous_aggregate
+
+
+def test_range_join_containment_and_boundaries(spark):
+    pts = spark.createDataFrame([(i, i * 10) for i in range(1, 8)], "pid long, x long")
+    iv = spark.createDataFrame(
+        [(100, 10, 30), (200, 30, 70), (300, 65, 100)], "ivid long, lo long, hi long"
+    )
+    # width much smaller than interval length: intervals explode to many
+    # buckets, exercising the multi-bucket path.
+    got = {
+        (r.pid, r.ivid)
+        for r in range_join(pts, iv, "x", "lo", "hi", width=7, closed="right").collect()
+    }
+    expected = set()
+    for pid in range(1, 8):
+        x = pid * 10
+        for ivid, lo, hi in [(100, 10, 30), (200, 30, 70), (300, 65, 100)]:
+            if lo < x <= hi:  # (lo, hi]
+                expected.add((pid, ivid))
+    assert got == expected
+    # boundary x=30 belongs to (10,30] only; x=70 to both (30,70] and (65,100]
+    assert (3, 100) in got and (3, 200) not in got
+    assert (7, 200) in got and (7, 300) in got
+
+
+def test_range_join_closed_left_and_keys(spark):
+    pts = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "pid long, k string, x long")
+    iv = spark.createDataFrame([("a", 10, 20)], "k string, lo long, hi long")
+    got = range_join(pts, iv, "x", "lo", "hi", width=5, on=["k"], closed="left").collect()
+    assert [(r.pid, r.k) for r in got] == [(1, "a")]  # [10,20) includes 10; key 'b' filtered
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # A point and an interval share several buckets only via the interval's
+    # explode; the pair must still appear exactly once.
+    pts = spark.createDataFrame([(1, 50)], "pid long, x long")
+    iv = spark.createDataFrame([(9, 0, 100)], "ivid long, lo long, hi long")
+    rows = range_join(pts, iv, "x", "lo", "hi", width=3, closed="both").collect()
+    assert len(rows) == 1
+
+
+def test_continuous_aggregate_two_resolutions(spark):
+    rows = [
+        (1_000_000 * 3600 * h + 1, "click", 1) for h in range(30)
+    ]  # one event per hour for 30h, starting just past each hour
+    df = spark.createDataFrame(rows, "ts_us long, event_type string, v long")
+    out = continuous_aggregate(
+        df,
+        "ts_us",
+        {"b6h": 6 * 3600 * 1_000_000, "b1d": 24 * 3600 * 1_000_000},
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    ).collect()
+    six = {r.b6h: r.n for r in out if r.b6h is not None}
+    day = {r.b1d: r.n for r in out if r.b1d is not None}
+    assert sum(six.values()) == 30 and sum(day.values()) == 30
+    assert six[0] == 6  # first 6h bucket holds hours 0..5
+    assert day[0] == 24 and day[24 * 3600 * 1_000_000] == 6
+    # every output row belongs to exactly one resolution
+    assert all((r.b6h is None) != (r.b1d is None) for r in out)

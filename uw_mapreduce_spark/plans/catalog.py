@@ -852,6 +852,113 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# time-series surface: range join, continuous aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "range_join_event_slices",
+    """
+WITH v AS (
+  SELECT epoch_us(ts) AS ts_us, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u FROM events
+),
+ranked AS (
+  SELECT ts_us, row_number() OVER (ORDER BY ts_us) AS rn, count(*) OVER () AS n FROM v
+),
+borders AS (
+  SELECT CAST(i AS BIGINT) AS border_idx, ts_us AS border
+  FROM ranked, generate_series(1, 7) t(i)
+  WHERE rn = greatest(CAST(floor(i * n / 8.0) AS BIGINT), 1)
+),
+pts AS (
+  SELECT CAST(0 AS BIGINT) AS border_idx, min(ts_us) - 1 AS border FROM v
+  UNION ALL SELECT border_idx, border FROM borders
+  UNION ALL SELECT CAST(8 AS BIGINT), max(ts_us) FROM v
+),
+iv AS (
+  SELECT border_idx AS slice_id, border AS lo,
+         lead(border) OVER (ORDER BY border_idx) AS hi
+  FROM pts QUALIFY lead(border) OVER (ORDER BY border_idx) IS NOT NULL
+)
+SELECT slice_id, count(*) AS n_events, CAST(SUM(value_u) AS BIGINT) AS sum_value_u
+FROM v JOIN iv ON v.ts_us > iv.lo AND v.ts_us <= iv.hi
+GROUP BY slice_id
+""",
+)
+def range_join_event_slices(spark, sf_dir):
+    """Point-in-interval join of events against VARIABLE-width time
+    slices (the equi-depth ts octile intervals — variable width is what
+    makes this a range join rather than a plain bucket groupBy).  Self-
+    checking: counts per slice must come out ~n/8.  Uses the bucketized
+    range_join (operators/rangejoin.py), never a cartesian plan."""
+    from ..operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("value_u"),
+    )
+    borders = equi_depth_borders(ev.select("ts_us"), "ts_us", 8)  # 7 rows
+    caps = ev.agg(
+        (F.min("ts_us") - F.lit(1)).alias("lo_cap"), F.max("ts_us").alias("hi_cap")
+    )
+    pts = (
+        caps.select(F.lit(0).cast("long").alias("border_idx"), F.col("lo_cap").alias("border"))
+        .unionByName(borders.select("border_idx", "border"))
+        .unionByName(caps.select(F.lit(8).cast("long").alias("border_idx"), F.col("hi_cap").alias("border")))
+    )
+    w_ord = Window.orderBy("border_idx")
+    iv = (
+        pts.select(
+            F.col("border_idx").alias("slice_id"),
+            F.col("border").alias("lo"),
+            F.lead("border").over(w_ord).alias("hi"),
+        )
+        .where(F.col("hi").isNotNull())
+    )
+    # ~1 week buckets over the ~2-month event span: each octile interval
+    # explodes to a handful of buckets.
+    joined = range_join(ev, iv, "ts_us", "lo", "hi", width=604_800_000_000, closed="right")
+    return joined.groupBy("slice_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_u").alias("sum_value_u"),
+    )
+
+
+@query(
+    "time_bucket_rollup_events",
+    """
+WITH v AS (
+  SELECT CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS bucket_6h_us,
+         CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS bucket_1d_us,
+         event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT bucket_6h_us, bucket_1d_us, event_type,
+       count(*) AS n_events, CAST(SUM(value_u) AS BIGINT) AS sum_value_u
+FROM v
+GROUP BY GROUPING SETS ((bucket_6h_us, event_type), (bucket_1d_us, event_type))
+""",
+)
+def time_bucket_rollup_events(spark, sf_dir):
+    """Hypertable-style continuous aggregate: 6-hour and 1-day rollups of
+    events in ONE grouping-sets pass (one shuffle serves both
+    resolutions).  Buckets use integer epoch arithmetic so they are
+    timezone- and engine-invariant (TimescaleDB's time_bucket origin
+    happens to align for widths dividing 86400 s)."""
+    from ..operators.rollup import continuous_aggregate
+
+    ev = events_u(spark, sf_dir)
+    return continuous_aggregate(
+        ev,
+        "ts",
+        {"bucket_6h_us": 21_600_000_000, "bucket_1d_us": 86_400_000_000},
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.sum("value_u").alias("sum_value_u")],
+    )
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (north star; not in reference)
 # --------------------------------------------------------------------------
 

@@ -124,3 +124,38 @@ def test_stateful_timeout_evicts_without_emitting():
     assert rows == []
     assert st.removed
     assert st.updated is None and not st.timeout_set
+
+
+def test_stream_static_enrich_converges_to_batch(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.sliding import stream_static_enrich
+
+    batch = load_table(spark, sf_small, "events")
+    dim = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hist"),
+        F.min("event_id").alias("first_event"),
+    )
+    expected = {
+        (r.event_id, r.n_hist, r.first_event)
+        for r in stream_static_enrich(batch, dim).select(
+            "event_id", "n_hist", "first_event"
+        ).collect()
+    }
+
+    out = stream_static_enrich(stream_events(spark, sf_small), dim).select(
+        "event_id", "n_hist", "first_event"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.n_hist, r.first_event)
+        for r in spark.sql("select * from enrich_out").collect()
+    }
+    assert got == expected

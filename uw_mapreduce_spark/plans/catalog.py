@@ -851,6 +851,93 @@ def q22_dormant_customers(spark, sf_dir):
     )
 
 
+@query(
+    "top_parts_per_brand",
+    """
+SELECT p_brand, p_partkey, price_c, rnk FROM (
+  SELECT p_brand, p_partkey,
+         CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_c,
+         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+  FROM part
+) WHERE rnk <= 3
+""",
+)
+def top_parts_per_brand(spark, sf_dir):
+    """Per-group top-k: rank inside each brand, keep k — the windowed
+    form that scales (one shuffle on the group key, no global sort);
+    ties broken by the unique part key for cross-engine determinism."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long").alias("price_c"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "quantiles_quantity_by_flag",
+    """
+SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_quantity * 100.0, 0.25) * 10.0) AS BIGINT) AS p25_cd,
+       CAST(floor(quantile_cont(l_quantity * 100.0, 0.5) * 10.0) AS BIGINT) AS p50_cd,
+       CAST(floor(quantile_cont(l_quantity * 100.0, 0.9) * 10.0) AS BIGINT) AS p90_cd
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def quantiles_quantity_by_flag(spark, sf_dir):
+    """Exact (interpolated) percentiles per group.  Inputs are scaled to
+    integer cents first, so the only doubles are the single interpolation
+    between two adjacent order statistics — identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity") * F.lit(100.0)).alias("qty_c")
+    base = li.select("l_returnflag", qty_c)
+    pct = lambda p: F.floor(F.expr(f"percentile(qty_c, {p})") * F.lit(10.0)).cast("long")
+    return base.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25_cd"), pct(0.5).alias("p50_cd"), pct(0.9).alias("p90_cd")
+    )
+
+
+@query(
+    "pandas_udf_norm_embeddings",
+    """
+SELECT vec_id,
+       CAST(list_aggregate(
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000.0) AS BIGINT) * CAST(floor(x * 1000.0) AS BIGINT)),
+         'sum') AS BIGINT) AS sq_norm_milli
+FROM embeddings
+""",
+)
+def pandas_udf_norm_embeddings(spark, sf_dir):
+    """The engine's vectorized-UDF surface, hash-verified: an Arrow-
+    batched pandas_udf computes a per-row quantity over the embedding
+    array.  The math is integer-exact (scale components to int64, square,
+    sum) so the Python path can be oracle-checked bit-for-bit — the
+    pattern to follow for any numeric UDF that must be auditable.  One
+    Arrow round-trip per batch, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sq(emb):
+        return emb.map(
+            lambda a: int((np.floor(np.asarray(a, dtype="float64") * 1000.0).astype("int64") ** 2).sum())
+        )
+
+    # Real type objects (this module's `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot resolve here).
+    _sq.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    sq_norm_milli = pandas_udf(_sq, "long")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", sq_norm_milli(F.col("embedding")).alias("sq_norm_milli"))
+
+
 # --------------------------------------------------------------------------
 # time-series surface: range join, continuous aggregates
 # --------------------------------------------------------------------------

@@ -114,6 +114,16 @@ def sessionize(events: DataFrame, gap: str = "15 minutes", watermark: str = "30 
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension frame.  The dim side broadcasts (re-read per batch
+    if its source changes — Spark's stream-static contract), so the
+    stream side never shuffles; left join keeps events with no dim row.
+    Same code path for batch frames, which is how the tests verify it.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup with bounded state.
 

@@ -66,3 +66,16 @@ def test_continuous_aggregate_two_resolutions(spark):
     assert day[0] == 24 and day[24 * 3600 * 1_000_000] == 6
     # every output row belongs to exactly one resolution
     assert all((r.b6h is None) != (r.b1d is None) for r in out)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from uw_mapreduce_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4, needs several rounds), island 10-11,
+    # and 20-21 + 21-22 sharing a vertex
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.v: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

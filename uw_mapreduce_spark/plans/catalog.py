@@ -1103,6 +1103,35 @@ def ngram_jaccard_documents(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
 
 
+@query(
+    "dedup_clusters_documents",
+    f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b
+)
+SELECT v, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v
+""",
+)
+def dedup_clusters_documents(spark, sf_dir):
+    """Near-dup pairs collapsed to duplicate CLUSTERS (connected
+    components by iterative min-label propagation) — the step between
+    pair scoring and keep-one-per-group curation.  Oracle: DuckDB
+    recursive CTE computing min reachable id per vertex."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
+    return connected_components(pairs, "doc_a", "doc_b").select("v", "label")
+
+
 @query("minhash_lsh_documents")  # xxhash64 has no DuckDB twin: rows-only
 def minhash_lsh_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

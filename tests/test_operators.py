@@ -83,3 +83,29 @@ def test_sliding_minmax_scalable_matches_window_path(spark):
                 ).collect()
             }
             assert a == b, (agg, l)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from uw_mapreduce_spark.operators.partitioning import salted_join
+    import pytest
+    from pyspark.sql import functions as F
+
+    # one hot key (90% of rows) + a tail; dim with one row per key
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (950, "cold"), (999, "cold")], "k long, tag string"
+    )
+    plain = {(r.k, r.payload, r.tag) for r in left.join(right, "k", "left").collect()}
+    salted = {
+        (r.k, r.payload, r.tag)
+        for r in salted_join(left, right, ["k"], salt=8, how="left", salt_from=["payload"]).collect()
+    }
+    assert salted == plain and len(plain) == 1000
+    inner_plain = {(r.k, r.payload) for r in left.join(right, "k").collect()}
+    inner_salted = {(r.k, r.payload) for r in salted_join(left, right, ["k"], salt=8).collect()}
+    assert inner_salted == inner_plain and len(inner_plain) == 902
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")

@@ -72,3 +72,37 @@ def rebalance_by_rank(df: DataFrame, rank_col: str = "rank", num_partitions: int
     as SELECT *.
     """
     return range_partition(df, [rank_col], num_partitions)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Equality join with explicit key salting for EXTREME skew.
+
+    AQE's skew-join splitting handles moderate skew by subdividing
+    oversized shuffle blocks; when a single join key dominates the
+    whole input (a null-like sentinel, a mega-user), salting fixes the
+    layout instead: the big LEFT side gets a deterministic salt in
+    [0, salt) hashed from ``salt_from`` (default: all left columns),
+    the smaller RIGHT side is replicated once per salt value, and the
+    join key becomes (keys..., salt) — the hot key's rows spread over
+    ``salt`` tasks at the cost of a salt-times larger right side.
+
+    Deterministic (xxhash64, no rand()) so retries and recomputes
+    produce identical partitions.  ``how`` is limited to inner/left —
+    a right/full outer join would emit one null-extended row per salt
+    replica for unmatched right rows.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("salted_join supports inner and left joins only")
+    src = [F.col(c) for c in (salt_from or left.columns)]
+    l_side = left.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(salt)))
+    r_side = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return l_side.join(r_side, on + ["_salt"], how).drop("_salt")

@@ -203,6 +203,11 @@ def sliding_aggregate_scalable(
     integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
     zero = 0 if integral else 0.0
     prefix_df = _ranged_with_offsets(df, order_by, value_col, num_partitions)
+    # Both sides of the prefix-difference self-join read this frame;
+    # cache + barrier so the rank/prefix window pass runs once, not per
+    # subtree (measured ~40% of query time at sf0.1).
+    prefix_df = persist_scoped(prefix_df, _SCOPE)
+    prefix_df.count()
     if rank_col != "rank":
         prefix_df = prefix_df.withColumnRenamed("rank", rank_col)
 

@@ -852,6 +852,86 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @query(
+    "sessionize_events_batch",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts_us, value_u,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 900000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us, value_u,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+       min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+       CAST(SUM(value_u) AS BIGINT) AS sum_value_u
+FROM sess GROUP BY user_id, sess_id
+""",
+)
+def sessionize_events_batch(spark, sf_dir):
+    """Batch sessionization (15-min gap) as the classic two-window SQL:
+    mark session starts with lag-gap, number sessions with a running
+    sum, aggregate per session.  One shuffle on user_id; both windows
+    share the same partitioning so they evaluate in one WindowExec pass.
+    (The streaming twin is `streaming.sliding.sessionize` via
+    session_window.)"""
+    ev = events_u(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value_u"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 900_000_000), F.lit(1)).otherwise(F.lit(0))
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(w_run).cast("long"))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("sess_start_us"),
+        F.max("ts_us").alias("sess_end_us"),
+        F.sum("value_u").alias("sum_value_u"),
+    )
+
+
+@query(
+    "token_histogram_documents",
+    r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+)
+SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+""",
+)
+def token_histogram_documents(spark, sf_dir):
+    """Corpus vocabulary histogram: explode tokens, count, top-k.  The
+    explode-then-aggregate shape partial-aggregates map-side, so the
+    shuffle carries (token, partial count), not raw tokens — at 100 TB
+    that is the difference between shuffling the corpus and shuffling
+    the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+@query(
     "top_parts_per_brand",
     """
 SELECT p_brand, p_partkey, price_c, rnk FROM (

@@ -84,3 +84,56 @@ def test_csv_json_roundtrip(spark, sf_small):
     expected = {tuple(r) for r in nation.collect()}
     assert {tuple(r) for r in back_csv.collect()} == expected
     assert {tuple(r) for r in back_json.collect()} == expected
+
+
+def test_orc_roundtrip(spark, sf_small):
+    import shutil
+    import tempfile
+
+    nation = load_table(spark, sf_small, "nation")
+    base = tempfile.mkdtemp(prefix="uwms_orc_")
+    try:
+        write_table(nation, f"{base}/n_orc", fmt="orc")
+        back = spark.read.orc(f"{base}/n_orc")
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_foreachbatch_parquet_sink(spark, sf_small):
+    """Drain a stream through foreachBatch into partitioned parquet and
+    verify the landed table equals the batch input — the production
+    shape for streaming ingestion into a lakehouse layout."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    base = tempfile.mkdtemp(prefix="uwms_febatch_")
+    out = f"{base}/events_by_type"
+    try:
+        stream = stream_events(spark, sf_small)
+
+        def land(batch_df, batch_id):
+            write_table(
+                batch_df.withColumn("_batch", F.lit(batch_id)),
+                out,
+                partition_by=["event_type"],
+                mode="append",
+            )
+
+        q = stream.writeStream.foreachBatch(land).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        landed = spark.read.parquet(out)
+        batch = load_table(spark, sf_small, "events")
+        assert landed.count() == batch.count()
+        assert {r.event_id for r in landed.select("event_id").collect()} == {
+            r.event_id for r in batch.select("event_id").collect()
+        }
+        # hive-style partition dirs exist per event_type
+        import glob as _g
+        assert _g.glob(f"{out}/event_type=*")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

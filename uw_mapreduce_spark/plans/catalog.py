@@ -880,10 +880,12 @@ FROM sess GROUP BY user_id, sess_id
 def sessionize_events_batch(spark, sf_dir):
     """Batch sessionization (15-min gap) as the classic two-window SQL:
     mark session starts with lag-gap, number sessions with a running
-    sum, aggregate per session.  One shuffle on user_id; both windows
-    share the same partitioning so they evaluate in one WindowExec pass.
-    (The streaming twin is `streaming.sliding.sessionize` via
-    session_window.)"""
+    sum, aggregate per session.  One shuffle + one sort on user_id: the
+    running-sum window's (user_id, ts_us) order requirement is satisfied
+    by the lag window's (user_id, ts_us, event_id) sort, so the two
+    window operators pipeline over a single exchange (verified in the
+    physical plan).  (The streaming twin is
+    `streaming.sliding.sessionize` via session_window.)"""
     ev = events_u(spark, sf_dir).select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value_u"
     )

@@ -62,3 +62,36 @@ def test_windowed_count_invariant(spark, reference_dir):
         assert len(out) == 100
         for r in out:
             assert r["agg"] == min(r["rank"] + 1, window), (window, r)
+
+
+def test_two_path_agreement_100k(spark, reference_dir):
+    """Window path ≡ scalable path on the reference's largest shipped
+    input (`input/tosort100000.txt`, 100k rows — the scale row of
+    BASELINE.md).  The golden trio is 103 rows × 4 partitions; this is
+    the first time border sampling sees real volume: the adaptive
+    modulus must produce a bounded sample whose borders still yield the
+    exact global order.  `tosort100000` has 4,564 duplicate keys, so the
+    total order (key, value) is the only deterministic ranking — both
+    paths order by it.  Comparison is done Spark-side (columns aligned;
+    `exceptAll` is positional) to avoid a 100k-row driver collect."""
+    from uw_mapreduce_spark.operators.scale import _deterministic_borders
+    from uw_mapreduce_spark.operators.window import sliding_aggregate
+
+    kv = read_text_kv(spark, f"{reference_dir}/input/tosort100000.txt").cache()
+    assert kv.count() == 100_000
+
+    borders = _deterministic_borders(kv, "key", 8)
+    assert borders == sorted(borders) and len(borders) <= 7
+    assert borders == _deterministic_borders(kv, "key", 8)  # pure function of data
+
+    cols = ["rank", "key", "value", "agg"]
+    for window in (10, 500):
+        sc = sliding_aggregate_scalable(
+            kv, order_by=["key", "value"], value_col="value", window=window, num_partitions=8
+        ).select(*cols)
+        wd = sliding_aggregate(
+            kv, order_by=["key", "value"], value_col="value", window=window
+        ).select(*cols)
+        assert sc.exceptAll(wd).count() == 0
+        assert wd.exceptAll(sc).count() == 0
+    kv.unpersist()

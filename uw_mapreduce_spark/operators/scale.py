@@ -56,43 +56,76 @@ _SCOPE = "uwms.scale"
 
 
 def _deterministic_borders(
-    df: DataFrame, order_col: str, num_partitions: int, sample_mod: int = 64
+    df: DataFrame,
+    order_col: str,
+    num_partitions: int,
+    sample_per_partition: int = 64,
 ) -> list:
-    """Equi-depth range borders from a DETERMINISTIC hash sample.
+    """Equi-depth range borders from a DETERMINISTIC, BOUNDED hash sample.
 
     This is the reference's Sample job (`SlidingAggregation.java:38-84`:
     Bernoulli-sample the keys, sort the sample, pick the P-1 equi-depth
-    positions — `chooseBorders` :75-83) with its unseeded ``Random``
-    (:35) replaced by a value hash (``xxhash64(key) % sample_mod == 0``),
-    so the sample — and therefore the whole partitioning — is a pure
-    function of the data.  That determinism is what makes it safe to
-    drop the cached ranged frame at any time: a recompute reproduces
-    identical partitions, ranks, and offsets.  (Spark's built-in
-    RangePartitioner samples with a random seed per execution, so a
-    recompute under cache loss could silently re-border mid-query.)
+    positions — `chooseBorders` :75-83) with two fixes:
 
-    ``sample_mod`` bounds the driver collect at ~n/sample_mod keys; at
-    larger scales raise it (the reference exposes the same knob as
-    ``-D my.threshold``).  Hashing the VALUE means duplicate keys are
-    sampled all-or-nothing — harmless for borders, since equal keys must
-    land in one partition anyway.
+    * its unseeded ``Random`` (:35) is replaced by a value hash
+      (``xxhash64(key) % mod == 0``), so the sample — and therefore the
+      whole partitioning — is a pure function of the data.  That
+      determinism is what makes it safe to drop the cached ranged frame
+      at any time: a recompute reproduces identical partitions, ranks,
+      and offsets.  (Spark's built-in RangePartitioner samples with a
+      random seed per execution, so a recompute under cache loss could
+      silently re-border mid-query.)
+    * its fixed sampling threshold (``-D my.threshold``, read at
+      `SlidingAggregation.java:44`) — which makes the single collector
+      receive O(n/threshold) rows — is replaced by an ADAPTIVE modulus
+      ``mod = n // (sample_per_partition * num_partitions)`` so the
+      expected sample is ~sample_per_partition rows per target
+      partition regardless of n.  The one extra pass this costs (a
+      column-pruned ``count()`` with map-side partial aggregation) is
+      the price of bounding driver memory; the reference's Sample job
+      rescans the input too.
+
+    Driver-side bytes are bounded two ways, both n-independent: the
+    sample is collapsed to DISTINCT (key, row-count) pairs before
+    collection (duplicate keys hash all-or-nothing, so one hot key can
+    not blow up the collect; its multiplicity arrives as one weight),
+    and a hard ``LIMIT 4*target`` in pseudorandom (hash, key) order —
+    an unbiased subsample, deterministic because the order is total —
+    caps the worst case.  Border positions are chosen by CUMULATIVE ROW
+    WEIGHT, so heavy keys still pull borders toward equal ROW counts
+    per partition (equal keys must share a partition regardless).
     """
     if num_partitions <= 1:
         return []
     key = F.col(order_col)
-    sample = sorted(
-        r[0]
-        for r in df.select(key.alias("k"))
-        .where(key.isNotNull() & (F.pmod(F.xxhash64(key), F.lit(sample_mod)) == 0))
+    keyed = df.select(key.alias("_k")).where(key.isNotNull())
+    n = keyed.count()
+    if n == 0:
+        return []
+    target = sample_per_partition * num_partitions
+    mod = max(1, n // target)
+    pairs = sorted(
+        (r[0], r[1])
+        for r in keyed.where(F.pmod(F.xxhash64(F.col("_k")), F.lit(mod)) == 0)
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .orderBy(F.xxhash64(F.col("_k")), F.col("_k"))
+        .limit(4 * target)
         .collect()
     )
-    if not sample:
+    if not pairs:
         return []
-    borders = []
-    for i in range(num_partitions - 1):
-        b = sample[min((i + 1) * len(sample) // num_partitions, len(sample) - 1)]
-        if not borders or b > borders[-1]:
-            borders.append(b)
+    total_w = sum(w for _, w in pairs)
+    borders: list = []
+    cum, j = 0, 1
+    for k_, w in pairs:
+        cum += w
+        while j < num_partitions and cum * num_partitions >= j * total_w:
+            if not borders or k_ > borders[-1]:
+                borders.append(k_)
+            j += 1
+        if j >= num_partitions:
+            break
     return borders
 
 

@@ -131,3 +131,23 @@ def test_winnow_fingerprints_overlap_properties(spark):
     j_far = len(fps[0] & fps[3]) / len(fps[0] | fps[3])
     assert j_edit > 0.5                         # local edit keeps most fingerprints
     assert j_far < 0.1
+
+
+def test_cosine_numpy_blocked_equals_exact(spark, sf_small):
+    """The BLAS kernel with a FORCED multi-block broadcast (block_rows
+    far below corpus size → several id-range blocks, each collected and
+    broadcast separately) must emit exactly the Catalyst exact path's
+    pairs, each exactly once — blocks partition the id space, so no
+    pair can be dropped or double-counted."""
+    from uw_mapreduce_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_numpy,
+    )
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, 0.30).collect()}
+    blocked = [(r.id_a, r.id_b) for r in
+               cosine_near_dup_pairs_numpy(emb, 0.30, block_rows=64).collect()]
+    assert len(blocked) == len(set(blocked))  # exactly-once across blocks
+    assert set(blocked) == exact

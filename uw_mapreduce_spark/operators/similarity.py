@@ -237,6 +237,7 @@ def cosine_near_dup_pairs_numpy(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 65536,
 ) -> DataFrame:
     """Exact near-dup pairs with the O(n²) scoring done as BLAS matmul.
 
@@ -246,40 +247,78 @@ def cosine_near_dup_pairs_numpy(
     is the justified Pandas/Arrow drop-down: dense linear algebra is the
     one thing the built-in expression engine can't express efficiently.
 
-    The (unit-normalized) corpus matrix broadcasts to every executor
-    (id order fixed on the driver); corpus rows stream through
-    ``mapInPandas`` partitions and each Arrow batch scores against the
-    matrix.  At 100 TB you block BOTH sides (outer loop over broadcast
-    chunks); the per-batch kernel is identical.
+    The broadcast side is BLOCKED: the id space is split into
+    ``ceil(n / block_rows)`` ranges (deterministic sampled borders —
+    same machinery as the scalable sliding path), and each block is
+    collected, unit-normalized, and broadcast on its own iteration of a
+    driver loop, so driver and executor memory hold ~one block of
+    vectors regardless of corpus size, never the full matrix.  For each
+    block (lo, hi], only corpus rows with id < hi stream through
+    ``mapInPandas`` (pairs are emitted as (a < b) with b in the block,
+    so rows at or past the block's end can't produce anything — the
+    upper-triangle filter done at the scan).  Blocks partition the id
+    space exactly, so each qualifying pair is emitted exactly once; the
+    per-batch kernel is the same ``batch @ blockᵀ`` matmul.
+
+    At sf0.1 (2k vectors) this is one block — identical plan and speed
+    to the unblocked kernel; at corpus scale it degrades to B corpus
+    scans (the inherent O(n²) of the exact baseline) with bounded
+    memory.  ``cosine_near_dup_lsh`` remains the sub-quadratic path.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
+    from .scale import _deterministic_borders
+
+    slim = corpus.select(id_col, vec_col)
+    n = slim.count()
+    if n == 0:
+        return slim.sparkSession.createDataFrame([], "id_a long, id_b long")
+    num_blocks = max(1, math.ceil(n / block_rows))
+    borders = _deterministic_borders(slim, id_col, num_blocks) if num_blocks > 1 else []
+    # Disjoint, covering id ranges: (-inf, b0], (b0, b1], ..., (b_last, +inf).
+    bounds = [None, *borders, None]
     sc = corpus.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
 
     schema = StructType(
         [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
     )
 
-    def score(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf[id_col].to_numpy()
-            sims = q @ all_mat.T
-            ii, jj = np.nonzero(sims >= threshold)
-            a, b = qids[ii], all_ids[jj]
-            keep = a < b
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    def score_against(b_ids, b_mat):
+        def score(batches):
+            blk_ids, blk_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                qids = pdf[id_col].to_numpy()
+                sims = q @ blk_mat.T
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = qids[ii], blk_ids[jj]
+                keep = a < b
+                yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
-    return corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+        return score
+
+    out = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        in_block = F.lit(True) if lo is None else F.col(id_col) > F.lit(lo)
+        if hi is not None:
+            in_block &= F.col(id_col) <= F.lit(hi)
+        rows = slim.where(in_block).collect()
+        if not rows:
+            continue
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        b_ids, b_mat = sc.broadcast(ids[order]), sc.broadcast(mat[order])
+        stream = slim if hi is None else slim.where(F.col(id_col) < F.lit(hi))
+        seg = stream.mapInPandas(score_against(b_ids, b_mat), schema=schema)
+        out = seg if out is None else out.unionAll(seg)
+    return out

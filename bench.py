@@ -79,6 +79,9 @@ def main() -> int:
                 best = dt if best < 0 else min(best, dt)
             except Exception as e:  # keep the bench line parseable no matter what
                 print(f"bench error in {name}: {e}", file=sys.stderr)
+                # A query that fails any rep (fresh-cache reps included)
+                # is failed, not "fast": discard earlier reps' timings.
+                best = -1.0
                 break
         timings[name] = best
 

@@ -79,3 +79,35 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.v: r.label for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 200-hop chain (diameter 200 >> max_iter=25) must still converge:
+    pointer doubling makes the round count O(log diameter), so the long
+    near-duplicate chain that would have tripped pure min-label
+    propagation now labels in ~8 rounds."""
+    from uw_mapreduce_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    got = {r.v: r.label for r in connected_components(edges).collect()}
+    assert got == {v: 0 for v in range(201)}
+
+
+def test_continuous_aggregate_ntz_and_null_ts(spark):
+    """timestamp_ntz buckets like timestamp; NULL-ts rows are dropped
+    rather than masquerading as grouping-set null markers."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.operators.rollup import continuous_aggregate
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:30:00", 1), ("2024-01-01 05:00:00", 2), (None, 99)],
+        "t string, v int",
+    ).select(F.col("t").cast("timestamp_ntz").alias("t"), "v")
+    assert dict(df.dtypes)["t"] == "timestamp_ntz"
+    out = continuous_aggregate(
+        df, "t", {"b6h": 6 * 3600 * 1_000_000}, [], [F.sum("v").alias("s")]
+    ).collect()
+    assert len(out) == 1 and out[0].s == 3  # one 6h bucket; NULL row gone

@@ -7,14 +7,17 @@ B~C, all three are one duplicate group even when A~C was never scored.
 pipeline can keep exactly one representative per group.
 
 Algorithm: iterative min-label propagation (the standard Pregel-style
-formulation, same shape as GraphFrames/GraphX CC): every vertex starts
-labeled with itself; each round every vertex takes the minimum label
-among itself and its neighbors; converged when no label changes.
-Rounds = graph diameter — near-dup clusters are shallow (a handful of
-rounds even at corpus scale).  Each round is one join + one aggregate,
-all JVM-side; the label frame is localCheckpointed per round to keep
-the lineage flat (an iterative plan would otherwise grow by one join
-per round and overwhelm the optimizer).
+formulation, same shape as GraphFrames/GraphX CC) with POINTER
+DOUBLING: every vertex starts labeled with itself; each round every
+vertex takes the minimum of its label, its neighbors' labels, and its
+label's label (path halving — ``label(v)`` is a vertex reachable from
+``v``, so ``label(label(v))`` is too, and chasing it collapses chains
+exponentially).  Converged when no label changes: O(log diameter)
+rounds, so even a pathological million-hop duplicate chain fits the
+default ``max_iter=25``.  Each round is two joins + one aggregate, all
+JVM-side; the label frame is localCheckpointed per round to keep the
+lineage flat (an iterative plan would otherwise grow by one join per
+round and overwhelm the optimizer).
 
 The driver-side loop-with-convergence-check mirrors the reference's
 multi-job orchestration (`SlidingAggregation.java:433-536` chains jobs
@@ -37,7 +40,8 @@ def connected_components(
 
     Returns (v, label): every vertex that appears in an edge, labeled
     with the smallest vertex id reachable from it.  Raises if not
-    converged within ``max_iter`` rounds (diameter bound).
+    converged within ``max_iter`` rounds (an O(log diameter) bound
+    thanks to pointer doubling).
     """
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -55,14 +59,22 @@ def connected_components(
             .groupBy(F.col("a").alias("v"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # pointer doubling: label(label(v)) is reachable from v
+        ll = labels.select(
+            F.col("v").alias("label"), F.col("label").alias("_ll")
+        )
+        best = F.least(
+            F.col("label"),
+            F.coalesce(F.col("nbr_min"), F.col("label")),
+            F.coalesce(F.col("_ll"), F.col("label")),
+        )
         updated = (
             labels.join(nbr, "v", "left")
+            .join(ll, "label", "left")
             .select(
                 "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias("_chg"),
+                best.alias("label"),
+                (best < F.col("label")).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
         changed = updated.where(F.col("_chg")).count()

@@ -42,10 +42,22 @@ def continuous_aggregate(
     single width this is a plain hash aggregate; with several, one
     shuffle serves every resolution (rows carry NULL in the other
     resolutions' bucket columns, standard grouping-sets semantics).
+
+    Accepts timestamp, timestamp_ntz (interpreted in the session
+    timezone), or a raw integer epoch-microseconds column.  Rows with a
+    NULL timestamp are dropped: a time bucket for them would surface as
+    a NULL bucket value, indistinguishable from the NULL marker the
+    other resolutions' grouping sets emit.
     """
     if not widths_us:
         raise ValueError("need at least one bucket width")
-    ts_us = F.unix_micros(F.col(ts_col)) if dict(df.dtypes)[ts_col] == "timestamp" else F.col(ts_col)
+    dtype = dict(df.dtypes)[ts_col]
+    ts_us = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        if dtype in ("timestamp", "timestamp_ntz")
+        else F.col(ts_col)
+    )
+    df = df.where(F.col(ts_col).isNotNull())
     base = df.select(
         *[time_bucket(ts_us, w).alias(name) for name, w in widths_us.items()], "*"
     )

@@ -860,14 +860,14 @@ WITH e AS (
   FROM events
 ),
 marked AS (
-  SELECT user_id, ts_us, value_u,
+  SELECT user_id, event_id, ts_us, value_u,
          CASE WHEN lag(ts_us) OVER w IS NULL
                 OR ts_us - lag(ts_us) OVER w > 900000000 THEN 1 ELSE 0 END AS new_sess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
 sess AS (
   SELECT user_id, ts_us, value_u,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM marked
 )
@@ -880,12 +880,13 @@ FROM sess GROUP BY user_id, sess_id
 def sessionize_events_batch(spark, sf_dir):
     """Batch sessionization (15-min gap) as the classic two-window SQL:
     mark session starts with lag-gap, number sessions with a running
-    sum, aggregate per session.  One shuffle + one sort on user_id: the
-    running-sum window's (user_id, ts_us) order requirement is satisfied
-    by the lag window's (user_id, ts_us, event_id) sort, so the two
-    window operators pipeline over a single exchange (verified in the
-    physical plan).  (The streaming twin is
-    `streaming.sliding.sessionize` via session_window.)"""
+    sum, aggregate per session.  One shuffle + one sort on user_id: both
+    windows order by the full tiebreak (user_id, ts_us, event_id) — rows
+    tied on ts_us must take deterministic sess_ids SEMANTICALLY, not by
+    luck of physical sort reuse — so the two window operators pipeline
+    over a single exchange (verified in the physical plan).  (The
+    streaming twin is `streaming.sliding.sessionize` via
+    session_window.)"""
     ev = events_u(spark, sf_dir).select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value_u"
     )
@@ -894,7 +895,7 @@ def sessionize_events_batch(spark, sf_dir):
     marked = ev.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 900_000_000), F.lit(1)).otherwise(F.lit(0))
     )
-    w_run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = marked.withColumn("sess_id", F.sum("new_sess").over(w_run).cast("long"))

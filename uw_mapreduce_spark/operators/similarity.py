@@ -76,6 +76,52 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame, vec_col: str = "em
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic k-means centroids for the IVF build.
+
+    Seeds are HASH-SPREAD: the ``num_centroids`` corpus vectors with the
+    smallest ``xxhash64(id)`` — a deterministic uniform draw over the
+    corpus, unlike lowest-id seeds, which inherit whatever locality the
+    id assignment has (adjacent ids are often near-duplicate documents,
+    wasting centroids on one region).  Lloyd refinement then moves the
+    seeds to cluster means: each iteration is one broadcast
+    assign (O(n·C) dot products, no shuffle of the corpus) + one
+    ``posexplode`` mean aggregate whose shuffle carries C·dim cells, not
+    the corpus.  Centroids stay tiny (C rows), so the driver round-trip
+    per iteration is O(C·dim) — the k-means|| shape: heavy work
+    distributed, control flow on scalars.
+    """
+    seeds = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(num_centroids)
+        .withColumn("cent_id", F.row_number().over(Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))))
+        .select("cent_id", vec_col)
+    )
+    centroids = seeds
+    for _ in range(iterations):
+        assigned = assign_centroids(corpus, centroids, vec_col)
+        means = (
+            assigned.select("cent_id", F.posexplode(_unit(F.col(vec_col))).alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.transform("pm", lambda s: s["m"]).alias(vec_col))
+        )
+        # Unit-normalize the mean so assignment's dot product ranks by
+        # true cosine (spherical k-means); seeds with an empty cluster
+        # drop out, ids stay stable otherwise.
+        means = means.select("cent_id", _unit(F.col(vec_col)).alias(vec_col))
+        centroids = means
+    return centroids
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,19 +130,17 @@ def knn_ivf(
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iterations: int = 2,
 ) -> DataFrame:
     """IVF-pruned approximate top-k cosine.
 
-    Centroids = the ``num_centroids`` lowest-id corpus vectors
-    (deterministic; a k-means refinement would slot in here).  Each query
-    scores only vectors whose centroid is among its ``n_probes`` nearest
-    centroids — at 1000 partitions this skips (1 - n_probes/C) of the
-    corpus scan.
+    Centroids come from ``kmeans_centroids`` (hash-spread seeds + Lloyd
+    refinement, deterministic).  Each query scores only vectors whose
+    centroid is among its ``n_probes`` nearest centroids — at 1000
+    partitions this skips (1 - n_probes/C) of the corpus scan.
     """
-    centroids = (
-        corpus.orderBy(id_col).limit(num_centroids)
-        .withColumn("cent_id", F.row_number().over(Window.orderBy(id_col)))
-        .select("cent_id", vec_col)
+    centroids = kmeans_centroids(
+        corpus, num_centroids, id_col, vec_col, iterations=kmeans_iterations
     )
     tagged = assign_centroids(corpus, centroids, vec_col)
     q_probe = assign_probes(queries, centroids, n_probes, id_col, vec_col)

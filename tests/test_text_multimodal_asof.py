@@ -91,3 +91,53 @@ def test_asof_join_null_payload_comes_from_matched_row(spark):
     assert r.ts_asof == ts(20)
     assert r.label_asof == "new"
     assert r.val_asof is None  # matched row's NULL, not 100 from ts(10)
+
+
+def test_cross_corpus_overlap_flags_leak(spark):
+    from uw_mapreduce_spark.operators.dedup import cross_corpus_overlap
+
+    leak = "the quick brown fox jumps over the lazy dog tonight again"
+    train = spark.createDataFrame(
+        [(1, leak + " plus some extra training prose"),
+         (2, "completely unrelated text about shuffle partitions and codegen stages")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {(r.train_doc, r.eval_doc): r.n_common
+           for r in cross_corpus_overlap(train, holdout, min_common=3).collect()}
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] >= 6  # the 11-token leak yields 7 shared 5-gram shingles
+
+
+def test_redact_pii_and_counts(spark):
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@sub.example.org or call 555-867-5309 now"),
+         (2, "no pii here at all")],
+        "id long, t string",
+    )
+    ne, np_ = pii_counts(F.col("t"))
+    out = {r.id: (r.r, r.ne, r.np)
+           for r in df.select("id", redact_pii(F.col("t")).alias("r"),
+                              ne.alias("ne"), np_.alias("np")).collect()}
+    assert out[1] == ("mail <EMAIL> or call <PHONE> now", 1, 1)
+    assert out[2] == ("no pii here at all", 0, 0)
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    from uw_mapreduce_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam spam ham"),
+         (2, "every token in this sentence is entirely distinct wording"),
+         (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.top_token_permille, r.top_bigram_permille)
+           for r in repetition_stats(df).collect()}
+    assert got[1] == (900, 888)   # 9/10 tokens, 8/9 bigrams
+    assert got[2][0] <= 112       # 1/9 tokens
+    assert got[3] == (1000, 0)    # single token: no bigrams

@@ -101,3 +101,61 @@ def fingerprint(text: Column) -> Column:
     rolling-hash winnowing variant lives in operators/dedup.py (simhash).
     """
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}[-.][0-9]{3,4}[-.]?[0-9]{0,4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub email addresses then phone-like digit runs, replacing each
+    with a typed token.  Both patterns stay inside the regex subset that
+    Java regex (Spark) and RE2 (DuckDB oracle) treat identically — no
+    backreferences, no lookaround — so redaction is engine-exact.
+    Expression-only: runs inside whole-stage codegen, no UDF."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text``; counting emails first and
+    phones on the email-redacted text mirrors ``redact_pii``'s pass
+    order so counts always equal replacements."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(redacted, F.lit(PHONE_RE), 0))
+    return n_email, n_phone
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality gates):
+    the per-mille share of the most frequent token and of the most
+    frequent token bigram.  High values mean degenerate/boilerplate text
+    a curation pass drops.  One explode + two-level aggregate per
+    signal; the shuffle carries (doc, gram) counts, not the corpus."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ts"))
+    uni = (
+        toks.select("doc", F.explode("ts").alias("g"))
+        .groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc").agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
+        .select("doc", F.floor(F.lit(1000.0) * F.col("top_c") / F.col("n")).cast("long").alias("top_token_permille"))
+    )
+    grams = toks.select(
+        "doc",
+        F.expr("transform(slice(ts, 1, greatest(size(ts) - 1, 0)), (t, i) -> concat(t, ' ', ts[i + 1]))").alias("bs"),
+    )
+    bi = (
+        grams.where(F.size("bs") > 0)
+        .select("doc", F.explode("bs").alias("g"))
+        .groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc").agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
+        .select("doc", F.floor(F.lit(1000.0) * F.col("top_c") / F.col("n")).cast("long").alias("top_bigram_permille"))
+    )
+    return (
+        uni.join(bi, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "top_token_permille",
+            F.coalesce("top_bigram_permille", F.lit(0)).alias("top_bigram_permille"),
+        )
+    )

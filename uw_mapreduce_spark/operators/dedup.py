@@ -312,3 +312,41 @@ def winnow_fingerprints(
         .select("doc", F.col("_fp").alias("fp"))
     )
     return picks.distinct()
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_common: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: training docs that share n-gram
+    shingles with a holdout/eval corpus.
+
+    The inverted-index join keyed by shingle (same shape as
+    ``ngram_jaccard_pairs`` but across two corpora): cost scales with
+    shared-shingle pairs, never |train| x |holdout|.  The holdout side
+    is tiny in practice (an eval benchmark), so AQE broadcasts its
+    shingle table.  ``max_df`` prunes boilerplate shingles by TRAIN-side
+    document frequency — the knob that keeps the join bounded at corpus
+    scale.
+
+    Returns (train_doc, eval_doc, n_common) for pairs sharing at least
+    ``min_common`` distinct shingles — the audit trail a decontamination
+    pass filters on.
+    """
+    sh_t = _shingles(train, text_col, id_col, n)
+    sh_e = _shingles(holdout, text_col, id_col, n)
+    if max_df is not None:
+        hot = sh_t.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh_t = sh_t.join(hot, "shingle", "left_anti")
+    return (
+        sh_t.alias("t")
+        .join(sh_e.alias("e"), "shingle")
+        .groupBy(F.col("t.doc").alias("train_doc"), F.col("e.doc").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -1554,3 +1554,127 @@ def curation_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").alias("total_tokens_kept"),
     )
+
+
+_SHINGLE_CTE = r"""
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+)
+"""
+
+
+@query(
+    "decontaminate_documents",
+    f"""
+WITH {_SHINGLE_CTE},
+t AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+e AS (SELECT * FROM sh WHERE doc_id % 50 = 0)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_common
+FROM t JOIN e ON t.shingle = e.shingle
+GROUP BY 1, 2 HAVING count(*) >= 5
+""",
+)
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: which training documents leak n-gram
+    content from the holdout set (doc_id % 50 == 0 stands in for the
+    eval benchmark)?  Inverted-index join across the two corpora — the
+    audit every serious pretraining pipeline runs before training."""
+    from ..operators.dedup import cross_corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return cross_corpus_overlap(train, holdout, "text", "doc_id", n=5, min_common=5)
+
+
+@query(
+    "redact_pii_documents",
+    r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or 555-01' || lpad(CAST(doc_id AS VARCHAR), 2, '0') || '.' AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM salted
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '[0-9]{3}[-.][0-9]{3,4}[-.]?[0-9]{0,4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(t1, '[0-9]{3}[-.][0-9]{3,4}[-.]?[0-9]{0,4}', '<PHONE>', 'g')) AS redacted_md5
+FROM counted
+""",
+)
+def redact_pii_documents(spark, sf_dir):
+    """PII scrubbing over the corpus: redact emails then phone-like
+    digit runs, reporting per-doc counts and an md5 of the scrubbed
+    text (raw scrubbed text stays out of the result; the hash proves
+    byte-exact redaction against the oracle).  The corpus has no real
+    PII, so each row is salted with a synthetic contact line derived
+    from doc_id — both engines construct and scrub the same string.
+    Pure regexp expressions: whole-stage codegen, no UDF."""
+    from ..functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad(F.col("doc_id").cast("string"), 2, "0"), F.lit("."),
+        ).alias("t"),
+    )
+    n_emails, n_phones = pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("t")).cast("binary")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "repetition_stats_documents",
+    r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+uni AS (SELECT doc_id, tk AS g, count(*) AS c FROM flat WHERE tk <> '' GROUP BY 1, 2),
+u AS (
+  SELECT doc_id, CAST(floor(1000.0 * max(c) / sum(c)) AS BIGINT) AS top_token_permille
+  FROM uni GROUP BY doc_id
+),
+bflat AS (
+  SELECT doc_id, tk || ' ' || lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM flat QUALIFY lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bflat GROUP BY 1, 2),
+b AS (
+  SELECT doc_id, CAST(floor(1000.0 * max(c) / sum(c)) AS BIGINT) AS top_bigram_permille
+  FROM bic GROUP BY doc_id
+)
+SELECT u.doc_id, u.top_token_permille,
+       COALESCE(b.top_bigram_permille, 0) AS top_bigram_permille
+FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+""",
+)
+def repetition_stats_documents(spark, sf_dir):
+    """Within-document repetition (Gopher-style quality gates): per-mille
+    share of the most frequent token and token bigram.  Degenerate or
+    template text scores high and gets dropped by curation."""
+    from ..functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")

@@ -61,19 +61,37 @@ def knn_bruteforce(
     )
 
 
+def _centroid_literals(centroids: DataFrame, vec_col: str) -> list:
+    """Collect the (tiny) centroid frame to (cent_id, literal-array)
+    pairs — C·dim scalars, the legitimate small collect of every IVF
+    build."""
+    return [
+        (r["cent_id"], F.array(*[F.lit(float(x)) for x in r[vec_col]]))
+        for r in centroids.select("cent_id", vec_col).collect()
+    ]
+
+
+def _scored_array(vec, cents: list) -> F.Column:
+    """array<struct(score, negated cent_id)> — array_max picks the best
+    score, ties resolving to the SMALLEST centroid id."""
+    return F.array(
+        *[
+            F.struct(dot(vec, lit_vec).alias("s"), F.lit(-cid).alias("nc"))
+            for cid, lit_vec in cents
+        ]
+    )
+
+
 def assign_centroids(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Tag every corpus vector with its nearest centroid id (one
-    broadcast map stage — the IVF build step)."""
-    cent = centroids.select(F.col("cent_id"), F.col(vec_col).alias("_centvec"))
-    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
-        "_d", dot(F.col(vec_col), F.col("_centvec"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_d").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .drop("_centvec", "_d", "_r")
-    )
+    """Tag every corpus vector with its nearest centroid id.
+
+    Centroids become literal arrays inside ONE projection computing the
+    argmax of C dot products — a map-only codegen stage with no join and
+    no shuffle (the previous crossJoin + per-vector window shuffled n·C
+    rows; the corpus never needs to move for an argmax)."""
+    cents = _centroid_literals(centroids, vec_col)
+    best = F.array_max(_scored_array(F.col(vec_col), cents))
+    return corpus.withColumn("cent_id", -best["nc"])
 
 
 def kmeans_centroids(
@@ -157,18 +175,19 @@ def knn_ivf(
 def assign_probes(
     queries: DataFrame, centroids: DataFrame, n_probes: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(query_id, _qvec, cent_id) for each query's n_probes nearest centroids."""
+    """(query_id, _qvec, cent_id) for each query's n_probes nearest
+    centroids: sort the literal-centroid score array descending, slice
+    the top n_probes, explode — still a map-only stage, no shuffle."""
+    cents = _centroid_literals(centroids, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-    cent = centroids.select("cent_id", F.col(vec_col).alias("_centvec"))
-    scored = q.crossJoin(F.broadcast(cent)).withColumn(
-        "_d", dot(F.col("_qvec"), F.col("_centvec"))
+    top = F.slice(
+        F.reverse(F.array_sort(_scored_array(F.col("_qvec"), cents))),
+        1,
+        min(n_probes, len(cents)),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= n_probes)
-        .select("query_id", "_qvec", "cent_id")
-    )
+    return q.select(
+        "query_id", "_qvec", F.explode(top).alias("_bk")
+    ).select("query_id", "_qvec", (-F.col("_bk.nc")).alias("cent_id"))
 
 
 def cosine_near_dup_pairs(

@@ -95,3 +95,36 @@ def test_two_path_agreement_100k(spark, reference_dir):
         assert sc.exceptAll(wd).count() == 0
         assert wd.exceptAll(sc).count() == 0
     kv.unpersist()
+
+
+def test_borders_bounded_and_balanced_under_skew(spark):
+    """The adaptive border sample must (a) collapse a hot key to one
+    weighted row instead of flooding the driver, and (b) still choose
+    borders by cumulative ROW weight, so the hot key's mass pulls
+    borders toward equal row counts per partition."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.scale import _deterministic_borders, _pid_expr
+
+    # 50k rows of key=7 (hot), 10k distinct cold keys above it.
+    hot = spark.range(50_000).select(F.lit(7).alias("k"))
+    cold = spark.range(10_000).select((F.col("id") + 100).alias("k"))
+    df = hot.unionAll(cold).select(F.col("k").cast("long").alias("k"))
+
+    borders = _deterministic_borders(df, "k", 8, sample_per_partition=64)
+    assert borders == sorted(borders) and 0 < len(borders) <= 7
+    assert borders == _deterministic_borders(df, "k", 8, sample_per_partition=64)
+
+    # The hot key owns ~5/6 of all rows: with row-weighted borders the
+    # first range must end AT the hot key (all its duplicates share one
+    # partition; the cold tail spreads over the rest).
+    assert borders[0] == 7
+    counts = [
+        r["count"]
+        for r in df.withColumn("_pid", _pid_expr("k", borders))
+        .groupBy("_pid").count().orderBy("_pid").collect()
+    ]
+    # No cold partition should carry more rows than the hot partition,
+    # and the cold tail spreads over at least one range of its own.
+    assert max(counts[1:]) <= counts[0]
+    assert len(counts) >= 3

@@ -80,20 +80,34 @@ def _deterministic_borders(
       receive O(n/threshold) rows — is replaced by an ADAPTIVE modulus
       ``mod = n // (sample_per_partition * num_partitions)`` so the
       expected sample is ~sample_per_partition rows per target
-      partition regardless of n.  The one extra pass this costs (a
-      column-pruned ``count()`` with map-side partial aggregation) is
-      the price of bounding driver memory; the reference's Sample job
-      rescans the input too.
+      partition regardless of n.  The extra passes this costs (a
+      column-pruned ``count()`` plus one map-side-combined distinct-key
+      aggregate) are the price of bounding driver memory AND seeing
+      heavy keys exactly; the reference's Sample job rescans the input
+      too.
 
-    Driver-side bytes are bounded two ways, both n-independent: the
-    sample is collapsed to DISTINCT (key, row-count) pairs before
-    collection (duplicate keys hash all-or-nothing, so one hot key can
-    not blow up the collect; its multiplicity arrives as one weight),
-    and a hard ``LIMIT 4*target`` in pseudorandom (hash, key) order —
-    an unbiased subsample, deterministic because the order is total —
-    caps the worst case.  Border positions are chosen by CUMULATIVE ROW
-    WEIGHT, so heavy keys still pull borders toward equal ROW counts
-    per partition (equal keys must share a partition regardless).
+    The sample is taken over the DISTINCT (key, exact row count) table
+    (one map-side-combined aggregate), with two inclusion rules:
+
+    * HEAVY keys — exact count ≥ n/(4P) — enter unconditionally with
+      their exact weight.  A value-hash sample alone includes a hot key
+      with probability only 1/mod, so a key owning half the rows would
+      usually be INVISIBLE to the border chooser and its whole mass
+      would land in one unsplit range on top of an equal share of cold
+      keys.  There are at most 4P heavy keys, so this adds O(P) rows.
+    * LIGHT keys enter iff ``xxhash64(key) % mod == 0`` and carry
+      weight count·mod — the Horvitz-Thompson correction that puts the
+      1-in-mod sampled light mass on the same scale as the
+      always-included heavy mass.
+
+    Driver-side bytes stay n-independent: distinct pairs only, heavy
+    rows capped at 4P, light rows hard-capped by ``LIMIT 4*target`` in
+    pseudorandom (heavy-first, hash, key) order — deterministic because
+    the order is total.  Border positions are chosen by CUMULATIVE
+    estimated ROW WEIGHT, so a hot key pulls borders toward equal row
+    counts and gets its range to itself (equal keys must share a
+    partition, so extreme skew can yield fewer than P distinct ranges —
+    that IS the equal-rows optimum).
     """
     if num_partitions <= 1:
         return []
@@ -104,12 +118,21 @@ def _deterministic_borders(
         return []
     target = sample_per_partition * num_partitions
     mod = max(1, n // target)
+    heavy_min = max(2, n // (4 * num_partitions))
+    counts = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_c"))
+    heavy = F.col("_c") >= heavy_min
+    cand = counts.where(
+        heavy | (F.pmod(F.xxhash64(F.col("_k")), F.lit(mod)) == 0)
+    ).select(
+        "_k",
+        F.when(heavy, F.col("_c")).otherwise(F.col("_c") * mod).alias("_w"),
+        heavy.alias("_h"),
+    )
     pairs = sorted(
         (r[0], r[1])
-        for r in keyed.where(F.pmod(F.xxhash64(F.col("_k")), F.lit(mod)) == 0)
-        .groupBy("_k")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .orderBy(F.xxhash64(F.col("_k")), F.col("_k"))
+        for r in cand.orderBy(
+            F.col("_h").desc(), F.xxhash64(F.col("_k")), F.col("_k")
+        )
         .limit(4 * target)
         .collect()
     )

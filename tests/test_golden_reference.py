@@ -94,6 +94,19 @@ def test_two_path_agreement_100k(spark, reference_dir):
         ).select(*cols)
         assert sc.exceptAll(wd).count() == 0
         assert wd.exceptAll(sc).count() == 0
+
+    # Non-invertible path (block decomposition) at the same volume.
+    from uw_mapreduce_spark.operators.scale import sliding_minmax_scalable
+
+    mm = sliding_minmax_scalable(
+        kv, order_by=["key", "value"], value_col="value", window=500, agg="min",
+        num_partitions=8,
+    ).select(*cols)
+    wd_min = sliding_aggregate(
+        kv, order_by=["key", "value"], value_col="value", window=500, agg="min"
+    ).select(*cols)
+    assert mm.exceptAll(wd_min).count() == 0
+    assert wd_min.exceptAll(mm).count() == 0
     kv.unpersist()
 
 

@@ -53,3 +53,38 @@ def test_sliding_paths_match_brute_force(spark, rows, l):
         ).collect()
     )
     assert got_m == expected_min
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),  # (key, multiplicity)
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 6),
+)
+def test_borders_partition_invariants(spark, key_mults, p):
+    """For arbitrary key multisets (including heavy keys): borders are
+    sorted, within the key domain, deterministic, and the derived
+    ranges cover every row exactly once."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.operators.scale import _deterministic_borders, _pid_expr
+
+    rows = [(k,) for k, m in key_mults for _ in range(m)]
+    df = spark.createDataFrame(rows, "k long")
+    borders = _deterministic_borders(df, "k", p, sample_per_partition=4)
+    assert borders == sorted(set(borders))
+    assert len(borders) <= p - 1
+    keys = sorted(k for k, _ in key_mults)
+    assert all(keys[0] <= b <= keys[-1] for b in borders)
+    assert borders == _deterministic_borders(df, "k", p, sample_per_partition=4)
+    tagged = df.withColumn("_pid", _pid_expr("k", borders))
+    assert tagged.count() == len(rows)            # total cover, no loss
+    assert tagged.where(F.col("_pid").isNull()).count() == 0
+    # ranges are order-respecting: max key of partition i < min key of i+1
+    bounds = tagged.groupBy("_pid").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).orderBy("_pid").collect()
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["hi"] < b["lo"]

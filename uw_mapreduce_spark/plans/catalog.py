@@ -1575,7 +1575,9 @@ sh AS (
     "decontaminate_documents",
     f"""
 WITH {_SHINGLE_CTE},
-t AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+t0 AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+cold AS (SELECT shingle FROM t0 GROUP BY shingle HAVING count(*) <= 64),
+t AS (SELECT t0.doc_id, t0.shingle FROM t0 JOIN cold USING (shingle)),
 e AS (SELECT * FROM sh WHERE doc_id % 50 = 0)
 SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_common
 FROM t JOIN e ON t.shingle = e.shingle
@@ -1586,13 +1588,18 @@ def decontaminate_documents(spark, sf_dir):
     """Benchmark decontamination: which training documents leak n-gram
     content from the holdout set (doc_id % 50 == 0 stands in for the
     eval benchmark)?  Inverted-index join across the two corpora — the
-    audit every serious pretraining pipeline runs before training."""
+    audit every serious pretraining pipeline runs before training.
+    ``max_df=64`` prunes boilerplate shingles by train-side document
+    frequency (mirrored in the oracle), keeping the join bounded at
+    corpus scale."""
     from ..operators.dedup import cross_corpus_overlap
 
     docs = load_table(spark, sf_dir, "documents")
     holdout = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
-    return cross_corpus_overlap(train, holdout, "text", "doc_id", n=5, min_common=5)
+    return cross_corpus_overlap(
+        train, holdout, "text", "doc_id", n=5, min_common=5, max_df=64
+    )
 
 
 @query(

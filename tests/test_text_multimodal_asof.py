@@ -141,3 +141,23 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     assert got[1] == (900, 888)   # 9/10 tokens, 8/9 bigrams
     assert got[2][0] <= 112       # 1/9 tokens
     assert got[3] == (1000, 0)    # single token: no bigrams
+
+
+def test_tf_df_top_terms_prefers_distinctive(spark):
+    """A rare term with moderate tf must outrank a corpus-wide common
+    term with higher tf (tf/df), with deterministic term tie-break."""
+    from uw_mapreduce_spark.functions.text import tf_df_top_terms
+
+    rows = [
+        (1, "the the the the the zebra zebra quagga"),
+        (2, "the the common words here"),
+        (3, "the common words again appear"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.rnk): (r.term, r.score)
+           for r in tf_df_top_terms(df, k=2).collect()}
+    # doc 1: zebra tf=2 df=1 -> 2e6 beats the tf=5 df=3 -> 1.67e6
+    assert got[(1, 1)] == ("zebra", 2_000_000)
+    assert got[(1, 2)] == ("the", 1_666_666)
+    # doc 2: unique "here" (1e6) outranks the common "the" (2/3 ~ 0.67e6)
+    assert got[(2, 1)] == ("here", 1_000_000)

@@ -159,3 +159,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.coalesce("top_bigram_permille", F.lit(0)).alias("top_bigram_permille"),
         )
     )
+
+
+def tf_df_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document most DISTINCTIVE terms: top-k by the tf/df ratio —
+    the tf-idf ordering with the corpus-constant factor dropped and the
+    log removed, so the score floor(10^6·tf/df) is integer-operand IEEE
+    division + floor: bit-identical across engines (double SUMS are
+    shuffle-order-sensitive; a single division of two small ints is
+    correctly rounded everywhere).  Ties break on the term.
+
+    Plan: one (doc, term) count aggregate; document frequency is a
+    second aggregate OVER THE FIRST's output (rows are distinct
+    (doc, term), so count = df — the corpus is not re-scanned); a
+    broadcast-friendly join keyed by term; per-doc top-k window.  The
+    shuffles carry (doc, term) count rows, never the corpus text.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.floor(F.lit(1_000_000.0) * F.col("tf") / F.col("df")).cast("long")
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -1685,3 +1685,31 @@ def repetition_stats_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_stats(docs, "text", "doc_id")
+
+
+@query(
+    "tf_df_top_terms_documents",
+    r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id AS doc, unnest(ts) AS term FROM tok),
+tf AS (SELECT doc, term, count(*) AS tf FROM flat WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc, tf.term, CAST(floor(1000000.0 * tf / df) AS BIGINT) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc AS doc_id, term, score,
+       CAST(row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+""",
+)
+def tf_df_top_terms_documents(spark, sf_dir):
+    """Most distinctive terms per document (tf/df ranking — tf-idf
+    without the corpus-constant log factor, exact across engines)."""
+    from ..functions.text import tf_df_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_df_top_terms(docs, "text", "doc_id", k=3)

@@ -109,3 +109,23 @@ def test_salted_join_matches_plain_join(spark):
     assert inner_salted == inner_plain and len(inner_plain) == 902
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_stratified_sample_deterministic_and_rebalancing(spark, sf_oracle):
+    """sampleBy with a seed reproduces exactly and actually rebalances:
+    the downsampled language keeps roughly its fraction, fraction-1.0
+    languages keep every row."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    s1 = docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    s2 = docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang in ("de", "es", "fr", "zh"):
+        assert kept[lang] == full[lang]
+    assert kept["en"] < full["en"] * 0.5  # en actually downsampled

@@ -1713,3 +1713,45 @@ def tf_df_top_terms_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return tf_df_top_terms(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "unpivot_priority_metrics",
+    """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_f_c,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_o_c,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_p_c
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, total_c
+FROM wide
+UNPIVOT (total_c FOR status IN (total_f_c, total_o_c, total_p_c))
+""",
+)
+def unpivot_priority_metrics(spark, sf_dir):
+    """Wide-to-long reshaping (the inverse of the pivot query): melt the
+    per-status pivot columns back to (priority, status, value) rows via
+    `DataFrame.unpivot`.  Round-trips the pivot family; reshape happens
+    post-aggregation on the tiny wide frame, so the plan is the pivot
+    plan plus one local expand."""
+    wide = pivot_priority_by_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_f_c", "total_o_c", "total_p_c"],
+        variableColumnName="status",
+        valueColumnName="total_c",
+    )
+
+
+@query("stratified_sample_documents")  # sampler RNG is engine-specific: rows-only
+def stratified_sample_documents(spark, sf_dir):
+    """Per-language sampling budget (downsample the dominant language,
+    keep the tail): seeded `sampleBy` — the curation move that
+    rebalances a corpus before training.  Deterministic for a given
+    seed within Spark (pytest), but no DuckDB twin samples identically,
+    so the driver check is rows-only like `bernoulli_sample_events`."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -159,3 +159,37 @@ def test_stream_static_enrich_converges_to_batch(spark, sf_small):
         for r in spark.sql("select * from enrich_out").collect()
     }
     assert got == expected
+
+
+def test_stream_fingerprint_dedup_composes(spark, tmp_path):
+    """Corpus curation composes into the streaming surface: fingerprint
+    (md5 of normalized text) as the dedup key inside a stream keeps one
+    row per distinct CONTENT (whitespace/case variants collapse), with
+    watermark-bounded state."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.functions.text import fingerprint
+    from uw_mapreduce_spark.streaming.sliding import stream_dedup
+
+    rows = [
+        ("2024-01-01 10:00:00", 1, "The quick brown fox"),
+        ("2024-01-01 10:01:00", 2, "the  QUICK   brown fox"),   # same content
+        ("2024-01-01 10:02:00", 3, "an entirely different doc"),
+        ("2024-01-01 10:03:00", 4, "The quick brown fox"),      # exact dup
+    ]
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(rows, "ts_s string, doc_id long, text string").write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts_s string, doc_id long, text string").parquet(src)
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text")
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    q = (
+        stream_dedup(stream, ["fp"], watermark="10 minutes")
+        .writeStream.format("memory").queryName("fp_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [r.fp for r in spark.sql("select fp from fp_dedup").collect()]
+    assert len(got) == 2                  # 4 rows -> 2 distinct contents
+    assert len(set(got)) == 2

@@ -131,32 +131,39 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Within-document repetition signals (Gopher-style quality gates):
     the per-mille share of the most frequent token and of the most
     frequent token bigram.  High values mean degenerate/boilerplate text
-    a curation pass drops.  One explode + two-level aggregate per
-    signal; the shuffle carries (doc, gram) counts, not the corpus."""
+    a curation pass drops.
+
+    ONE corpus pass: unigrams and bigrams explode together as tagged
+    structs, so the corpus is tokenized once and one shuffle carries all
+    (doc, kind, gram) counts; per-doc signals come from a conditional
+    aggregate, no join (an earlier two-branch version tokenized the
+    corpus twice — once per signal)."""
     toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ts"))
-    uni = (
-        toks.select("doc", F.explode("ts").alias("g"))
-        .groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc").agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
-        .select("doc", F.floor(F.lit(1000.0) * F.col("top_c") / F.col("n")).cast("long").alias("top_token_permille"))
+    uni = F.transform(F.col("ts"), lambda t: F.struct(F.lit("u").alias("kind"), t.alias("g")))
+    bi = F.expr(
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+        " (t, i) -> struct('b' AS kind, concat(t, ' ', ts[i + 1]) AS g))"
     )
-    grams = toks.select(
-        "doc",
-        F.expr("transform(slice(ts, 1, greatest(size(ts) - 1, 0)), (t, i) -> concat(t, ' ', ts[i + 1]))").alias("bs"),
+    both = (
+        toks.select("doc", F.explode(F.concat(uni, bi)).alias("kg"))
+        .select("doc", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
+        .where(F.col("g") != "")  # empty/whitespace-only docs drop out (oracle parity)
     )
-    bi = (
-        grams.where(F.size("bs") > 0)
-        .select("doc", F.explode("bs").alias("g"))
-        .groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc").agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
-        .select("doc", F.floor(F.lit(1000.0) * F.col("top_c") / F.col("n")).cast("long").alias("top_bigram_permille"))
-    )
+    counts = both.groupBy("doc", "kind", "g").agg(F.count(F.lit(1)).alias("c"))
+    u_c = F.when(F.col("kind") == "u", F.col("c"))
+    b_c = F.when(F.col("kind") == "b", F.col("c"))
     return (
-        uni.join(bi, "doc", "left")
+        counts.groupBy("doc")
+        .agg(
+            F.max(u_c).alias("u_top"), F.sum(u_c).alias("u_n"),
+            F.max(b_c).alias("b_top"), F.sum(b_c).alias("b_n"),
+        )
         .select(
             F.col("doc").alias(id_col),
-            "top_token_permille",
-            F.coalesce("top_bigram_permille", F.lit(0)).alias("top_bigram_permille"),
+            F.floor(F.lit(1000.0) * F.col("u_top") / F.col("u_n")).cast("long").alias("top_token_permille"),
+            F.coalesce(
+                F.floor(F.lit(1000.0) * F.col("b_top") / F.col("b_n")).cast("long"), F.lit(0)
+            ).alias("top_bigram_permille"),
         )
     )
 
@@ -180,7 +187,17 @@ def tf_df_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.where(F.col("term") != "")  # empty docs drop out (oracle parity)
+        .groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf feeds both dfreq and the join's left side: persist + eager
+    # count so the corpus explode+aggregate runs once, not per subtree
+    # (the repo-wide shared-subtree convention; see dedup.py).
+    from ..caching import persist_scoped
+
+    tf = persist_scoped(tf, "uwms.text")
+    tf.count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "score", F.floor(F.lit(1_000_000.0) * F.col("tf") / F.col("df")).cast("long")

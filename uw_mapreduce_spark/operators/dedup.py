@@ -128,6 +128,10 @@ def ngram_jaccard_pairs(
     own_shingles = shingles is None
     sh = _shingles(df, text_col, id_col, n) if own_shingles else shingles
     if max_df is not None:
+        # The pre-prune table feeds the hot-shingle count AND the
+        # anti-join's left side — persist so it builds once.
+        sh = persist_scoped(sh, _SCOPE)
+        sh.count()
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
     # The shingle table feeds three subtrees (sizes + both join sides).
@@ -341,6 +345,9 @@ def cross_corpus_overlap(
     sh_t = _shingles(train, text_col, id_col, n)
     sh_e = _shingles(holdout, text_col, id_col, n)
     if max_df is not None:
+        # Train shingles feed the hot count AND the anti-join left side.
+        sh_t = persist_scoped(sh_t, _SCOPE)
+        sh_t.count()
         hot = sh_t.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh_t = sh_t.join(hot, "shingle", "left_anti")
     return (

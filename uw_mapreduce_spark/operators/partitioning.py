@@ -93,23 +93,23 @@ def salted_join(
     join key becomes (keys..., salt) — the hot key's rows spread over
     ``salt`` tasks at the cost of a salt-times larger right side.
 
-    The salt hash mixes in ``spark_partition_id()`` so BYTE-IDENTICAL
-    duplicate rows (null-like sentinels, literal dup records — exactly
-    the rows that make keys hot) still spread: rows of the hot key
-    occupy many input partitions in proportion to their count, and each
-    partition's copies salt differently.  Join RESULTS are independent
-    of salt placement (the right side carries every salt value), so the
-    partition id's instability across recomputes can only move rows
-    between salt buckets, never change the output.  ``how`` is limited
-    to inner/left — a right/full outer join would emit one
-    null-extended row per salt replica for unmatched right rows.
+    Deterministic (xxhash64 of row CONTENT, no rand(), no partition
+    ids) so a partially recomputed shuffle-map stage reproduces the
+    identical salt per row — mixing execution artifacts like
+    ``spark_partition_id()`` into the salt risks the classic
+    retry-duplication hazard (a regenerated task re-salting rows into
+    buckets other reducers already consumed).  The cost of determinism:
+    rows of the hot key spread only as far as ``salt_from`` varies, so
+    BYTE-IDENTICAL duplicate rows all take one salt and stay skewed —
+    pass a ``salt_from`` containing a distinguishing column when the
+    hot key's rows are literal duplicates.  ``how`` is limited to
+    inner/left — a right/full outer join would emit one null-extended
+    row per salt replica for unmatched right rows.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError("salted_join supports inner and left joins only")
     src = [F.col(c) for c in (salt_from or left.columns)]
-    l_side = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.spark_partition_id(), *src), F.lit(salt))
-    )
+    l_side = left.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(salt)))
     r_side = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )

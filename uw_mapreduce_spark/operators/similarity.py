@@ -26,9 +26,26 @@ from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 def _unit(vec):
     """Pre-normalize to unit length so pairwise cosine collapses to a
-    single dot product (3x fewer array traversals in the O(n^2) stage)."""
+    single dot product (3x fewer array traversals in the O(n^2) stage).
+
+    WARNING — only for tiny frames: the norm sits INSIDE the transform
+    lambda, and Catalyst does no CSE in lambda bodies, so it is
+    re-evaluated per ELEMENT: O(dim²) per row.  Any corpus-sized frame
+    must use ``_unit_frame`` (norm hoisted to its own projection)."""
     n = l2_norm(vec)
     return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def _unit_frame(df: DataFrame, vec_col: str, out_col: str, keep: list) -> DataFrame:
+    """Unit-normalize ``vec_col`` in TWO projections: the L2 norm is
+    computed once per row in its own projection, and the division
+    lambda only reads the bound ``_n`` attribute per element — O(dim)
+    per row, not the O(dim²) of an inlined norm (no CSE in lambdas)."""
+    staged = df.select(*keep, F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_n"))
+    return staged.select(
+        *keep,
+        F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_n")).alias(out_col),
+    )
 
 
 def knn_bruteforce(
@@ -44,10 +61,12 @@ def knn_bruteforce(
     are hash-fragile across engines, ranks are not.  Ties break on
     neighbor id.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("_qvec")
+    q = _unit_frame(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "_qvec", ["query_id"]
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("_cvec"))
+    c = _unit_frame(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "_cvec", ["neighbor_id"]
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -82,6 +101,12 @@ def _scored_array(vec, cents: list) -> F.Column:
     )
 
 
+def _assign_with(corpus: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Nearest-centroid tag from already-collected centroid literals."""
+    best = F.array_max(_scored_array(F.col(vec_col), cents))
+    return corpus.withColumn("cent_id", -best["nc"])
+
+
 def assign_centroids(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Tag every corpus vector with its nearest centroid id.
 
@@ -89,9 +114,7 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame, vec_col: str = "em
     argmax of C dot products — a map-only codegen stage with no join and
     no shuffle (the previous crossJoin + per-vector window shuffled n·C
     rows; the corpus never needs to move for an argmax)."""
-    cents = _centroid_literals(centroids, vec_col)
-    best = F.array_max(_scored_array(F.col(vec_col), cents))
-    return corpus.withColumn("cent_id", -best["nc"])
+    return _assign_with(corpus, _centroid_literals(centroids, vec_col), vec_col)
 
 
 def kmeans_centroids(
@@ -119,13 +142,17 @@ def kmeans_centroids(
         corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(num_centroids)
         .withColumn("cent_id", F.row_number().over(Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))))
-        .select("cent_id", vec_col)
+        # Unit-normalize the seeds too (C rows, inline _unit is fine):
+        # assignment argmaxes a raw dot product, so an unnormalized seed
+        # of norm 2 would swallow its neighborhood regardless of angle.
+        .select("cent_id", _unit(F.col(vec_col)).alias(vec_col))
     )
     centroids = seeds
     for _ in range(iterations):
         assigned = assign_centroids(corpus, centroids, vec_col)
+        unit = _unit_frame(assigned, vec_col, "_u", ["cent_id"])
         means = (
-            assigned.select("cent_id", F.posexplode(_unit(F.col(vec_col))).alias("pos", "x"))
+            unit.select("cent_id", F.posexplode(F.col("_u")).alias("pos", "x"))
             .groupBy("cent_id", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cent_id")
@@ -160,8 +187,11 @@ def knn_ivf(
     centroids = kmeans_centroids(
         corpus, num_centroids, id_col, vec_col, iterations=kmeans_iterations
     )
-    tagged = assign_centroids(corpus, centroids, vec_col)
-    q_probe = assign_probes(queries, centroids, n_probes, id_col, vec_col)
+    # Collect the (lazy) centroid frame ONCE; assign and probes share
+    # the literals instead of each re-running the final Lloyd aggregate.
+    cents = _centroid_literals(centroids, vec_col)
+    tagged = _assign_with(corpus, cents, vec_col)
+    q_probe = _probes_with(queries, cents, n_probes, id_col, vec_col)
     joined = tagged.join(q_probe, "cent_id").where(F.col(id_col) != F.col("query_id"))
     scored = joined.withColumn("_cos", cosine_similarity(F.col("_qvec"), F.col(vec_col)))
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col(id_col))
@@ -172,13 +202,12 @@ def knn_ivf(
     )
 
 
-def assign_probes(
-    queries: DataFrame, centroids: DataFrame, n_probes: int, id_col: str, vec_col: str
+def _probes_with(
+    queries: DataFrame, cents: list, n_probes: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(query_id, _qvec, cent_id) for each query's n_probes nearest
-    centroids: sort the literal-centroid score array descending, slice
-    the top n_probes, explode — still a map-only stage, no shuffle."""
-    cents = _centroid_literals(centroids, vec_col)
+    centroids from already-collected literals: sort the score array
+    descending, slice the top n_probes, explode — a map-only stage."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     top = F.slice(
         F.reverse(F.array_sort(_scored_array(F.col("_qvec"), cents))),
@@ -188,6 +217,13 @@ def assign_probes(
     return q.select(
         "query_id", "_qvec", F.explode(top).alias("_bk")
     ).select("query_id", "_qvec", (-F.col("_bk.nc")).alias("cent_id"))
+
+
+def assign_probes(
+    queries: DataFrame, centroids: DataFrame, n_probes: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Probe assignment from a centroid DataFrame (collects it first)."""
+    return _probes_with(queries, _centroid_literals(centroids, vec_col), n_probes, id_col, vec_col)
 
 
 def cosine_near_dup_pairs(
@@ -203,8 +239,12 @@ def cosine_near_dup_pairs(
     streams once per executor; at real corpus sizes use
     ``cosine_near_dup_lsh``.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("_vb"))
+    a = _unit_frame(
+        corpus.select(F.col(id_col).alias("id_a"), vec_col), vec_col, "_va", ["id_a"]
+    )
+    b = _unit_frame(
+        corpus.select(F.col(id_col).alias("id_b"), vec_col), vec_col, "_vb", ["id_b"]
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
@@ -368,6 +408,14 @@ def cosine_near_dup_pairs_numpy(
 
         return score
 
+    # Single block: return the lazy plan unchanged (one broadcast, no
+    # lifecycle to manage).  Multiple blocks: each segment's pair set is
+    # EAGERLY materialized (localCheckpoint — pair outputs are tiny) and
+    # its broadcasts destroyed before the next block is collected, so
+    # the driver truly holds one block at a time.  A lazy union of all
+    # segments would keep every block's Broadcast pinned in the driver
+    # until the final action — re-accumulating the whole matrix the
+    # blocking exists to avoid.
     out = None
     for lo, hi in zip(bounds, bounds[1:]):
         in_block = F.lit(True) if lo is None else F.col(id_col) > F.lit(lo)
@@ -383,5 +431,9 @@ def cosine_near_dup_pairs_numpy(
         b_ids, b_mat = sc.broadcast(ids[order]), sc.broadcast(mat[order])
         stream = slim if hi is None else slim.where(F.col(id_col) < F.lit(hi))
         seg = stream.mapInPandas(score_against(b_ids, b_mat), schema=schema)
+        if len(bounds) > 2:
+            seg = seg.localCheckpoint(eager=True)
+            b_ids.destroy()
+            b_mat.destroy()
         out = seg if out is None else out.unionAll(seg)
     return out

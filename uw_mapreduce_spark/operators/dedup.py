@@ -127,23 +127,24 @@ def ngram_jaccard_pairs(
     """
     own_shingles = shingles is None
     sh = _shingles(df, text_col, id_col, n) if own_shingles else shingles
-    if max_df is not None:
-        # The pre-prune table feeds the hot-shingle count AND the
-        # anti-join's left side — persist so it builds once.
-        sh = persist_scoped(sh, _SCOPE)
-        sh.count()
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(hot, "shingle", "left_anti")
-    # The shingle table feeds three subtrees (sizes + both join sides).
-    # Persist AND materialize eagerly: inside a single action, AQE
-    # launches the three subtree stages concurrently and they would race
-    # the cache, computing the explode+distinct up to 3x (measured ~3x
-    # wall-clock).  The count() is an optimization barrier, exactly like
-    # the reference's per-job HDFS materialization but in memory.
-    # Scoped (bounded) registration: other dedup operators building the
-    # identical shingle table share the entry instead of recomputing.
+    # The shingle table feeds several subtrees — with max_df: the
+    # hot-shingle count and the anti-join's left side; always: sizes +
+    # both sides of the pair join.  Persist ONCE and materialize
+    # eagerly: inside a single action, AQE launches the subtree stages
+    # concurrently and they would race the cache, computing the
+    # explode+distinct up to 3x (measured ~3x wall-clock).  When
+    # pruning, the cache sits BEFORE the anti-join (the expensive
+    # explode+distinct shuffle runs once; re-running the cheap
+    # cache-fed anti-join per subtree beats materializing a second
+    # near-identical table).  The count() is an optimization barrier,
+    # exactly like the reference's per-job HDFS materialization but in
+    # memory.  Scoped (bounded) registration: other dedup operators
+    # building the identical shingle table share the entry.
     sh = persist_scoped(sh, _SCOPE)
     sh.count()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -345,7 +346,8 @@ def cross_corpus_overlap(
     sh_t = _shingles(train, text_col, id_col, n)
     sh_e = _shingles(holdout, text_col, id_col, n)
     if max_df is not None:
-        # Train shingles feed the hot count AND the anti-join left side.
+        # Train shingles feed the hot count AND the anti-join left side:
+        # cache before the prune so the explode+distinct runs once.
         sh_t = persist_scoped(sh_t, _SCOPE)
         sh_t.count()
         hot = sh_t.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")

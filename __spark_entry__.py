@@ -36,9 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _last_verified_round() -> dict[str, int]:
-    """Highest round number in which each query got a driver row,
-    from the CORRECTNESS_r*.json files committed alongside this file.
-    Queries with no row anywhere map to 0."""
+    """Highest round number in which each query got a CLEAN driver row
+    (no error, no explicit check failure), from the CORRECTNESS_r*.json
+    files committed alongside this file.  A row that errored or failed a
+    match does NOT count as verified — the query keeps priority 0 so it
+    re-runs next round instead of rotating to the back of the queue.
+    Queries with no clean row anywhere map to 0."""
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -50,8 +53,16 @@ def _last_verified_round() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            checks = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+            clean = (err is None or err == "no_oracle") and not any(
+                c is False for c in checks
+            )
+            if clean:
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

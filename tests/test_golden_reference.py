@@ -143,6 +143,41 @@ def test_borders_bounded_and_balanced_under_skew(spark):
     assert len(counts) >= 3
 
 
+def test_borders_histogram_partitioning_invariant(spark):
+    """The histogram border pass must be a pure function of the data
+    MULTISET: identical borders whatever the input partitioning (its
+    aggregates are all commutative), identical across repeated calls,
+    and types the histogram cannot bin (strings, non-finite doubles)
+    must fall back to the exact path and still yield sorted borders."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.scale import _deterministic_borders
+
+    df = spark.range(100_000).select(
+        (F.xxhash64("id") % 1_000_003).cast("double").alias("v"),
+        F.col("id").cast("string").alias("s"),
+    )
+    b1 = _deterministic_borders(df.repartition(1), "v", 16)
+    b13 = _deterministic_borders(df.repartition(13, "s"), "v", 16)
+    b32 = _deterministic_borders(df.repartition(32), "v", 16)
+    assert b1 == b13 == b32 and b1 == sorted(b1) and 10 <= len(b1) <= 15
+
+    # String keys: exact-sample fallback, still deterministic + sorted.
+    bs = _deterministic_borders(df, "s", 8)
+    assert bs == sorted(bs) and bs == _deterministic_borders(df, "s", 8)
+
+    # Non-finite doubles: bin width would be infinite; exact fallback
+    # must kick in and produce usable borders.
+    inf = spark.range(10_000).select(
+        F.when(F.col("id") % 100 == 0, F.lit(float("inf")))
+        .when(F.col("id") % 100 == 1, F.lit(float("-inf")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v")
+    )
+    bi = _deterministic_borders(inf, "v", 8)
+    assert bi == sorted(bi) and len(bi) > 0
+
+
 def test_scalable_invariant_5m_rows_with_hot_key(spark):
     """Self-checking scale stress: 5M rows (4.5M unique keys + one key
     duplicated 500k times) with value=1, so the trailing-window sum must

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
@@ -52,7 +53,11 @@ def equi_depth_borders(df: DataFrame, col: str, num_partitions: int) -> DataFram
     vals = df.select(F.col(col).alias("border"))
     n = vals.count()
     if num_partitions <= 1 or n == 0:
-        schema = vals.schema.add("border_idx", "long")
+        # StructType.add mutates in place — build a fresh schema so the
+        # cached vals.schema is never corrupted.
+        schema = T.StructType(
+            list(vals.schema.fields) + [T.StructField("border_idx", T.LongType())]
+        )
         return spark.createDataFrame([], schema).select("border_idx", "border")
     ranked = global_rank_scalable(vals, ["border"], rank_col="_rn")
     targets = [

@@ -11,9 +11,9 @@ This module reproduces those guarantees (O(n/P) per-task memory, O(1)
 extra rounds, no broadcast of data) with a Spark-native plan that stays
 entirely JVM-side — no Python row serialization anywhere:
 
-  1. deterministic range partitioning — a hash-sampled border pass
-     (the reference's Sample job with its unseeded Random made
-     deterministic, see ``_deterministic_borders``) assigns each row an
+  1. deterministic range partitioning — a bounded border pass
+     (the reference's Sample job re-derived as a commutative min/max/count
+     histogram, see ``_deterministic_borders``) assigns each row an
      explicit partition-id column with the key property that partition
      i's keys all precede partition i+1's.  The ranged frame is cached
      for the two passes, but because the borders are a pure function of
@@ -55,67 +55,151 @@ _INVERTIBLE = ("sum", "count", "avg")
 _SCOPE = "uwms.scale"
 
 
-def _deterministic_borders(
-    df: DataFrame,
-    order_col: str,
-    num_partitions: int,
-    sample_per_partition: int = 64,
+_HIST_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz",
+)
+
+
+def _as_double(key, dtype: str):
+    """Order-preserving double image of a key, for histogram binning only
+    (borders themselves are exact values of the original type).  Temporal
+    types go through microseconds-since-epoch; timestamp_ntz is read in
+    the session zone, which is constant within a session so the image is
+    stable for any recompute (and binning error can only cost balance,
+    never correctness — routing compares exact key values)."""
+    if dtype == "date":
+        return F.unix_date(key).cast("double")
+    if dtype == "timestamp":
+        return F.unix_micros(key).cast("double")
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(key.cast("timestamp")).cast("double")
+    return key.cast("double")
+
+
+def _borders_from_intervals(intervals, n: int, num_partitions: int) -> list:
+    """Equi-depth walk over disjoint (count, min, max) intervals sorted
+    by key: border i is the top key of the interval where cumulative
+    EXACT row count crosses i·n/P — `chooseBorders`
+    (`SlidingAggregation.java:75-83`) with intervals in place of sample
+    elements.  Borders are actual data values (interval maxima)."""
+    borders: list = []
+    cum, j = 0, 1
+    for cnt, mn, mx in intervals:
+        cum += cnt
+        while j < num_partitions and cum * num_partitions >= j * n:
+            if not borders or mx > borders[-1]:
+                borders.append(mx)
+            j += 1
+        if j >= num_partitions:
+            break
+    return borders
+
+
+def _borders_histogram(
+    keyed: DataFrame, dtype: str, num_partitions: int, buckets_per_partition: int
 ) -> list:
-    """Equi-depth range borders from a DETERMINISTIC, BOUNDED hash sample.
+    """Equi-depth borders from a deterministic bounded histogram.
 
-    This is the reference's Sample job (`SlidingAggregation.java:38-84`:
-    Bernoulli-sample the keys, sort the sample, pick the P-1 equi-depth
-    positions — `chooseBorders` :75-83) with two fixes:
+    One stats aggregate (count/min/max — one scan, P tiny partials),
+    then one histogram aggregate ``groupBy(bucket)`` over
+    B = buckets_per_partition·P fixed-width buckets — map-side combine
+    caps each task's shuffle output at B rows, so unlike an exact
+    distinct-key aggregate the shuffle is O(maps·B) REGARDLESS of key
+    cardinality (the round-3 fix: a near-unique key no longer shuffles
+    ~n rows before the real range exchange).  Every aggregate used
+    (count/min/max) is commutative, so the result — and therefore the
+    partitioning — is a pure function of the data multiset, independent
+    of task order or input partitioning.
 
-    * its unseeded ``Random`` (:35) is replaced by a value hash
-      (``xxhash64(key) % mod == 0``), so the sample — and therefore the
-      whole partitioning — is a pure function of the data.  That
-      determinism is what makes it safe to drop the cached ranged frame
-      at any time: a recompute reproduces identical partitions, ranks,
-      and offsets.  (Spark's built-in RangePartitioner samples with a
-      random seed per execution, so a recompute under cache loss could
-      silently re-border mid-query.)
-    * its fixed sampling threshold (``-D my.threshold``, read at
-      `SlidingAggregation.java:44`) — which makes the single collector
-      receive O(n/threshold) rows — is replaced by an ADAPTIVE modulus
-      ``mod = n // (sample_per_partition * num_partitions)`` so the
-      expected sample is ~sample_per_partition rows per target
-      partition regardless of n.  The extra passes this costs (a
-      column-pruned ``count()`` plus one map-side-combined distinct-key
-      aggregate) are the price of bounding driver memory AND seeing
-      heavy keys exactly; the reference's Sample job rescans the input
-      too.
-
-    The sample is taken over the DISTINCT (key, exact row count) table
-    (one map-side-combined aggregate), with two inclusion rules:
-
-    * HEAVY keys — exact count ≥ n/(4P) — enter unconditionally with
-      their exact weight.  A value-hash sample alone includes a hot key
-      with probability only 1/mod, so a key owning half the rows would
-      usually be INVISIBLE to the border chooser and its whole mass
-      would land in one unsplit range on top of an equal share of cold
-      keys.  There are at most 4P heavy keys, so this adds O(P) rows.
-    * LIGHT keys enter iff ``xxhash64(key) % mod == 0`` and carry
-      weight count·mod — the Horvitz-Thompson correction that puts the
-      1-in-mod sampled light mass on the same scale as the
-      always-included heavy mass.
-
-    Driver-side bytes stay n-independent: distinct pairs only, heavy
-    rows capped at 4P, light rows hard-capped by ``LIMIT 4*target`` in
-    pseudorandom (heavy-first, hash, key) order — deterministic because
-    the order is total.  Border positions are chosen by CUMULATIVE
-    estimated ROW WEIGHT, so a hot key pulls borders toward equal row
-    counts and gets its range to itself (equal keys must share a
-    partition, so extreme skew can yield fewer than P distinct ranges —
-    that IS the equal-rows optimum).
+    Overweight buckets (count > n/4P, more than one distinct key) are
+    refined in ≤2 further bounded passes of 64 sub-buckets each over the
+    ACTUAL per-bucket [min, max] span; a bucket that narrows to
+    min == max is a heavy key seen with its EXACT count, so a hot key
+    pulls borders toward equal row counts and gets its range to itself
+    (equal keys must share a partition — extreme skew yielding fewer
+    than P ranges IS the equal-rows optimum).  At most 4P buckets can
+    exceed n/4P, so each refinement collects ≤ 4P·64 rows: driver bytes
+    stay O(P), n-independent.
     """
-    if num_partitions <= 1:
+    key = F.col("_k")
+    kd = _as_double(key, dtype)
+    if dtype in ("float", "double"):
+        # NaN sorts above every value in Spark; excluded here, NaN rows
+        # fall past every border into the last range — the sort-correct
+        # placement — without poisoning min/max/binning.
+        keyed = keyed.where(~F.isnan(key))
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key).alias("mn"), F.max(key).alias("mx"),
+        F.min(kd).alias("mnd"), F.max(kd).alias("mxd"),
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0 or stats["mn"] == stats["mx"]:
         return []
-    key = F.col(order_col)
-    keyed = df.select(key.alias("_k")).where(key.isNotNull())
-    n = keyed.count()
-    if n == 0:
-        return []
+    import math
+
+    mnd, mxd = float(stats["mnd"]), float(stats["mxd"])
+    if not (mxd > mnd) or not (math.isfinite(mnd) and math.isfinite(mxd)):
+        # Double images collapse (bigints differing only below 2^-53 of
+        # their magnitude) or are non-finite (±Infinity keys make every
+        # bin width infinite): binning cannot discriminate — exact
+        # fallback.
+        return _borders_exact(keyed, n, num_partitions, buckets_per_partition)
+
+    level0 = max(2 * num_partitions, buckets_per_partition * num_partitions)
+    child_b = max(8, min(64, buckets_per_partition))
+    refine_min = max(2, n // (4 * num_partitions))
+    final: list = []  # (count, min, max)
+    pending = [(stats["mn"], stats["mx"], stats["mnd"], stats["mxd"], level0)]
+    for _depth in range(3):  # level-0 pass + ≤2 refinement passes
+        if not pending:
+            break
+        expr, off = None, 0
+        for mn, mx, mnd, mxd, nb in pending:
+            w = (mxd - mnd) / nb
+            local = F.least(
+                F.lit(nb - 1),
+                F.greatest(F.lit(0), F.floor((kd - F.lit(mnd)) / F.lit(w))),
+            )
+            cond = (key >= F.lit(mn)) & (key <= F.lit(mx))
+            b = F.lit(off) + local
+            expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+            off += nb
+        buckets = sorted(
+            (tuple(r) for r in keyed.select(expr.alias("_b"), "_k")
+             .where(F.col("_b").isNotNull())
+             .groupBy("_b")
+             .agg(
+                 F.count(F.lit(1)).alias("_c"),
+                 F.min(key).alias("_mn"), F.max(key).alias("_mx"),
+                 F.min(kd).alias("_mnd"), F.max(kd).alias("_mxd"),
+             ).collect()),
+            key=lambda t: t[0],
+        )
+        pending = []
+        for _b, cnt, mn, mx, mnd, mxd in buckets:
+            if _depth < 2 and cnt > refine_min and mn != mx and mxd > mnd:
+                pending.append((mn, mx, mnd, mxd, child_b))
+            else:
+                final.append((cnt, mn, mx))
+    assert not pending  # the last pass routes everything to `final`
+    final.sort(key=lambda t: (t[1], t[2]))
+    return _borders_from_intervals(final, n, num_partitions)
+
+
+def _borders_exact(
+    keyed: DataFrame, n: int, num_partitions: int, sample_per_partition: int
+) -> list:
+    """Exact-count fallback for key types the histogram cannot bin
+    (strings, or numerics whose double image collapses): hash-sampled
+    distinct-key aggregate — the original round-3 path.  The groupBy
+    shuffles up to one row per distinct key per input partition, so this
+    is reserved for the non-numeric case; HEAVY keys (count ≥ n/4P)
+    enter unconditionally with exact weight, LIGHT keys enter iff
+    ``xxhash64(key) % mod == 0`` with Horvitz-Thompson weight count·mod,
+    and driver rows are hard-capped at 4·target in a deterministic total
+    order."""
     target = sample_per_partition * num_partitions
     mod = max(1, n // target)
     heavy_min = max(2, n // (4 * num_partitions))
@@ -139,17 +223,52 @@ def _deterministic_borders(
     if not pairs:
         return []
     total_w = sum(w for _, w in pairs)
-    borders: list = []
-    cum, j = 0, 1
-    for k_, w in pairs:
-        cum += w
-        while j < num_partitions and cum * num_partitions >= j * total_w:
-            if not borders or k_ > borders[-1]:
-                borders.append(k_)
-            j += 1
-        if j >= num_partitions:
-            break
-    return borders
+    return _borders_from_intervals(
+        [(w, k_, k_) for k_, w in pairs], total_w, num_partitions
+    )
+
+
+def _deterministic_borders(
+    df: DataFrame,
+    order_col: str,
+    num_partitions: int,
+    sample_per_partition: int = 64,
+) -> list:
+    """Equi-depth range borders, deterministic and driver-bounded.
+
+    This is the reference's Sample job (`SlidingAggregation.java:38-84`:
+    Bernoulli-sample the keys, sort the sample, pick the P-1 equi-depth
+    positions — `chooseBorders` :75-83) re-derived with three fixes:
+
+    * its unseeded ``Random`` (:35) is replaced by commutative exact
+      aggregates (count/min/max histogram for numeric keys; value-hash
+      sampling for the rest), so the borders — and therefore the whole
+      partitioning — are a pure function of the data.  (Spark's built-in
+      RangePartitioner samples with a random seed per execution, so a
+      recompute under cache loss could re-border mid-query.)
+    * its single collector receiving O(n/threshold) rows is replaced by
+      bounded collects: histogram buckets (O(P·buckets) rows) or the
+      capped weighted sample — driver bytes n-independent either way.
+    * heavy keys are seen with their exact mass (a histogram bucket that
+      narrows to one key, or the unconditional heavy rule in the
+      fallback), so extreme skew still yields equal-ROW-count ranges.
+
+    Numeric/temporal keys take `_borders_histogram` (bounded shuffle:
+    map-side-combined bucket counts, never a per-distinct-key exchange);
+    other types take `_borders_exact`.  Returns a sorted list of border
+    VALUES; partition j holds keys in (b_{j-1}, b_j].
+    """
+    if num_partitions <= 1:
+        return []
+    key = F.col(order_col)
+    keyed = df.select(key.alias("_k")).where(key.isNotNull())
+    dtype = dict(keyed.dtypes)["_k"]
+    if dtype in _HIST_TYPES or dtype.startswith("decimal"):
+        return _borders_histogram(keyed, dtype, num_partitions, sample_per_partition)
+    n = keyed.count()
+    if n == 0:
+        return []
+    return _borders_exact(keyed, n, num_partitions, sample_per_partition)
 
 
 def _pid_expr(order_col: str, borders: list):

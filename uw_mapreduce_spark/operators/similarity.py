@@ -154,7 +154,18 @@ def kmeans_centroids(
         means = (
             unit.select("cent_id", F.posexplode(F.col("_u")).alias("pos", "x"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            # Mean via EXACT decimal sum, not F.avg(double): double
+            # addition is order-sensitive, and a shuffled aggregate sums
+            # in nondeterministic order — avg could differ bitwise across
+            # runs and flip near-tie assignments.  decimal(38,18) holds
+            # unit components exactly to 1e-18 with 20 integer digits of
+            # headroom (no overflow until ~1e20 members), so the sum is a
+            # pure function of the multiset.
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)")) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("cent_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cent_id", F.transform("pm", lambda s: s["m"]).alias(vec_col))
@@ -415,13 +426,42 @@ def cosine_near_dup_pairs_numpy(
     # the driver truly holds one block at a time.  A lazy union of all
     # segments would keep every block's Broadcast pinned in the driver
     # until the final action — re-accumulating the whole matrix the
-    # blocking exists to avoid.
+    # blocking exists to avoid.  NOTE: the multi-block path therefore
+    # runs collect/localCheckpoint JOBS at plan-construction time — the
+    # returned frame is the (cheap) union of already-computed segments.
+    #
+    # ``block_rows`` is enforced as a HARD cap (×4 slack): borders are a
+    # sampled equi-depth estimate, so a range can overshoot under
+    # sampling error or id skew — any block found oversized at count
+    # time is re-bordered WITHIN the range (≤2 refinement levels) before
+    # anything is collected, keeping driver bytes bounded at collect
+    # time, not just in expectation.
     out = None
-    for lo, hi in zip(bounds, bounds[1:]):
+    work = [(lo, hi, 0) for lo, hi in zip(bounds, bounds[1:])]
+    while work:
+        lo, hi, depth = work.pop(0)
         in_block = F.lit(True) if lo is None else F.col(id_col) > F.lit(lo)
         if hi is not None:
             in_block &= F.col(id_col) <= F.lit(hi)
-        rows = slim.where(in_block).collect()
+        blk = slim.where(in_block)
+        if num_blocks > 1:
+            cnt = blk.count()
+            if cnt == 0:
+                continue
+            if cnt > 4 * block_rows and depth < 2:
+                sub = _deterministic_borders(
+                    blk, id_col, max(2, math.ceil(cnt / block_rows))
+                )
+                splits = [lo, *sub, hi]
+                refined = [
+                    (a, b, depth + 1)
+                    for a, b in zip(splits, splits[1:])
+                    if a is None or b is None or b > a
+                ]
+                if len(refined) > 1:
+                    work = refined + work
+                    continue
+        rows = blk.collect()
         if not rows:
             continue
         ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -19,6 +19,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # vectorized reader rejects; read as long (ns) and convert in the
     # loader (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin the session zone: driver data ships naive µs timestamps
+    # (TIMESTAMP_NTZ); the engine normalizes them to TimestampType, and
+    # under UTC that cast is wall-clock-identical, matching DuckDB's
+    # naive TIMESTAMP for oracle comparison regardless of host zone.
+    "spark.sql.session.timeZone": "UTC",
     # AQE: runtime shuffle-partition coalescing + skew-join splitting.
     # At 100 TB these replace all of the reference's hand-tuned
     # partition-count knobs (-D my.reducers).

@@ -37,11 +37,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table; normalizes the events ns-timestamp."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # int64 ns -> µs -> TimestampType.  Integer DIV, not `/`: epoch-ns
         # (~1.7e18) exceeds double's 2^53 integer range, so float division
         # would be off by ±1 µs.  Truncating DIV matches DuckDB's ns->µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Newer driver data writes naive µs timestamps.  Normalize to
+        # TimestampType (session zone is pinned to UTC, so the cast is
+        # wall-clock-identical) so every downstream consumer — event-time
+        # watermarks require TimestampType — sees one ts type.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

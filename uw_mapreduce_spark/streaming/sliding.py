@@ -53,8 +53,13 @@ def stream_events(
         .format("parquet")
         .load(stage)
     )
-    if dict(static.dtypes).get("ts") == "bigint":
+    ts_type = dict(static.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TimestampType; session zone is UTC so the
+        # cast is wall-clock-identical (same normalization as load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -61,6 +61,82 @@ def test_decode_is_declared_stub():
         decode_image(b"\x89PNG")
 
 
+def _make_ppm(w, h):
+    """P6 with a comment line; pixel (x,y) = (x%256, y%256, (x+y)%256)."""
+    body = bytes((x % 256, y % 256, (x + y) % 256)[c] for y in range(h) for x in range(w) for c in range(3))
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + body
+
+
+def _make_bmp(w, h, rgb):
+    """Bottom-up uncompressed 24-bit BMP filled with one RGB color."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    row = (bytes(rgb[::-1]) * w) + b"\x00" * (stride - 3 * w)
+    pixels = row * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def _make_wav(freq=440, sr=8000, n=800):
+    """16-bit mono PCM sine."""
+    import math
+    import struct
+
+    samples = [int(32767 * 0.5 * math.sin(2 * math.pi * freq * i / sr)) for i in range(n)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_decoders_roundtrip():
+    import numpy as np
+
+    from uw_mapreduce_spark.functions.multimodal import decode_audio
+
+    img = decode_image(_make_ppm(5, 3))
+    assert img.shape == (3, 5, 3)
+    assert tuple(img[2, 4]) == (4, 2, 6)  # (x%256, y%256, (x+y)%256)
+
+    bmp = decode_image(_make_bmp(4, 2, (10, 20, 30)))
+    assert bmp.shape == (2, 4, 3) and tuple(bmp[0, 0]) == (10, 20, 30)
+
+    samples, sr = decode_audio(_make_wav())
+    assert sr == 8000 and samples.shape == (800, 1)
+    # 0.5-amplitude sine → RMS ≈ 0.5/√2.
+    assert np.sqrt((samples**2).mean()) == pytest.approx(0.3536, abs=0.01)
+
+
+def test_decoded_features_through_mapinpandas(spark):
+    """Real decode end-to-end through the Arrow mapInPandas stage: PPM +
+    BMP images, a WAV, and an undecodable payload that must land in
+    decode_error, not fail the job."""
+    from uw_mapreduce_spark.functions.multimodal import extract_decoded_features
+
+    rows = [
+        (1, "image", bytearray(_make_ppm(6, 4))),
+        (2, "image", bytearray(_make_bmp(4, 2, (255, 0, 0)))),
+        (3, "audio", bytearray(_make_wav())),
+        (4, "image", bytearray(b"\x89PNG....")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, kind string, p binary")
+    media = df.select(
+        F.col("doc_id").alias("media_id"), "kind", F.col("p").alias("payload")
+    )
+    feats = {r.media_id: r for r in extract_decoded_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (6, 4)
+    assert feats[2].channel_means == [255.0, 0.0, 0.0]
+    assert feats[3].sample_rate == 8000 and feats[3].n_frames == 800
+    assert feats[3].rms == pytest.approx(0.3536, abs=0.01)
+    assert feats[4].decode_error and "PIL" in feats[4].decode_error
+    assert all(feats[i].decode_error is None for i in (1, 2, 3))
+
+
 def test_asof_join_constructed(spark):
     ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)
     left = spark.createDataFrame(

@@ -5,12 +5,15 @@ a typed metadata struct; decode / feature-extraction are Arrow-batched
 ``mapInPandas`` stages so the Python cost is per-BATCH, not per-row, and
 the Spark-side schema, partitioning, and batch shape are real.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is stubbed: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` with the intended contract, and
-``fake_features`` computes a deterministic stand-in (byte stats) so the
-pipeline is testable end-to-end.  Swapping in a real decoder changes
-ONE function, no plan changes.
+Decoding: uncompressed container formats are decoded REAL and
+dependency-free — PPM (P6) and 24-bit BMP images to HWC uint8 arrays,
+PCM WAV audio to normalized float samples — so the decode → feature path
+runs end-to-end in this container.  Compressed codecs (JPEG/PNG/MP3/…)
+require PIL/librosa/ffmpeg, which are absent here; those payloads raise
+``NotImplementedError`` with the intended contract (declared stubs).
+``fake_features`` (byte stats) remains as the codec-independent
+stand-in.  Swapping in a richer decoder changes ONE function, no plan
+changes.
 """
 
 from __future__ import annotations
@@ -63,16 +66,109 @@ def attach_media(df: DataFrame, id_col: str, payload_col: str, kind: str = "imag
     )
 
 
+def _decode_ppm(payload: bytes):
+    """PPM P6 (binary) → HWC uint8 ndarray.  Header is ASCII tokens
+    (magic, width, height, maxval) with ``#`` comments, then ONE
+    whitespace byte, then width·height·3 raw bytes."""
+    import numpy as np
+
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BI_RGB BMP → HWC uint8 ndarray (RGB order).
+    Rows are 4-byte padded and stored bottom-up when height > 0."""
+    import struct
+
+    import numpy as np
+
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0] if hdr_size >= 40 else 0
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported without PIL")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB — real implementation: PIL.Image.open(io.BytesIO(payload)),
-    resize/convert, return HWC uint8 array.  Codec libs absent here."""
-    raise NotImplementedError("image decode requires PIL; not available in this environment")
+    """Decode an image payload to an HWC uint8 array.
+
+    REAL for the uncompressed formats a pure-Python reader can handle
+    (PPM P6, 24-bit BMP); compressed formats (JPEG/PNG/WEBP/…) need PIL,
+    absent in this container — declared stub for those."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image decode requires PIL; only PPM(P6)/BMP(24-bit) supported here"
+    )
 
 
-def decode_audio(payload: bytes) -> "object":
-    """STUB — real implementation: soundfile/librosa load, resample,
-    return PCM float array.  Codec libs absent here."""
-    raise NotImplementedError("audio decode requires librosa/soundfile")
+def decode_audio(payload: bytes) -> "tuple[object, int]":
+    """Decode an audio payload to (float64 samples in [-1, 1] shaped
+    (n_frames, channels), sample_rate).
+
+    REAL for PCM WAV (8/16/32-bit integer RIFF); compressed formats
+    (MP3/OGG/FLAC) need librosa/soundfile — declared stub for those."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("compressed audio decode requires librosa/soundfile")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM WAV supported without codec libs")
+    if bits == 8:  # unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), sample_rate
 
 
 def fake_features(payload: bytes, bins: int = 8) -> tuple[float, list[int]]:
@@ -109,3 +205,55 @@ def extract_features(media: DataFrame, bins: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", LongType(), True),  # image only
+        StructField("height", LongType(), True),  # image only
+        StructField("channel_means", ArrayType(DoubleType()), True),  # image only
+        StructField("sample_rate", LongType(), True),  # audio only
+        StructField("n_frames", LongType(), True),  # audio only
+        StructField("rms", DoubleType(), True),  # audio only
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def extract_decoded_features(media: DataFrame) -> DataFrame:
+    """REAL decode → feature extraction over the media table.
+
+    Same Arrow ``mapInPandas`` shape as ``extract_features`` but running
+    the actual decoders: images (PPM/BMP) yield dimensions + per-channel
+    means, audio (PCM WAV) yields sample rate / frame count / RMS.
+    Payloads needing an absent codec land in ``decode_error`` instead of
+    failing the stage — at corpus scale a bad payload must cost one row,
+    not the job."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_SCHEMA.fields}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["media_id"], row["kind"] = mid, kind
+                try:
+                    if kind == "image":
+                        arr = decode_image(payload)
+                        row["height"], row["width"] = arr.shape[0], arr.shape[1]
+                        row["channel_means"] = [float(m) for m in arr.mean(axis=(0, 1))]
+                    elif kind == "audio":
+                        samples, sr = decode_audio(payload)
+                        row["sample_rate"], row["n_frames"] = sr, samples.shape[0]
+                        row["rms"] = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+                    else:
+                        row["decode_error"] = f"unsupported kind: {kind}"
+                except (NotImplementedError, ValueError) as e:
+                    row["decode_error"] = str(e)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)

@@ -1341,6 +1341,35 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@query("multimodal_decode_real")  # real decode via mapInPandas: rows-only
+def multimodal_decode_real(spark, sf_dir):
+    """REAL image decode end-to-end: synthesize a deterministic 8×8 P6
+    PPM per document JVM-side (ASCII header + 12 chained md5 digests as
+    the 192 raw RGB bytes — pure Catalyst expressions, no Python until
+    the decode), then run the dependency-free PPM decoder through the
+    Arrow ``mapInPandas`` stage and return integer-stable dimensions and
+    per-channel means.  Exercises the same schema/batch plumbing a
+    JPEG+PIL deployment would use, with the codec this container can
+    actually run."""
+    from ..functions.multimodal import extract_decoded_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(12)]
+    )
+    payload = F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "utf-8"), F.unhex(digests))
+    media = attach_media(docs.withColumn("payload", payload), "doc_id", "payload")
+    return extract_decoded_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.transform(
+            "channel_means", lambda m: F.floor(m * F.lit(1000.0)).cast("long")
+        ).alias("channel_means_milli"),
+        "decode_error",
+    )
+
+
 @query(
     "grouping_sets_lineitem",
     """

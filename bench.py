@@ -39,6 +39,78 @@ HEADLINE = [
 ]
 
 
+# Scale check: a deterministic 10x scale-up of sf0.1, synthesized ONCE
+# into a gitignored repo dir (testdata is read-only and ships no sf1).
+# Each source table is unioned 10x with every id/key column shifted by a
+# large per-copy offset, so the copies are self-contained shards: joins
+# stay key-consistent, dedup families keep their per-shard duplicate
+# structure (document text gets a shard suffix so shards don't collapse
+# into exact cross-shard duplicates), and any superlinear surprise in
+# shuffle/partition behavior shows up as >10x per-query cost.
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", "sf1")
+SF1_COPIES = 10
+SF1_OFFSET = 1_000_000_000
+# Key columns to shift per table (every copy i adds i*SF1_OFFSET).
+SF1_KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# Subset of HEADLINE timed at sf1 (keeps the round's bench wall-clock
+# bounded while covering every family: scalable two-pass, star joins,
+# aggregation, dedup/minhash, ANN, text stats, fused pipeline).
+SF1_QUERIES = [
+    "sliding_sum_91_scalable",
+    "global_rank_scalable_events",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_exact_documents",
+    "minhash_lsh_documents",
+    "knn_cosine_top5",
+    "doc_stats_documents",
+    "curation_pipeline",
+]
+
+
+def ensure_sf1(spark, src_dir: str) -> str | None:
+    """Build the synthetic sf1 directory if absent; idempotent via a
+    _READY marker.  Returns the directory, or None if the build fails."""
+    import pyspark.sql.functions as F
+
+    marker = os.path.join(SF1_DIR, "_READY")
+    if os.path.exists(marker):
+        return SF1_DIR
+    try:
+        os.makedirs(SF1_DIR, exist_ok=True)
+        for table, keys in SF1_KEYS.items():
+            base = spark.read.parquet(f"{src_dir}/{table}.parquet")
+            copies = []
+            for i in range(SF1_COPIES):
+                c = base
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * SF1_OFFSET))
+                if table == "documents" and i:
+                    c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" shard{i}")))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{SF1_DIR}/{table}.parquet")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        return SF1_DIR
+    except Exception as e:
+        print(f"sf1 synthesis failed: {e}", file=sys.stderr)
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -86,17 +158,36 @@ def main() -> int:
         timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline-suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Scale check at synthetic sf1 (10x the default sf0.1): one rep per
+    # query — the goal is catching superlinear behavior, not minima.
+    # Opt out with SPARK_GRAFT_SKIP_SF1=1 (e.g. for quick local loops).
+    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        sf1_dir = ensure_sf1(spark, sf_dir)
+        if sf1_dir:
+            sf1_timings: dict[str, float] = {}
+            for name in SF1_QUERIES:
+                spark.catalog.clearCache()
+                t0 = time.time()
+                try:
+                    QUERIES[name](spark, sf1_dir).count()
+                    sf1_timings[name] = round(time.time() - t0, 3)
+                except Exception as e:
+                    print(f"bench error in {name}@sf1: {e}", file=sys.stderr)
+                    sf1_timings[name] = -1.0
+            result["sf1_queries"] = sf1_timings
+            result["sf1_value"] = round(
+                sum(t for t in sf1_timings.values() if t >= 0), 3
+            )
+
+    print(json.dumps(result))
     spark.stop()
     return 0
 

@@ -98,6 +98,29 @@ def test_knn_ivf_matches_bruteforce_with_full_probes(spark):
     assert ivf == exact  # probing every bucket = exact
 
 
+def test_knn_ivf_recall(spark, sf_oracle):
+    """Measured recall floor on the driver's REAL embeddings — 64-d with
+    no cluster structure (same-label cosine ≈ cross-label ≈ 0), the
+    worst case for cell-probe ANN.  With redundant assignment (each
+    vector indexed under its top-3 centroids) and 6/16 probes, recall vs
+    brute-force ground truth measured 0.98 at sf0.01 and sf0.1; the
+    whole pipeline is deterministic, so 0.9 is a stable floor, not a
+    flake budget.  Single-assignment defaults measure 0.61 here — that
+    gap is the documented cost/recall trade, not a bug."""
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.where("vec_id < 20")
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(
+            emb, q, k=5, num_centroids=16, n_probes=6, n_assign=3
+        ).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.9
+
+
 def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_small):
     from uw_mapreduce_spark.operators.similarity import (
         cosine_near_dup_lsh,

@@ -111,6 +111,43 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(left, right, ["k"], how="full")
 
 
+def test_salted_join_row_order_spreads_identical_rows(spark):
+    """Content salting cannot spread BYTE-IDENTICAL hot rows (they all
+    hash to one salt); row_order mode must cycle them across >= salt/2
+    salt values, and the join result must still equal the plain join."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.partitioning import _salt_expr, salted_join
+
+    salt = 8
+    # 50% of the input is one literally identical row (k=1, payload=0).
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.col("id")).alias("payload"),
+    )
+    right = spark.createDataFrame([(1, "hot"), (1500, "cold")], "k long, tag string")
+
+    content_spread = (
+        left.where("k = 1")
+        .select(_salt_expr(salt, None, "content", left.columns).alias("s"))
+        .distinct().count()
+    )
+    row_order_spread = (
+        left.where("k = 1")
+        .select(_salt_expr(salt, None, "row_order", left.columns).alias("s"))
+        .distinct().count()
+    )
+    assert content_spread == 1  # the documented content-mode limitation
+    assert row_order_spread >= salt // 2
+
+    plain = sorted((r.k, r.payload, r.tag) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r.k, r.payload, r.tag)
+        for r in salted_join(left, right, ["k"], salt=salt, salt_mode="row_order").collect()
+    )
+    assert salted == plain and len(plain) == 1001
+
+
 def test_stratified_sample_deterministic_and_rebalancing(spark, sf_oracle):
     """sampleBy with a seed reproduces exactly and actually rebalances:
     the downsampled language keeps roughly its fraction, fraction-1.0

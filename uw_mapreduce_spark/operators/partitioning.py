@@ -74,6 +74,19 @@ def rebalance_by_rank(df: DataFrame, rank_col: str = "rank", num_partitions: int
     return range_partition(df, [rank_col], num_partitions)
 
 
+def _salt_expr(salt: int, salt_from: list[str] | None, salt_mode: str, columns: list[str]):
+    """The left-side salt column for ``salted_join`` (factored out so the
+    spread property is directly testable)."""
+    if salt_mode == "content":
+        src = [F.col(c) for c in (salt_from or columns)]
+        return F.pmod(F.xxhash64(*src), F.lit(salt))
+    if salt_mode == "row_order":
+        # Partition-local counter + partition offset: consecutive rows —
+        # byte-identical or not — cycle through all salt values.
+        return F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    raise ValueError(f"unknown salt_mode: {salt_mode!r}")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -81,35 +94,48 @@ def salted_join(
     salt: int = 16,
     how: str = "inner",
     salt_from: list[str] | None = None,
+    salt_mode: str = "content",
 ) -> DataFrame:
     """Equality join with explicit key salting for EXTREME skew.
 
-    AQE's skew-join splitting handles moderate skew by subdividing
-    oversized shuffle blocks; when a single join key dominates the
-    whole input (a null-like sentinel, a mega-user), salting fixes the
-    layout instead: the big LEFT side gets a deterministic salt in
-    [0, salt) hashed from ``salt_from`` (default: all left columns),
-    the smaller RIGHT side is replicated once per salt value, and the
-    join key becomes (keys..., salt) — the hot key's rows spread over
-    ``salt`` tasks at the cost of a salt-times larger right side.
+    AQE's skew-join splitting is the CANONICAL skew answer (on by
+    default in session.py) and handles moderate skew by subdividing
+    oversized shuffle blocks at runtime; reach for explicit salting when
+    a single join key dominates the whole input (a null-like sentinel, a
+    mega-user): the big LEFT side gets a salt in [0, salt), the smaller
+    RIGHT side is replicated once per salt value, and the join key
+    becomes (keys..., salt) — the hot key's rows spread over ``salt``
+    tasks at the cost of a salt-times larger right side.
 
-    Deterministic (xxhash64 of row CONTENT, no rand(), no partition
-    ids) so a partially recomputed shuffle-map stage reproduces the
-    identical salt per row — mixing execution artifacts like
-    ``spark_partition_id()`` into the salt risks the classic
-    retry-duplication hazard (a regenerated task re-salting rows into
-    buckets other reducers already consumed).  The cost of determinism:
-    rows of the hot key spread only as far as ``salt_from`` varies, so
-    BYTE-IDENTICAL duplicate rows all take one salt and stay skewed —
-    pass a ``salt_from`` containing a distinguishing column when the
-    hot key's rows are literal duplicates.  ``how`` is limited to
-    inner/left — a right/full outer join would emit one null-extended
-    row per salt replica for unmatched right rows.
+    Two salt modes, trading retry-determinism against spread:
+
+    * ``content`` (default): ``xxhash64`` of ``salt_from`` (default: all
+      left columns) — a pure function of row content, so a partially
+      recomputed shuffle-map stage reproduces the identical salt per row
+      (mixing execution artifacts like ``spark_partition_id()`` into the
+      salt risks the classic retry-duplication hazard: a regenerated
+      task re-salting rows into buckets other reducers already
+      consumed).  The cost: BYTE-IDENTICAL duplicate rows all take one
+      salt and stay skewed.
+    * ``row_order``: ``monotonically_increasing_id() % salt`` — a
+      partition-local row counter, so even literal duplicate rows cycle
+      across all salt values.  Deterministic under retry ONLY when the
+      left side's partition contents and iteration order are — true for
+      file scans (Spark splits are stable), NOT guaranteed directly
+      downstream of a shuffle whose map outputs may be refetched in a
+      different interleaving.  Use it when the left side comes straight
+      from storage and its hot rows are indistinguishable by content;
+      otherwise prefer ``content`` mode or AQE.
+
+    ``how`` is limited to inner/left — a right/full outer join would
+    emit one null-extended row per salt replica for unmatched right
+    rows.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError("salted_join supports inner and left joins only")
-    src = [F.col(c) for c in (salt_from or left.columns)]
-    l_side = left.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(salt)))
+    l_side = left.withColumn(
+        "_salt", _salt_expr(salt, salt_from, salt_mode, left.columns)
+    )
     r_side = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )

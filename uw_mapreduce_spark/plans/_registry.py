@@ -1,0 +1,34 @@
+"""Query/oracle registry shared by the catalog modules.
+
+``plans/catalog.py`` (reference operators + general analytics + SQL
+front-end) and ``plans/catalog_llm.py`` (documents/embeddings LLM-data-
+pipeline surface) both register here; ``plans/oracles.py`` holds the
+bulk of the DuckDB oracle SQL keyed by query name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .oracles import ORACLE_SQL
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog query.  The DuckDB oracle comes either inline
+    (for SQL built from shared fragments) or, for most queries, from
+    ``plans/oracles.py`` keyed by name; queries in neither place get the
+    driver's rows-only check."""
+
+    def register(fn):
+        QUERIES[name] = fn
+        sql = oracle if oracle is not None else ORACLE_SQL.get(name)
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return register

@@ -1,0 +1,402 @@
+"""LLM-data-pipeline query catalog: the documents/embeddings surface.
+
+Dedup families (exact, fingerprint, n-gram Jaccard, MinHash-LSH,
+SimHash, winnowing, cluster collapse, cross-corpus decontamination),
+embedding similarity (brute-force / IVF ANN, cosine near-dup exact and
+LSH), text statistics and quality gates, PII redaction, language ID,
+multimodal decode, and the fused curation pipeline.  Split from
+``plans/catalog.py`` for readability; both modules register into
+``plans/_registry``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import attach_media, extract_features
+from ..functions.text import doc_stats, lang_id, tokens
+from ..operators.dedup import (
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.similarity import knn_bruteforce, knn_ivf
+from ..sources.tables import load_table
+from ._registry import query
+
+@query('token_histogram_documents')
+def token_histogram_documents(spark, sf_dir):
+    """Corpus vocabulary histogram: explode tokens, count, top-k.  The
+    explode-then-aggregate shape partial-aggregates map-side, so the
+    shuffle carries (token, partial count), not raw tokens — at 100 TB
+    that is the difference between shuffling the corpus and shuffling
+    the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+@query('pandas_udf_norm_embeddings')
+def pandas_udf_norm_embeddings(spark, sf_dir):
+    """The engine's vectorized-UDF surface, hash-verified: an Arrow-
+    batched pandas_udf computes a per-row quantity over the embedding
+    array.  The math is integer-exact (scale components to int64, square,
+    sum) so the Python path can be oracle-checked bit-for-bit — the
+    pattern to follow for any numeric UDF that must be auditable.  One
+    Arrow round-trip per batch, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sq(emb):
+        return emb.map(
+            lambda a: int((np.floor(np.asarray(a, dtype="float64") * 1000.0).astype("int64") ** 2).sum())
+        )
+
+    # Real type objects (this module's `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot resolve here).
+    _sq.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    sq_norm_milli = pandas_udf(_sq, "long")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", sq_norm_milli(F.col("embedding")).alias("sq_norm_milli"))
+
+@query('dedup_exact_documents')
+def dedup_exact_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, ["text"], "doc_id").select("keep_id", "n_dups")
+
+@query('dedup_fingerprint_documents')
+def dedup_fingerprint_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_duplicates(docs, "text", "doc_id").select("fp", "keep_id", "n_dups")
+
+_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+),
+cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) AS BIGINT) AS jaccard_permille
+FROM common JOIN sizes s1 ON doc_a = s1.doc_id JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 800
+"""
+
+@query("ngram_jaccard_documents", _JACCARD_SQL)
+def ngram_jaccard_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # max_df=64: a shingle in >64 docs is boilerplate — it cannot push a
+    # true near-dup pair below threshold but dominates the inverted
+    # index's Σdf² join cost (the first thing to melt at corpus scale).
+    # The oracle SQL applies the same doc-frequency cut.
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+
+@query(
+    "dedup_clusters_documents",
+    f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b
+)
+SELECT v, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v
+""",
+)
+def dedup_clusters_documents(spark, sf_dir):
+    """Near-dup pairs collapsed to duplicate CLUSTERS (connected
+    components by iterative min-label propagation) — the step between
+    pair scoring and keep-one-per-group curation.  Oracle: DuckDB
+    recursive CTE computing min reachable id per vertex."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    return connected_components(pairs, "doc_a", "doc_b").select("v", "label")
+
+@query("minhash_lsh_documents")  # xxhash64 has no DuckDB twin: rows-only
+def minhash_lsh_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+
+@query("simhash_documents")  # rows-only
+def simhash_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+@query('knn_cosine_top5')
+def knn_cosine_top5(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return knn_bruteforce(emb, queries, k=5)
+
+@query("knn_ivf_top5")  # probabilistic recall: rows-only
+def knn_ivf_top5(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return knn_ivf(emb, queries, k=5, num_centroids=16, n_probes=4)
+
+@query('embedding_stats_by_label')
+def embedding_stats_by_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.element_at("embedding", 1).cast("double") * F.lit(1000000.0)).cast("long")
+        ).alias("sum_e0_u"),
+    )
+
+@query('doc_stats_documents')
+def doc_stats_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_stats(docs, "text", "doc_id")
+
+@query('token_count_by_lang')
+def token_count_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+
+@query("lang_id_documents")  # heuristic classifier: rows-only
+def lang_id_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+@query("multimodal_features")  # mapInPandas plumbing: rows-only
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("payload", F.encode(F.col("text"), "utf-8")), "doc_id", "payload"
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.floor(F.col("byte_mean") * F.lit(1000.0)).cast("long").alias("byte_mean_milli"),
+    )
+
+@query("multimodal_decode_real")  # real decode via mapInPandas: rows-only
+def multimodal_decode_real(spark, sf_dir):
+    """REAL image decode end-to-end: synthesize a deterministic 8×8 P6
+    PPM per document JVM-side (ASCII header + 12 chained md5 digests as
+    the 192 raw RGB bytes — pure Catalyst expressions, no Python until
+    the decode), then run the dependency-free PPM decoder through the
+    Arrow ``mapInPandas`` stage and return integer-stable dimensions and
+    per-channel means.  Exercises the same schema/batch plumbing a
+    JPEG+PIL deployment would use, with the codec this container can
+    actually run."""
+    from ..functions.multimodal import extract_decoded_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(12)]
+    )
+    payload = F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "utf-8"), F.unhex(digests))
+    media = attach_media(docs.withColumn("payload", payload), "doc_id", "payload")
+    return extract_decoded_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.transform(
+            "channel_means", lambda m: F.floor(m * F.lit(1000.0)).cast("long")
+        ).alias("channel_means_milli"),
+        "decode_error",
+    )
+
+@query('cosine_near_dup_pairs')
+def cosine_near_dup_pairs_q(spark, sf_dir):
+    from ..operators.similarity import cosine_near_dup_pairs_numpy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+
+@query("cosine_near_dup_lsh")  # probabilistic recall: rows-only
+def cosine_near_dup_lsh_q(spark, sf_dir):
+    from ..operators.similarity import cosine_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_lsh(emb, threshold=0.45)
+
+@query('array_functions_embeddings')
+def array_functions_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.floor(F.element_at("embedding", 1).cast("double") * F.lit(1000000.0)).cast("long").alias("e0_u"),
+        F.floor(F.element_at("embedding", 64).cast("double") * F.lit(1000000.0)).cast("long").alias("e63_u"),
+        F.floor(arr_sum * F.lit(1000.0)).cast("long").alias("sum_milli"),
+    )
+
+@query("winnow_fingerprint_documents")  # xxhash64: no DuckDB twin, rows-only
+def winnow_fingerprint_documents(spark, sf_dir):
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+@query('curation_pipeline')
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE lazy DataFrame: fingerprint
+    dedup (keep lowest doc_id per normalized-content hash) -> quality
+    gate (length + lexical diversity) -> per-language token budget.
+    Composes fingerprint(), tokens() and a window dedup; Catalyst fuses
+    the whole thing into scan -> project -> window -> filter -> agg."""
+    from ..functions.text import fingerprint, tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tok_fn(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = stats.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    kept = deduped.where(
+        (F.col("n_tokens") >= 20)
+        & (F.floor(F.lit(1000.0) * F.col("n_uniq") / F.col("n_tokens")) >= 300)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("total_tokens_kept"),
+    )
+
+_SHINGLE_CTE = r"""
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+)
+"""
+
+@query(
+    "decontaminate_documents",
+    f"""
+WITH {_SHINGLE_CTE},
+t0 AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+cold AS (SELECT shingle FROM t0 GROUP BY shingle HAVING count(*) <= 64),
+t AS (SELECT t0.doc_id, t0.shingle FROM t0 JOIN cold USING (shingle)),
+e AS (SELECT * FROM sh WHERE doc_id % 50 = 0)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_common
+FROM t JOIN e ON t.shingle = e.shingle
+GROUP BY 1, 2 HAVING count(*) >= 5
+""",
+)
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: which training documents leak n-gram
+    content from the holdout set (doc_id % 50 == 0 stands in for the
+    eval benchmark)?  Inverted-index join across the two corpora — the
+    audit every serious pretraining pipeline runs before training.
+    ``max_df=64`` prunes boilerplate shingles by train-side document
+    frequency (mirrored in the oracle), keeping the join bounded at
+    corpus scale."""
+    from ..operators.dedup import cross_corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return cross_corpus_overlap(
+        train, holdout, "text", "doc_id", n=5, min_common=5, max_df=64
+    )
+
+@query('redact_pii_documents')
+def redact_pii_documents(spark, sf_dir):
+    """PII scrubbing over the corpus: redact emails then phone-like
+    digit runs, reporting per-doc counts and an md5 of the scrubbed
+    text (raw scrubbed text stays out of the result; the hash proves
+    byte-exact redaction against the oracle).  The corpus has no real
+    PII, so each row is salted with a synthetic contact line derived
+    from doc_id — both engines construct and scrub the same string.
+    Pure regexp expressions: whole-stage codegen, no UDF."""
+    from ..functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad(F.col("doc_id").cast("string"), 2, "0"), F.lit("."),
+        ).alias("t"),
+    )
+    n_emails, n_phones = pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("t")).cast("binary")).alias("redacted_md5"),
+    )
+
+@query('repetition_stats_documents')
+def repetition_stats_documents(spark, sf_dir):
+    """Within-document repetition (Gopher-style quality gates): per-mille
+    share of the most frequent token and token bigram.  Degenerate or
+    template text scores high and gets dropped by curation."""
+    from ..functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+@query('tf_df_top_terms_documents')
+def tf_df_top_terms_documents(spark, sf_dir):
+    """Most distinctive terms per document (tf/df ranking — tf-idf
+    without the corpus-constant log factor, exact across engines)."""
+    from ..functions.text import tf_df_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_df_top_terms(docs, "text", "doc_id", k=3)
+
+@query("stratified_sample_documents")  # sampler RNG is engine-specific: rows-only
+def stratified_sample_documents(spark, sf_dir):
+    """Per-language sampling budget (downsample the dominant language,
+    keep the tail): seeded `sampleBy` — the curation move that
+    rebalances a corpus before training.  Deterministic for a given
+    seed within Spark (pytest), but no DuckDB twin samples identically,
+    so the driver check is rows-only like `bernoulli_sample_events`."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -164,6 +164,17 @@ def knn_ivf_top5(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 10)
     return knn_ivf(emb, queries, k=5, num_centroids=16, n_probes=4)
 
+
+@query("knn_ivf_spill_top5")  # probabilistic recall: rows-only
+def knn_ivf_spill_top5(spark, sf_dir):
+    """IVF with redundant assignment (each vector indexed under its
+    top-3 centroids) + 6/16 probes — the high-recall configuration,
+    measured ≥0.9 recall vs brute force on the driver embeddings
+    (tests/test_dedup_similarity.py::test_knn_ivf_recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return knn_ivf(emb, queries, k=5, num_centroids=16, n_probes=6, n_assign=3)
+
 @query('embedding_stats_by_label')
 def embedding_stats_by_label(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

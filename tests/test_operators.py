@@ -166,3 +166,55 @@ def test_stratified_sample_deterministic_and_rebalancing(spark, sf_oracle):
     for lang in ("de", "es", "fr", "zh"):
         assert kept[lang] == full[lang]
     assert kept["en"] < full["en"] * 0.5  # en actually downsampled
+
+
+def test_pack_documents_stream_invariants(spark):
+    """Token-stream packing: offsets are the exclusive prefix sum in
+    order (contiguous, gap-free), pack ranges cover exactly the
+    document's token span, zero-token docs span one (empty) window, and
+    the assignment is identical whatever the input partitioning."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.packing import pack_documents
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        # sizes 0..99 cyclically, incl. zero-token docs and docs larger
+        # than the budget below
+        (F.col("id") % 100).cast("long").alias("n_tokens"),
+    )
+    out = pack_documents(docs, "n_tokens", budget=64, order_by=["doc_id"], num_partitions=8)
+    rows = sorted((r.doc_id, r.n_tokens, r.start_offset, r.first_pack, r.last_pack, r.n_packs_spanned)
+                  for r in out.collect())
+    # contiguous stream: each start is the previous end
+    expect_start = 0
+    for doc_id, n, start, first, last, spans in rows:
+        assert start == expect_start, (doc_id, start, expect_start)
+        expect_start += n
+        assert first == start // 64
+        assert last == ((start + n - 1) // 64 if n > 0 else first)
+        assert spans == last - first + 1
+    # partitioning-invariance (pure function of the data)
+    out13 = pack_documents(
+        docs.repartition(13), "n_tokens", budget=64, order_by=["doc_id"], num_partitions=8
+    )
+    assert sorted(tuple(r) for r in out13.select(*out.columns).collect()) == sorted(
+        tuple(r) for r in out.select(*out.columns).collect()
+    )
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    """The shuffle rank is a permutation of 0..n-1, reproducible across
+    calls and input partitionings, and actually scrambles the input
+    order (not the identity permutation)."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.packing import deterministic_shuffle
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df, ["doc_id"]).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df.repartition(7), ["doc_id"]).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(5000))
+    moved = sum(1 for k, v in a.items() if k != v)
+    assert moved > 4500  # md5 order is nothing like id order

@@ -411,3 +411,34 @@ def stratified_sample_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query("pack_documents_2k")
+def pack_documents_2k(spark, sf_dir):
+    """GPT-style token-stream packing: documents concatenated in doc_id
+    order, sliced into 2048-token context windows; each document gets
+    its stream offset and the window range it lands in.  Runs on the
+    scalable prefix-sum plan (range exchange + P-row offsets — no
+    single-partition stage)."""
+    from ..operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+    )
+    out = pack_documents(docs, "n_tokens", budget=2048, order_by=["doc_id"])
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "first_pack", "last_pack",
+        "n_packs_spanned",
+    )
+
+
+@query("deterministic_shuffle_documents")
+def deterministic_shuffle_documents(spark, sf_dir):
+    """Training-data shuffle: a deterministic pseudo-random global
+    permutation by md5(doc_id) — any engine reproduces it, rerunning
+    reproduces it, and the rank comes from the scalable two-pass path
+    (no single-partition stage)."""
+    from ..operators.packing import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, ["doc_id"]).select("doc_id", "shuffle_rank")

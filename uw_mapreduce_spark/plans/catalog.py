@@ -373,6 +373,38 @@ def window_analytics_orders(spark, sf_dir):
     )
 
 
+@query(
+    "running_revenue_global",
+    """
+SELECT o_orderkey,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+            OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS run_total_c
+FROM orders
+""",
+)
+def running_revenue_global(spark, sf_dir):
+    """GLOBAL running revenue total in (o_orderdate, o_orderkey) order —
+    the un-keyed cousin of `window_analytics_orders`' per-customer
+    running sum.  An unpartitioned `SUM OVER (ORDER BY …)` collapses to
+    one task in Spark; this runs on the scalable two-pass prefix-sum
+    plan instead (range exchange + P-row offsets — the same machinery as
+    the sliding family and `pack_documents`)."""
+    from ..operators.scale import _ranged_with_offsets
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "_price_c", F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    )
+    out = _ranged_with_offsets(
+        orders, ["o_orderdate", "o_orderkey"], "_price_c",
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return out.select(
+        "o_orderkey", F.col("_prefix").cast("long").alias("run_total_c")
+    )
+
+
 @query('scalar_functions_part')
 def scalar_functions_part(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")

@@ -88,3 +88,31 @@ def test_borders_partition_invariants(spark, key_mults, p):
     ).orderBy("_pid").collect()
     for a, b in zip(bounds, bounds[1:]):
         assert a["hi"] < b["lo"]
+
+
+pack_strategy = st.lists(st.integers(0, 50), min_size=1, max_size=30)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sizes=pack_strategy, budget=st.integers(1, 64))
+def test_pack_documents_matches_brute_force(spark, sizes, budget):
+    """Token-stream packing agrees with a pure-Python prefix-sum model
+    on arbitrary document-size multisets and budgets (incl. budget=1,
+    zero-token docs, docs far larger than the budget)."""
+    from uw_mapreduce_spark.operators.packing import pack_documents
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(
+        (r.doc_id, r.start_offset, r.first_pack, r.last_pack, r.n_packs_spanned)
+        for r in pack_documents(
+            df, "n_tokens", budget=budget, order_by=["doc_id"], num_partitions=3
+        ).collect()
+    )
+    expected, off = [], 0
+    for i, n in enumerate(sizes):
+        first = off // budget
+        last = (off + n - 1) // budget if n > 0 else first
+        expected.append((i, off, first, last, last - first + 1))
+        off += n
+    assert got == expected

@@ -44,9 +44,13 @@ HEADLINE = [
 # Each source table is unioned 10x with every id/key column shifted by a
 # large per-copy offset, so the copies are self-contained shards: joins
 # stay key-consistent, dedup families keep their per-shard duplicate
-# structure (document text gets a shard suffix so shards don't collapse
-# into exact cross-shard duplicates), and any superlinear surprise in
-# shuffle/partition behavior shows up as >10x per-query cost.
+# structure, and any superlinear surprise in shuffle/partition behavior
+# shows up as >10x per-query cost.  Document text gets EVERY token
+# suffixed with the shard id (not just a trailing marker): a trailing
+# marker leaves ~all shingles identical across shards, so MinHash/LSH
+# banding would bucket the 10 copies of every document together and the
+# candidate-pair stage would grow quadratically in the copy count — a
+# synthesis artifact masquerading as superlinear engine behavior.
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", "sf1")
 SF1_COPIES = 10
 SF1_OFFSET = 1_000_000_000
@@ -97,7 +101,9 @@ def ensure_sf1(spark, src_dir: str) -> str | None:
                 for k in keys:
                     c = c.withColumn(k, F.col(k) + F.lit(i * SF1_OFFSET))
                 if table == "documents" and i:
-                    c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" shard{i}")))
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
+                    )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:

@@ -405,6 +405,74 @@ def running_revenue_global(spark, sf_dir):
     )
 
 
+@query(
+    "json_props_stats",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured column processing: events.props is a JSON string;
+    extract `$.k` with a real JSON-path expression (codegen'd, no UDF)
+    and aggregate per event type.  The oracle extracts the same value
+    with a portable regex — identical integers either way."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Entity-resolution-style fuzzy matching: part-name pairs within
+    edit distance 2, BLOCKED by first token + length band so the join
+    input is Σ_block |block|², never |parts|² — the standard scale
+    pattern for fuzzy dedup (levenshtein is the verify step on
+    candidates only, exactly like the LSH families verify exact
+    Jaccard/cosine)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).where(
+        F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 2
+    )
+    return joined.select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long").alias("dist"),
+    ).where(F.col("dist") <= 2)
+
+
 @query('scalar_functions_part')
 def scalar_functions_part(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")

@@ -111,3 +111,38 @@ def test_continuous_aggregate_ntz_and_null_ts(spark):
         df, "t", {"b6h": 6 * 3600 * 1_000_000}, [], [F.sum("v").alias("s")]
     ).collect()
     assert len(out) == 1 and out[0].s == 3  # one 6h bucket; NULL row gone
+
+
+def test_gap_fill_locf_constructed(spark):
+    """Constructed truth: user 1 has events in hours {0, 3} — hours 1-2
+    must appear with n_obs=0 carrying hour 0's LAST value (later ts wins
+    within a bucket); user 2 has a single hour (grid of one)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.resample import gap_fill_locf
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h, m=0):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, ts(0, 10), 100),
+        (1, ts(0, 50), 111),  # same bucket, later ts -> wins
+        (1, ts(3, 0), 300),
+        (2, ts(5, 0), 500),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v long")
+    out = {
+        (r.user_id, r.bucket): (r.n_obs, r.carried)
+        for r in gap_fill_locf(df, ["user_id"], "ts", "v").collect()
+    }
+    base = next(b for (u, b) in out if u == 1)  # first bucket of user 1
+    assert out[(1, base)] == (2, 111)
+    assert out[(1, base + 1)] == (0, 111)
+    assert out[(1, base + 2)] == (0, 111)
+    assert out[(1, base + 3)] == (1, 300)
+    assert len([1 for (u, _) in out if u == 2]) == 1
+    assert [v for (u, _), v in out.items() if u == 2] == [(1, 500)]

@@ -1,0 +1,69 @@
+"""Time-series gap filling: regularize an event stream onto a fixed
+step per key, carrying the last observation forward across empty steps.
+
+The hypertable/timeseries-DB "gap fill + LOCF" operation, built from
+three Catalyst stages that all scale by key:
+
+  1. per-key bucket bounds (one map-side-combined aggregate),
+  2. grid generation — ``sequence(min_bucket, max_bucket)`` exploded
+     per key (rows ∝ key's span, produced where the key lives, no
+     shuffle beyond the aggregate's),
+  3. carry-forward — ``last(value, ignorenulls=True)`` over a per-key
+     ordered window (partitioned by key: parallel, no global sort).
+
+Buckets are integer ``floor(epoch_us / step_us)`` — engine-portable,
+hash-stable, and immune to timestamp-literal/zone formatting drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_us: int = 3_600_000_000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per key: one row per ``step_us`` bucket from its first to its
+    last observation, with ``n_obs`` (0 on gaps) and ``carried``
+    (last-observation-carried-forward value; within a bucket the LAST
+    event by (ts, tiebreak...) wins).  Output: key_cols + [bucket_col,
+    n_obs, carried]."""
+    keys = [F.col(c) for c in key_cols]
+    # Integer DIV, not `/`: epoch-µs (~5e17) exceeds double's 2^53 exact
+    # range, so float division could misbucket boundary events.
+    bucket = F.expr(f"unix_micros({ts_col}) DIV {int(step_us)}")
+
+    src = df.withColumn(bucket_col, bucket)
+    # Last observation per (key, bucket): deterministic via (ts, value).
+    w_in = Window.partitionBy(*keys, bucket_col).orderBy(
+        F.col(ts_col).desc(), F.col(value_col).desc()
+    )
+    obs = (
+        src.withColumn("_rn", F.row_number().over(w_in))
+        .groupBy(*keys, bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(F.when(F.col("_rn") == 1, F.col(value_col))).alias("_last_v"),
+        )
+    )
+    bounds = src.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    grid = bounds.select(
+        *keys, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(bucket_col)
+    )
+    joined = grid.join(obs, [*key_cols, bucket_col], "left").withColumn(
+        "n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+    )
+    w_carry = Window.partitionBy(*keys).orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.withColumn(
+        "carried", F.last(F.col("_last_v"), ignorenulls=True).over(w_carry)
+    ).drop("_last_v")

@@ -473,6 +473,47 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     ).where(F.col("dist") <= 2)
 
 
+@query(
+    "gap_fill_user_hours",
+    """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, ts,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events WHERE user_id < 50
+),
+obs AS (
+  SELECT user_id, bucket, count(*) AS n_obs,
+         max(CASE WHEN rn = 1 THEN value_u END) AS last_v
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY ts DESC, value_u DESC) AS rn
+        FROM src)
+  GROUP BY user_id, bucket
+),
+bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM src GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+j AS (SELECT g.user_id, g.bucket, COALESCE(o.n_obs, 0) AS n_obs, o.last_v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket)
+SELECT user_id, bucket, n_obs,
+       CAST(last_value(last_v IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS carried
+FROM j
+""",
+)
+def gap_fill_user_hours(spark, sf_dir):
+    """Time-series regularization: per user, one row per HOUR from
+    first to last observation, empty hours carrying the last event
+    value forward (the timeseries-DB gap-fill + LOCF operation).  All
+    three stages shuffle by user — no single-partition stage; buckets
+    are integer epoch-hours so both engines agree bit-for-bit."""
+    from ..operators.resample import gap_fill_locf
+
+    ev = events_u(spark, sf_dir).where(F.col("user_id") < 50)
+    return gap_fill_locf(ev, ["user_id"], "ts", "value_u").select(
+        "user_id", "bucket", "n_obs", "carried"
+    )
+
+
 @query('scalar_functions_part')
 def scalar_functions_part(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")

@@ -193,3 +193,38 @@ def test_stream_fingerprint_dedup_composes(spark, tmp_path):
     got = [r.fp for r in spark.sql("select fp from fp_dedup").collect()]
     assert len(got) == 2                  # 4 rows -> 2 distinct contents
     assert len(set(got)) == 2
+
+
+def test_stream_stream_funnel_converges_to_batch(spark, sf_small):
+    """Watermarked stream-stream join: a fully-drained stream must emit
+    exactly the batch join's pairs (Structured Streaming's correctness
+    contract), and the batch result must be non-trivial."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.joins import click_purchase_funnel
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    batch = load_table(spark, sf_small, "events")
+    b_clicks = batch.where(F.col("event_type") == "click")
+    b_purch = batch.where(F.col("event_type") == "purchase")
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us)
+        for r in click_purchase_funnel(b_clicks, b_purch).collect()
+    }
+    assert len(expected) > 0
+
+    stream = stream_events(spark, sf_small)
+    s_clicks = stream.where(F.col("event_type") == "click")
+    s_purch = stream.where(F.col("event_type") == "purchase")
+    out = click_purchase_funnel(s_clicks, s_purch)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from funnel_out").collect()}
+    assert got == expected

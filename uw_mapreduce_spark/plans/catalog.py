@@ -514,6 +514,31 @@ def gap_fill_user_hours(spark, sf_dir):
     )
 
 
+@query(
+    "funnel_click_purchase",
+    """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def funnel_click_purchase(spark, sf_dir):
+    """Event funnel: each click matched to the same user's purchases
+    within the next hour.  Batch face of the watermarked stream-stream
+    join (`streaming/joins.click_purchase_funnel`) — the streaming twin
+    is pinned to this result by a convergence test."""
+    from ..streaming.joins import click_purchase_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_funnel(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
 @query('scalar_functions_part')
 def scalar_functions_part(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")

@@ -539,6 +539,39 @@ def funnel_click_purchase(spark, sf_dir):
     )
 
 
+@query(
+    "user_event_paths",
+    """
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+""",
+)
+def user_event_paths(spark, sf_dir):
+    """Path analysis: each user's full event-type sequence in time
+    order, as one delimited string.  One hash aggregate whose state is
+    the user's path — the shuffle carries (user, partial path), and the
+    order inside the aggregate comes from an explicit array_sort on the
+    (ts, event_id, type) struct, not from shuffle arrival order (which
+    would be nondeterministic)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path"),
+    )
+
+
 @query('scalar_functions_part')
 def scalar_functions_part(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")

@@ -202,3 +202,34 @@ def test_scalable_invariant_5m_rows_with_hot_key(spark):
     out = sliding_aggregate_scalable(df, ["key", "u"], "value", window=1000, num_partitions=32)
     assert out.where(F.col("agg") != F.least(F.col("rank") + 1, F.lit(1000))).count() == 0
     assert out.count() == 5_000_000
+
+
+def test_pack_documents_1m_rows_distributed_invariants(spark):
+    """Packing at 1M docs with skewed sizes, verified DISTRIBUTEDLY (no
+    driver collect of the output): the stream is contiguous (every doc's
+    start equals the previous doc's end — checked via a rank-shifted
+    self-join), and the final offset equals the total token count."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.operators.packing import pack_documents
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 1000 == 0, 50_000).otherwise(F.col("id") % 70)).cast("long").alias("n_tokens"),
+    )
+    out = pack_documents(docs, "n_tokens", budget=8192, order_by=["doc_id"], num_partitions=32)
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    # end of the last doc == total tokens; every end == next start
+    ends = out.select("doc_id", (F.col("start_offset") + F.col("n_tokens")).alias("end"))
+    nxt = out.select((F.col("doc_id") - 1).alias("doc_id"), F.col("start_offset").alias("next_start"))
+    joined = ends.join(nxt, "doc_id", "left")
+    bad = joined.where(
+        F.col("next_start").isNotNull() & (F.col("next_start") != F.col("end"))
+    ).count()
+    assert bad == 0
+    assert ends.agg(F.max("end")).collect()[0][0] == total
+    # spot-check span arithmetic distributedly
+    assert out.where(
+        (F.col("n_tokens") > 0)
+        & (F.col("last_pack") != F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / 8192))
+    ).count() == 0

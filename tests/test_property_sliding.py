@@ -116,3 +116,48 @@ def test_pack_documents_matches_brute_force(spark, sizes, budget):
         expected.append((i, off, first, last, last - first + 1))
         off += n
     assert got == expected
+
+
+gap_rows_strategy = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 40), st.integers(-100, 100)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=gap_rows_strategy)
+def test_gap_fill_matches_brute_force(spark, rows):
+    """gap_fill_locf agrees with a pure-Python model on arbitrary
+    (key, hour, value) multisets — duplicate buckets (last ts wins,
+    value desc as tiebreak on equal ts), gaps, single-point keys."""
+    import datetime
+
+    from uw_mapreduce_spark.operators.resample import gap_fill_locf
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (k, t0 + datetime.timedelta(hours=h), v) for k, h, v in rows
+    ]
+    df = spark.createDataFrame(data, "k long, ts timestamp, v long")
+    got = {
+        (r.k, r.bucket): (r.n_obs, r.carried)
+        for r in gap_fill_locf(df, ["k"], "ts", "v").collect()
+    }
+
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600
+    per_key: dict = {}
+    for k, h, v in rows:
+        per_key.setdefault(k, {}).setdefault(h, []).append(v)
+    expected = {}
+    for k, buckets in per_key.items():
+        lo, hi = min(buckets), max(buckets)
+        carried = None
+        for h in range(lo, hi + 1):
+            if h in buckets:
+                # same ts within bucket: operator breaks ties by value desc
+                carried = max(buckets[h])
+                expected[(k, base + h)] = (len(buckets[h]), carried)
+            else:
+                expected[(k, base + h)] = (0, carried)
+    assert got == expected

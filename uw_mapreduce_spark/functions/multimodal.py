@@ -150,6 +150,8 @@ def decode_audio(payload: bytes) -> "tuple[object, int]":
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV: truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             raw = body
@@ -159,6 +161,8 @@ def decode_audio(payload: bytes) -> "tuple[object, int]":
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format != 1:
         raise NotImplementedError("only PCM WAV supported without codec libs")
+    if channels < 1:
+        raise ValueError("malformed WAV: zero channels")
     if bits == 8:  # unsigned
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
@@ -231,6 +235,8 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
     Payloads needing an absent codec land in ``decode_error`` instead of
     failing the stage — at corpus scale a bad payload must cost one row,
     not the job."""
+    import struct
+
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,8 +256,12 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                         row["rms"] = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
                     else:
                         row["decode_error"] = f"unsupported kind: {kind}"
-                except (NotImplementedError, ValueError) as e:
-                    row["decode_error"] = str(e)
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    # struct.error: truncated binary structure that slipped
+                    # past the explicit length checks — still one-row cost.
+                    row["decode_error"] = f"{type(e).__name__}: {e}" if isinstance(
+                        e, struct.error
+                    ) else str(e)
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

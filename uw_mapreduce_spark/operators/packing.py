@@ -47,14 +47,21 @@ def pack_documents(
     out = _ranged_with_offsets(docs, order_by, token_col, num_partitions)
     start = (F.col("_prefix") - F.col(token_col)).cast("long")
     end_incl = (F.col("_prefix") - F.lit(1)).cast("long")  # last token's offset
-    first = F.floor(start / F.lit(budget)).cast("long")
-    last = F.when(F.col(token_col) > 0, F.floor(end_incl / F.lit(budget)).cast("long")).otherwise(first)
+    budget = int(budget)
     return (
         out.withColumn("start_offset", start)
-        .withColumn("first_pack", first)
-        .withColumn("last_pack", last)
+        .withColumn("_end_incl", end_incl)
+        # Integer DIV, not floor(float /): offsets are non-negative longs, so
+        # DIV == floor and stays exact past 2^53 total tokens.
+        .withColumn("first_pack", F.expr(f"start_offset DIV {budget}"))
+        .withColumn(
+            "last_pack",
+            F.when(F.col(token_col) > 0, F.expr(f"_end_incl DIV {budget}")).otherwise(
+                F.col("first_pack")
+            ),
+        )
         .withColumn("n_packs_spanned", (F.col("last_pack") - F.col("first_pack") + F.lit(1)))
-        .drop("_prefix", "rank")
+        .drop("_prefix", "rank", "_end_incl")
     )
 
 

@@ -236,12 +236,19 @@ def multimodal_decode_real(spark, sf_dir):
     )
     payload = F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "utf-8"), F.unhex(digests))
     media = attach_media(docs.withColumn("payload", payload), "doc_id", "payload")
+    # Scalar (not array<long>) output: the driver's rows-only canonicalizer
+    # sorts a pandas frame and cannot hash numpy arrays, so pipe-join the
+    # per-channel means into one string column.
     return extract_decoded_features(media).select(
         "media_id",
         "width",
         "height",
-        F.transform(
-            "channel_means", lambda m: F.floor(m * F.lit(1000.0)).cast("long")
+        F.concat_ws(
+            "|",
+            F.transform(
+                "channel_means",
+                lambda m: F.floor(m * F.lit(1000.0)).cast("long").cast("string"),
+            ),
         ).alias("channel_means_milli"),
         "decode_error",
     )
@@ -422,8 +429,12 @@ def pack_documents_2k(spark, sf_dir):
     single-partition stage)."""
     from ..operators.packing import pack_documents
 
+    # Explicit empty-token filter so empty/whitespace-only docs count 0
+    # tokens on BOTH engines (split('') yields [''] in Spark and DuckDB
+    # alike — one drifting doc would cascade through every later offset).
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+        "n_tokens",
+        F.size(F.filter(tokens(F.col("text")), lambda t: t != F.lit(""))).cast("long"),
     )
     out = pack_documents(docs, "n_tokens", budget=2048, order_by=["doc_id"])
     return out.select(

@@ -456,19 +456,20 @@ UNPIVOT (total_c FOR status IN (total_f_c, total_o_c, total_p_c))
     'pack_documents_2k': r"""
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 ), p AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
   FROM t
 )
 SELECT doc_id, n_tokens, start_offset,
-       start_offset // 2048 AS first_pack,
-       CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 2048
-            ELSE start_offset // 2048 END AS last_pack,
-       (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 2048
-             ELSE start_offset // 2048 END) - (start_offset // 2048) + 1 AS n_packs_spanned
+       CAST(start_offset // 2048 AS BIGINT) AS first_pack,
+       CAST(CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 2048
+            ELSE start_offset // 2048 END AS BIGINT) AS last_pack,
+       CAST((CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 2048
+             ELSE start_offset // 2048 END) - (start_offset // 2048) + 1 AS BIGINT) AS n_packs_spanned
 FROM p
 """,
     'deterministic_shuffle_documents': r"""

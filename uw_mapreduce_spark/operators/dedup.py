@@ -173,16 +173,62 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5, num_hashes: int = 32
-) -> DataFrame:
-    """MinHash signature per document: k independent min-over-shingles of
-    seeded xxhash64.  Pure aggregation — one shuffle, JVM-side hashing."""
-    sh = _shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)
+#: Mersenne prime 2^61-1 — modulus of the portable affine hash family.
+_M61 = (1 << 61) - 1
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the portable MinHash family.
+
+    Formula-derived (Knuth multiplicative constants mod small primes) so
+    ANY engine can regenerate them from ``i`` alone — the DuckDB oracle
+    recomputes the identical list with a one-line ``range()`` CTE rather
+    than needing the literals shipped.  a ≤ 32749 < 2^15 keeps
+    ``a * x48`` under 2^63 for the 48-bit base, so the arithmetic never
+    overflows a signed BIGINT on either engine.
+    """
+    return [
+        ((2654435761 * (i + 1)) % 32749 + 1, (40503 * (i + 1)) % 65521)
+        for i in range(num_hashes)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+
+
+def _minhash_aggs(num_hashes: int, hash_family: str) -> list:
+    """The k min-over-shingles aggregate expressions.
+
+    ``xxhash64``: fastest JVM path, but no other engine reproduces it —
+    queries using it are rows-only checkable.  ``portable``: one md5 per
+    shingle sliced to a 48-bit integer base, then k affine transforms
+    mod 2^61-1 — pure integer arithmetic any SQL engine replicates
+    bit-for-bit (full value-hash oracle), and cheaper than k seeded
+    hashes because the expensive digest happens once per shingle.
+    """
+    if hash_family == "xxhash64":
+        return [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    if hash_family != "portable":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long")
+    return [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_M61)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_affine_params(num_hashes))
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 32,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """MinHash signature per document: k independent min-over-shingles
+    hashes.  Pure aggregation — one shuffle, JVM-side hashing."""
+    sh = _shingles(df, text_col, id_col, n)
+    return sh.groupBy("doc").agg(*_minhash_aggs(num_hashes, hash_family))
 
 
 def minhash_lsh_pairs(
@@ -193,6 +239,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard.
@@ -212,16 +259,19 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sh = persist_scoped(_shingles(df, text_col, id_col, n), _SCOPE)
     sh.count()
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc").agg(*aggs)
+    sig = sh.groupBy("doc").agg(*_minhash_aggs(num_hashes, hash_family))
+    if hash_family == "portable":
+        # md5 over the comma-joined minhashes: any engine reproduces the
+        # bucket key, so the whole candidate set is oracle-checkable.
+        def _band_hash(b):
+            return F.md5(F.concat_ws(",", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+    else:
+        def _band_hash(b):
+            return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), _band_hash(b).cast("string").alias("bh"))
             for b in range(bands)
         ]
     )

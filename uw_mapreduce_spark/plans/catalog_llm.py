@@ -142,7 +142,56 @@ def dedup_clusters_documents(spark, sf_dir):
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     return connected_components(pairs, "doc_a", "doc_b").select("v", "label")
 
-@query("minhash_lsh_documents")  # xxhash64 has no DuckDB twin: rows-only
+# Full DuckDB twin of the portable MinHash-LSH pipeline: same shingles,
+# same md5-derived 48-bit base, same formula-generated affine family mod
+# 2^61-1, same md5 band-bucket keys — the candidate set and the exact-
+# Jaccard verification both replicate bit-for-bit.
+_MINHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+),
+seeds AS (
+  SELECT i, (2654435761 * (i + 1)) % 32749 + 1 AS a, (40503 * (i + 1)) % 65521 AS b
+  FROM (SELECT unnest(range(32)) AS i)
+),
+base AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM sh
+),
+mh AS (
+  SELECT doc_id, i, min((a * x + b) % 2305843009213693951) AS mh
+  FROM base CROSS JOIN seeds GROUP BY doc_id, i
+),
+bandh AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+  FROM mh GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bandh l JOIN bandh r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cd.doc_a, cd.doc_b, count(*) AS c
+  FROM cand cd
+  JOIN sh a ON a.doc_id = cd.doc_a
+  JOIN sh b ON b.doc_id = cd.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) AS BIGINT) AS jaccard_permille
+FROM common JOIN sizes s1 ON doc_a = s1.doc_id JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 500
+"""
+
+@query("minhash_lsh_documents", _MINHASH_SQL)
 def minhash_lsh_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
@@ -174,6 +223,33 @@ def knn_ivf_spill_top5(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return knn_ivf(emb, queries, k=5, num_centroids=16, n_probes=6, n_assign=3)
+
+
+@query("knn_ivf_recall")  # self-asserting quality gate: rows-only
+def knn_ivf_recall_q(spark, sf_dir):
+    """Driver-visible ANN quality gate: recall of the high-recall IVF
+    configuration (n_assign=3, 6/16 probes) against exact brute force on
+    the same queries, as integer permille.  Self-asserting — the final
+    filter keeps the row only if recall ≥ 900‰, so an empty result IS
+    the failure signal even without a DuckDB oracle (IVF has no SQL
+    twin).  Complements the pytest recall gate by running on the
+    driver's own embeddings each round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = knn_ivf(
+        emb, queries, k=5, num_centroids=16, n_probes=6, n_assign=3
+    ).select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.lit(5).cast("long").alias("k"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.floor(
+            F.lit(1000.0) * F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
+        )
+        .cast("long")
+        .alias("recall_permille"),
+    ).where(F.col("recall_permille") >= 900)
 
 @query('embedding_stats_by_label')
 def embedding_stats_by_label(spark, sf_dir):

@@ -228,3 +228,115 @@ def test_stream_stream_funnel_converges_to_batch(spark, sf_small):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("select * from funnel_out").collect()}
     assert got == expected
+
+
+def test_stream_stream_funnel_outer_converges_to_batch(spark, sf_small):
+    """LEFT OUTER stream-stream join contract: matched pairs emit as in
+    the inner join; an unmatched click emits its sentinel row once the
+    watermark passes click.ts + within (no future purchase can match).
+    Clicks still inside that horizon at stream end are withheld, not
+    wrong — so the test splits on the query's own final watermark:
+    everything emitted is in the batch answer, all matched pairs
+    emitted, and anything withheld was genuinely not yet evictable."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.joins import click_purchase_funnel_outer
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    batch = load_table(spark, sf_small, "events")
+    b_clicks = batch.where(F.col("event_type") == "click")
+    b_purch = batch.where(F.col("event_type") == "purchase")
+    batch_rows = click_purchase_funnel_outer(b_clicks, b_purch).collect()
+    expected = {(r.user_id, r.click_id, r.purchase_id, r.lag_us) for r in batch_rows}
+    matched = {t for t in expected if t[2] != -1}
+    assert matched and len(expected) > len(matched)  # both kinds present
+
+    click_ts = {r.event_id: r.ts for r in b_clicks.select("event_id", "ts").collect()}
+
+    stream = stream_events(spark, sf_small)
+    out = click_purchase_funnel_outer(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_outer_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from funnel_outer_out").collect()}
+    final_wm = datetime.datetime.fromisoformat(
+        q.lastProgress["eventTime"]["watermark"].replace("Z", "+00:00")
+    ).replace(tzinfo=None)
+
+    assert got <= expected                      # nothing spurious
+    assert matched <= got                       # every real pair emitted
+    # Withheld rows must be sentinel rows whose emit horizon (click.ts +
+    # within) the final watermark had not yet passed.
+    within = datetime.timedelta(hours=1)
+    for t in expected - got:
+        assert t[2] == -1 and click_ts[t[1]] + within >= final_wm
+    # And the guarantee direction: every evictable sentinel DID emit.
+    evictable = {
+        t for t in expected - matched if click_ts[t[1]] + within < final_wm
+    }
+    assert evictable <= got
+
+
+def test_funnel_skew_hot_user(spark):
+    """Skew stress for the funnel interval self-join — the most
+    skew-exposed plan in the catalog (one user owning a large share of
+    events makes the user_id shuffle partition for that key arbitrarily
+    large at scale; AQE's skew-join split is what keeps it bounded).
+
+    Plants one hot user with ~10% of all events and verifies (a) the
+    join answer matches a DuckDB twin exactly under skew, and (b) the
+    session really is running with AQE skew handling on (the config the
+    100 TB story depends on)."""
+    import duckdb
+    import pandas as pd
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    from uw_mapreduce_spark.streaming.joins import click_purchase_funnel
+
+    n, hot_share = 20_000, 0.10
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(n):
+        # first 10% of event ids belong to user 0 (the hot key), the
+        # rest spread over 1000 users; clicks and purchases interleave.
+        user = 0 if i < int(n * hot_share) else 1 + (i * 2654435761) % 1000
+        kind = "click" if i % 3 else "purchase"
+        ts = base + pd.Timedelta(minutes=(i * 37) % 10_080, microseconds=i)
+        rows.append((i, user, kind, ts))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+
+    ev = spark.createDataFrame(pdf)
+    got = {
+        tuple(r)
+        for r in click_purchase_funnel(
+            ev.where("event_type = 'click'"), ev.where("event_type = 'purchase'")
+        ).collect()
+    }
+
+    expected = {
+        tuple(r)
+        for r in duckdb.sql(
+            """
+            SELECT c.user_id, c.event_id, p.event_id,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+            FROM pdf c JOIN pdf p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            """
+        ).fetchall()
+    }
+    assert got == expected
+    assert len(got) > 1000  # the hot key really did fan out

@@ -540,6 +540,33 @@ def funnel_click_purchase(spark, sf_dir):
 
 
 @query(
+    "funnel_click_purchase_outer",
+    """
+SELECT c.user_id, c.event_id AS click_id,
+       CAST(COALESCE(p.event_id, -1) AS BIGINT) AS purchase_id,
+       CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS lag_us
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+""",
+)
+def funnel_click_purchase_outer(spark, sf_dir):
+    """Left-outer funnel: every click, matched or sentinel-unmatched.
+    Batch face of the watermarked LEFT OUTER stream-stream join
+    (`streaming/joins.click_purchase_funnel_outer`); the streaming twin
+    emits unmatched clicks on watermark expiry and is pinned to this
+    result by a convergence test."""
+    from ..streaming.joins import click_purchase_funnel_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_funnel_outer(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
     "user_event_paths",
     """
 SELECT user_id,

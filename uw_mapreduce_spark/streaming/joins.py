@@ -56,3 +56,56 @@ def click_purchase_funnel(
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
+
+
+def click_purchase_funnel_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER funnel: every click emits — matched clicks pair with
+    each qualifying purchase exactly as the inner variant; clicks with
+    NO same-user purchase in ``(ts, ts + within]`` emit once with
+    sentinel ``purchase_id = -1, lag_us = -1`` (sentinels, not NULLs,
+    keep the integer columns hash-stable across engines).
+
+    Streaming semantics: Spark emits the null-matched row only once the
+    watermark passes ``click.ts + within`` — i.e. once no future
+    purchase can still match — so "click with no purchase" alerts fire
+    exactly ``delay + within`` after the click, with state still
+    bounded by the watermark.  Clicks younger than that at stream end
+    are withheld, not wrong (they may yet match); the convergence test
+    pins exactly this contract against the batch answer.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    # Outer stream-stream joins REQUIRE watermarks on both sides (state
+    # expiry is what triggers the null-side emit).
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", delay)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", delay)
+    joined = c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL {within}"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros("p_ts") - F.unix_micros("c_ts"), F.lit(-1)
+        ).alias("lag_us"),
+    )

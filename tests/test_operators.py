@@ -218,3 +218,38 @@ def test_deterministic_shuffle_is_stable_permutation(spark):
     assert sorted(a.values()) == list(range(5000))
     moved = sum(1 for k, v in a.items() if k != v)
     assert moved > 4500  # md5 order is nothing like id order
+
+
+def test_apply_changelog_semantics(spark):
+    """CDC merge contract: latest change per key wins, tombstones drop
+    the key (even over the snapshot), untouched snapshot keys survive,
+    and snapshot=None degrades to pure changelog compaction."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.merge import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, v long"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, 111, "U", 10),   # upsert over snapshot
+            (1, 122, "U", 20),   # later upsert wins
+            (2, 0, "D", 15),     # tombstone drops snapshot key
+            (4, 444, "U", 5),    # brand-new key
+            (5, 555, "U", 7),    # inserted...
+            (5, 0, "D", 9),      # ...then deleted: never appears
+        ],
+        "k long, v long, op string, seq long",
+    )
+    got = {
+        (r.k, r.v)
+        for r in apply_changelog(snap, chg, ["k"], ["seq"]).select("k", "v").collect()
+    }
+    assert got == {(1, 122), (3, 300), (4, 444)}
+
+    compacted = {
+        (r.k, r.v)
+        for r in apply_changelog(None, chg, ["k"], ["seq"]).select("k", "v").collect()
+    }
+    assert compacted == {(1, 122), (4, 444)}

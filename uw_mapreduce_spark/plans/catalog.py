@@ -1056,6 +1056,58 @@ def unpivot_priority_metrics(spark, sf_dir):
 
 
 
+@query(
+    "merge_changelog_users",
+    """
+WITH snap AS (
+  SELECT c_custkey AS user_id, CAST(floor(c_acctbal * 100) AS BIGINT) AS state_c,
+         0 AS src, CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS event_id,
+         'U' AS op
+  FROM customer
+),
+chg AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS state_c, 1 AS src, ts,
+         event_id, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY src DESC, ts DESC, event_id DESC
+  ) AS rn
+  FROM u
+)
+SELECT user_id, state_c, CAST(COALESCE(event_id, -1) AS BIGINT) AS last_event_id
+FROM r WHERE rn = 1 AND op <> 'D'
+""",
+)
+def merge_changelog_users(spark, sf_dir):
+    """CDC merge: customers as the base snapshot, events as a keyed
+    changelog (latest event per user wins; 'error' events are
+    tombstones that remove the key).  One hash shuffle on the key
+    (`operators/merge.apply_changelog`); at scale a key-bucketed
+    snapshot makes the merge shuffle only the changelog side."""
+    from ..operators.merge import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("state_c"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("state_c"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "ts",
+        "event_id",
+    )
+    out = apply_changelog(cust, ev, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "state_c",
+        F.coalesce("event_id", F.lit(-1)).cast("long").alias("last_event_id"),
+    )
+
+
 # Trigger the documents/embeddings (LLM-pipeline) registrations — kept
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401

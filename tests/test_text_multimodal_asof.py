@@ -237,3 +237,80 @@ def test_tf_df_top_terms_prefers_distinctive(spark):
     assert got[(1, 2)] == ("the", 1_666_666)
     # doc 2: unique "here" (1e6) outranks the common "the" (2/3 ~ 0.67e6)
     assert got[(2, 1)] == ("here", 1_000_000)
+
+
+def test_resize_nearest_and_ppm_roundtrip():
+    """Integer nearest-neighbor picks pixel (i*H//h, j*W//w); PPM encode
+    is the exact inverse of the decoder."""
+    import numpy as np
+
+    from uw_mapreduce_spark.functions.multimodal import (
+        _decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(_decode_ppm(encode_ppm(arr)), arr)
+    small = resize_nearest(arr, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # output (i, j) == input (2i, 2j)
+    for i in range(4):
+        for j in range(4):
+            assert np.array_equal(small[i, j], arr[2 * i, 2 * j])
+    # upscale works too: output (i, j) == input (i*8//16, j*8//16)
+    big = resize_nearest(arr, 16, 16)
+    assert np.array_equal(big[15, 15], arr[7, 7])
+
+
+def test_video_demux_and_sampling():
+    """UWV1 demux walks self-describing PPM frames; uniform sampling is
+    pure integer math including the edge cases."""
+    import numpy as np
+
+    from uw_mapreduce_spark.functions.multimodal import (
+        _decode_ppm,
+        demux_video,
+        encode_ppm,
+        sample_frame_indices,
+    )
+
+    frames = [
+        encode_ppm(np.full((2 + f, 3, 3), f, dtype=np.uint8)) for f in range(5)
+    ]  # deliberately varying sizes: demux must parse each header
+    video = b"UWV1\n5\n" + b"".join(frames)
+    got = demux_video(video)
+    assert got == frames
+    assert _decode_ppm(got[3]).shape == (5, 3, 3)
+
+    assert sample_frame_indices(6, 3) == [0, 2, 5]
+    assert sample_frame_indices(5, 1) == [0]
+    assert sample_frame_indices(3, 7) == [0, 1, 2]   # k >= n: all frames
+    assert sample_frame_indices(0, 4) == []
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        demux_video(b"\x00\x00\x00\x18ftypmp42 not supported")
+
+
+def test_resize_images_bad_payload_costs_one_row(spark):
+    """A payload the decoder rejects lands in decode_error; the good
+    rows still resize."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.functions.multimodal import (
+        attach_media,
+        resize_images,
+    )
+    import numpy as np
+
+    from uw_mapreduce_spark.functions.multimodal import encode_ppm
+
+    good = encode_ppm(np.zeros((8, 8, 3), dtype=np.uint8))
+    rows = [(1, good), (2, b"\x89PNG\r\n not decodable here")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = resize_images(attach_media(df, "doc_id", "payload"), 4, 4).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].decode_error is None and by_id[1].width == 4
+    assert by_id[2].decode_error is not None and by_id[2].payload is None

@@ -267,3 +267,157 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize and video frame-sampling — the remaining two multimodal verbs a
+# training-data pipeline needs (decode and feature-extract live above).
+
+
+def encode_ppm(arr) -> bytes:
+    """HWC uint8 ndarray → binary PPM (P6).  Inverse of ``_decode_ppm``."""
+    h, w = arr.shape[0], arr.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype("uint8").tobytes()
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize with pure integer index math: output
+    pixel (i, j) takes input pixel (i·H //  height, j·W // width).  No
+    interpolation, no floats — the choice is deterministic across
+    platforms, which is what makes the resize oracle-checkable."""
+    import numpy as np
+
+    src_h, src_w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    return arr[rows][:, cols]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", BinaryType(), True),  # re-encoded PPM
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PPM), Arrow-batched.
+
+    Same mapInPandas contract as the decode stage: a payload needing an
+    absent codec costs its own row (``decode_error``), never the batch.
+    """
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["media_id"], row["kind"] = mid, kind
+                try:
+                    arr = resize_nearest(decode_image(payload), width, height)
+                    row["width"], row["height"] = width, height
+                    row["payload"] = encode_ppm(arr)
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    row["decode_error"] = str(e)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def _ppm_byte_length(payload: bytes, offset: int) -> int:
+    """Byte length of the PPM (P6) frame starting at ``offset`` —
+    header scan identical to ``_decode_ppm``, without materializing
+    pixels.  Lets the video demuxer walk self-describing frames."""
+    if payload[offset : offset + 2] != b"P6":
+        raise ValueError("not a PPM frame")
+    pos, tokens = offset + 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _ = tokens
+    return (pos - offset) + w * h * 3
+
+
+def demux_video(payload: bytes) -> "list[bytes]":
+    """UWV1 container → list of frame payloads (each a standalone PPM).
+
+    Container layout: ASCII header ``UWV1\\n<n_frames>\\n`` followed by
+    n self-describing PPM(P6) frames back to back.  A stand-in for a
+    real container (MP4/MKV demux needs ffmpeg, absent here) with the
+    same pipeline shape: sequential demux, per-frame decode."""
+    if payload is None or payload[:5] != b"UWV1\n":
+        raise NotImplementedError("compressed video demux requires ffmpeg")
+    nl = payload.index(b"\n", 5)
+    n = int(payload[5:nl])
+    frames, pos = [], nl + 1
+    for _ in range(n):
+        ln = _ppm_byte_length(payload, pos)
+        frames.append(payload[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+def sample_frame_indices(n_frames: int, k: int) -> "list[int]":
+    """Uniform frame sample, pure integer math: i·(n−1) // (k−1) for
+    k>1 (first and last frames always included).  Deterministic, so an
+    oracle can name the exact frames."""
+    if n_frames <= 0:
+        return []
+    if k >= n_frames:
+        return list(range(n_frames))
+    if k == 1:
+        return [0]
+    return [i * (n_frames - 1) // (k - 1) for i in range(k)]
+
+
+SAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, k: int) -> DataFrame:
+    """Demux each video payload and keep a uniform sample of k frames —
+    one output row per sampled frame (Arrow-batched; a bad payload
+    yields one error row, not a failed stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in SAMPLED_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = demux_video(payload)
+                    for idx in sample_frame_indices(len(frames), k):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_payload"].append(frames[idx])
+                        out["decode_error"].append(None)
+                except (NotImplementedError, ValueError) as e:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["frame_payload"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=SAMPLED_SCHEMA)

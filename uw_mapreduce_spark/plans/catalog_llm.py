@@ -529,3 +529,124 @@ def deterministic_shuffle_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return deterministic_shuffle(docs, ["doc_id"]).select("doc_id", "shuffle_rank")
+
+
+# --- multimodal resize + video frame sampling --------------------------------
+# Both are REAL Python-side media work (decode → nearest-neighbor resize →
+# re-encode; container demux → uniform frame sample) wrapped in Arrow
+# mapInPandas, yet still fully value-hash oracled: the synthetic payloads
+# are md5-chain constructions both engines can rebuild, the resize and the
+# sampling use pure integer index math, and the output fingerprint is
+# md5(hex(bytes)) — identical uppercase hex on Spark and DuckDB.
+
+_PPM_HDR_8 = "P6\n8 8\n255\n"
+_PPM_HDR_4 = "P6\n4 4\n255\n"
+
+
+def _sql_blob(text: str) -> str:
+    """DuckDB expression for a literal BLOB of ``text`` (newlines via
+    chr(10): plain SQL strings don't interpret escapes)."""
+    parts = " || chr(10) || ".join(f"'{seg}'" for seg in text.split("\n") if seg)
+    return f"CAST(({parts} || chr(10)) AS BLOB)"
+
+
+def _sql_image_body(seed_fmt: str) -> str:
+    """DuckDB expression for the 192-byte image body: 12 chained md5
+    digests of (text, i) — mirrors the Catalyst construction."""
+    return " || ".join(f"unhex(md5(text || '{seed_fmt.format(i=i)}'))" for i in range(12))
+
+
+# Resized 4x4 payload fingerprint, computed entirely in HEX-string space
+# (DuckDB cannot slice BLOBs): the 8x8 body's hex is the uppercased
+# concatenation of the 12 md5 digests; input pixel (2i, 2j) is the 6 hex
+# chars at offset 96i + 12j (byte offset r*24 + c*3, doubled); and
+# md5(hex(bytes)) == md5(concat of per-part hex) because hex is
+# byte-aligned concatenative.
+_RESIZE_PIXELS_HEX = " || ".join(
+    f"substr(bh, {96 * i + 12 * j + 1}, 6)" for i in range(4) for j in range(4)
+)
+_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         upper({' || '.join(f"md5(text || '{i}')" for i in range(12))}) AS bh
+  FROM documents
+)
+SELECT media_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       md5(hex({_sql_blob(_PPM_HDR_4)}) || {_RESIZE_PIXELS_HEX}) AS resized_md5
+FROM img
+"""
+
+
+@query("image_resize_4x4", _RESIZE_SQL)
+def image_resize_4x4(spark, sf_dir):
+    """REAL image resize end-to-end: synthesize the same deterministic
+    8x8 PPM as `multimodal_decode_real`, decode it in the Arrow stage,
+    nearest-neighbor resize to 4x4 with integer index math, re-encode
+    as PPM, and fingerprint the re-encoded bytes.  The DuckDB oracle
+    rebuilds the resized payload by direct pixel arithmetic — the whole
+    decode→resize→encode path is value-hash checked."""
+    from ..functions.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(12)]
+    )
+    payload = F.concat(F.encode(F.lit(_PPM_HDR_8), "utf-8"), F.unhex(digests))
+    media = attach_media(docs.withColumn("payload", payload), "doc_id", "payload")
+    resized = resize_images(media, width=4, height=4)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.md5(F.hex(F.col("payload"))).alias("resized_md5"),
+    )
+
+
+# 6-frame video, k=3 uniform sample -> frame indices i*(n-1)//(k-1) = 0, 2, 5.
+_VIDEO_FRAMES = {
+    idx: f"{_sql_blob(_PPM_HDR_8)} || {_sql_image_body(f'f{idx}_{{i}}')}"
+    for idx in (0, 2, 5)
+}
+_VIDEO_SQL = (
+    "WITH v AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS media_id, CAST({idx} AS BIGINT) AS frame_idx,"
+        f" md5(hex({expr})) AS frame_md5 FROM documents"
+        for idx, expr in _VIDEO_FRAMES.items()
+    )
+    + "\n)\nSELECT media_id, frame_idx, frame_md5 FROM v"
+)
+
+
+@query("video_frame_sample", _VIDEO_SQL)
+def video_frame_sample(spark, sf_dir):
+    """REAL video-pipeline plumbing: build a 6-frame UWV1 container per
+    document JVM-side (each frame a deterministic 8x8 PPM), demux it
+    frame-by-frame in the Arrow stage, uniform-sample 3 frames with
+    integer index math, and fingerprint each sampled frame.  The oracle
+    reconstructs exactly the sampled frames (indices 0, 2, 5) by
+    formula — demux + sampling are value-hash checked.  Real containers
+    (MP4/MKV) need ffmpeg, absent here; `demux_video` declares that
+    stub while this container exercises the identical pipeline shape."""
+    from ..functions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def frame(idx):
+        digests = F.concat(
+            *[F.md5(F.concat(F.col("text"), F.lit(f"f{idx}_{i}"))) for i in range(12)]
+        )
+        return F.concat(F.encode(F.lit(_PPM_HDR_8), "utf-8"), F.unhex(digests))
+
+    payload = F.concat(
+        F.encode(F.lit("UWV1\n6\n"), "utf-8"), *[frame(i) for i in range(6)]
+    )
+    media = attach_media(
+        docs.withColumn("payload", payload), "doc_id", "payload", kind="video"
+    )
+    sampled = sample_frames(media, k=3)
+    return sampled.select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.hex(F.col("frame_payload"))).alias("frame_md5"),
+    )

@@ -253,3 +253,39 @@ def test_apply_changelog_semantics(spark):
         for r in apply_changelog(None, chg, ["k"], ["seq"]).select("k", "v").collect()
     }
     assert compacted == {(1, 122), (4, 444)}
+
+
+def test_chunk_documents_window_math(spark):
+    """Chunk contract: stride = chunk - overlap; last chunk short; short
+    docs yield one chunk; empty docs yield none; consecutive chunks
+    overlap by exactly `overlap` tokens."""
+    from uw_mapreduce_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # shorter than chunk
+            (3, "   "),                                 # empty after trim
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> starts 0,3,6,9 => ceil((10-1)/3)=3 chunks? (10-1+2)//3 = 3
+    d1 = sorted(k for k in rows if k[0] == 1)
+    assert d1 == [(1, 0), (1, 1), (1, 2)]
+    assert [rows[k].token_start for k in d1] == [0, 3, 6]
+    assert [rows[k].chunk_len for k in d1] == [4, 4, 4]
+    # doc 2: one short chunk
+    assert rows[(2, 0)].token_start == 0 and rows[(2, 0)].chunk_len == 3
+    # doc 3: no chunks
+    assert not any(k[0] == 3 for k in rows)
+    # chunks tile the doc with the requested overlap
+    import hashlib
+    toks = [f"t{i}" for i in range(10)]
+    for (doc, idx), r in rows.items():
+        if doc == 1:
+            want = " ".join(toks[r.token_start : r.token_start + 4])
+            assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()

@@ -65,6 +65,54 @@ def pack_documents(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the chunking step feeding embedding/retrieval indexes and
+    long-document training.  Chunk i covers tokens [i·stride,
+    i·stride + chunk_tokens) with stride = chunk_tokens − overlap; the
+    last chunk may be short; a non-empty document yields at least one
+    chunk; empty documents yield none.
+
+    Pure per-row explode — no shuffle at all: each document's chunks
+    are computed from its own token array, so the plan is a map-only
+    stage that scales embarrassingly.  All index math is integer
+    (`DIV`-style), exact on any engine.
+
+    Output: (id, chunk_idx, token_start, chunk_len, chunk_md5) where
+    chunk_md5 fingerprints the space-joined token slice.
+    """
+    from ..functions.text import tokens
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    out = docs.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= 1
+    )
+    n = F.size("_toks")
+    n_chunks = F.when(
+        n > overlap, F.expr(f"(size(_toks) - {overlap} + {stride - 1}) DIV {stride}")
+    ).otherwise(F.lit(1))
+    out = out.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).withColumn("token_start", (F.col("chunk_idx") * stride).cast("long"))
+    chunk = F.slice(F.col("_toks"), F.col("token_start") + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "token_start",
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_cols: list[str],

@@ -650,3 +650,36 @@ def video_frame_sample(spark, sf_dir):
         "frame_idx",
         F.md5(F.hex(F.col("frame_payload"))).alias("frame_md5"),
     )
+
+
+_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
+c AS (
+  SELECT doc_id, ts, n,
+         CASE WHEN n > 64 THEN (n - 64 + 447) // 448 ELSE 1 END AS n_chunks
+  FROM n
+),
+e AS (SELECT doc_id, ts, n, unnest(range(n_chunks)) AS chunk_idx FROM c)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 448 AS BIGINT) AS token_start,
+       CAST(least(512, n - chunk_idx * 448) AS BIGINT) AS chunk_len,
+       md5(array_to_string(ts[chunk_idx * 448 + 1 : chunk_idx * 448 + 512], ' ')) AS chunk_md5
+FROM e
+"""
+
+
+@query("chunk_documents_512", _CHUNK_SQL)
+def chunk_documents_512(spark, sf_dir):
+    """Document chunking for retrieval/embedding pipelines: 512-token
+    windows, 64-token overlap (stride 448).  Map-only explode — zero
+    shuffle; the integer index math and the md5-of-token-slice
+    fingerprint replicate exactly in the DuckDB oracle."""
+    from ..operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=512, overlap=64)

@@ -36,6 +36,12 @@ HEADLINE = [
     "cosine_near_dup_pairs",
     "doc_stats_documents",
     "curation_pipeline",
+    # round-5 additions: CDC merge (union + single key exchange with
+    # map-side WindowGroupLimit), zero-shuffle chunking explode, and the
+    # Arrow demux/sample multimodal path.
+    "merge_changelog_users",
+    "chunk_documents_512",
+    "video_frame_sample",
 ]
 
 

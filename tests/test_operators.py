@@ -289,3 +289,38 @@ def test_chunk_documents_window_math(spark):
         if doc == 1:
             want = " ".join(toks[r.token_start : r.token_start + 4])
             assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_order_statistic_bounds_match_sorted_index(spark):
+    """The rank-based bounds must equal the value at sorted index
+    (n-1)*p//1000 — checked against a brute-force sort, duplicates and
+    multiple groups included."""
+    import random
+
+    from uw_mapreduce_spark.operators.sampling import (
+        order_statistic_bounds,
+        winsorized_summary,
+    )
+
+    rng = random.Random(7)
+    rows = [("a", rng.randrange(0, 50)) for _ in range(997)] + [
+        ("b", rng.randrange(-20, 5)) for _ in range(313)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.lo, r.hi, r.n)
+        for r in order_statistic_bounds(df, ["g"], "v", 50, 950).collect()
+    }
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        assert got[g] == (vals[(n - 1) * 50 // 1000], vals[(n - 1) * 950 // 1000], n)
+
+    # winsorized sum equals the brute-force clamped sum
+    ws = {r.g: r for r in winsorized_summary(df, ["g"], "v", 50, 950).collect()}
+    for g in ("a", "b"):
+        vals = [v for gg, v in rows if gg == g]
+        lo, hi, _ = got[g]
+        assert ws[g].sum_winsorized == sum(min(max(v, lo), hi) for v in vals)
+        assert ws[g].n_clamped_lo == sum(1 for v in vals if v < lo)
+        assert ws[g].n_clamped_hi == sum(1 for v in vals if v > hi)

@@ -65,3 +65,70 @@ def equi_depth_borders(df: DataFrame, col: str, num_partitions: int) -> DataFram
     ]
     tdf = spark.createDataFrame(targets, "border_idx long, _rn long")
     return ranked.join(F.broadcast(tdf), "_rn").select("border_idx", "border")
+
+
+def order_statistic_bounds(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    lo_permille: int,
+    hi_permille: int,
+) -> DataFrame:
+    """Per-group (lo, hi) order statistics by rank position: with n rows
+    in a group, the lo bound is the value at 0-based sorted index
+    (n−1)·lo_permille // 1000 (hi likewise) — pure integer rank math, so
+    any engine computes the identical bound (no interpolation, no
+    float percentile semantics to disagree on).
+
+    Scalable plan: aggregate to per-(group, value) counts FIRST, then a
+    window over the distinct values only.  The window's partition is
+    bounded by the group's value cardinality (vocabulary-sized), never
+    its row count — the same shuffle-the-histogram-not-the-corpus
+    argument as `token_histogram_documents`.  One count shuffle, one
+    (tiny) window, broadcastable output.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*key_cols, val_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*key_cols).orderBy(val_col)
+    cum = counts.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*key_cols))
+    )
+    k_lo = F.expr(f"(_n - 1) * {int(lo_permille)} DIV 1000")
+    k_hi = F.expr(f"(_n - 1) * {int(hi_permille)} DIV 1000")
+    # The k-th order statistic is the smallest value whose cumulative
+    # count exceeds k.
+    return cum.groupBy(*key_cols).agg(
+        F.min(F.when(F.col("_cum") > k_lo, F.col(val_col))).alias("lo"),
+        F.min(F.when(F.col("_cum") > k_hi, F.col(val_col))).alias("hi"),
+        F.max("_n").alias("n"),
+    )
+
+
+def winsorized_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    lo_permille: int = 50,
+    hi_permille: int = 950,
+) -> DataFrame:
+    """Winsorization audit per group: clamp values to the [lo, hi]
+    rank-based bounds and report how much moved — the outlier-taming
+    pass a metric or reward column gets before training statistics.
+
+    Output per group: n, lo/hi bounds, rows clamped at each end, and
+    the post-clamp sum.  The bounds frame is group-cardinality-sized,
+    so the join back is a broadcast; the final aggregation partial-
+    aggregates map-side.
+    """
+    bounds = order_statistic_bounds(df, key_cols, val_col, lo_permille, hi_permille)
+    v = F.col(val_col)
+    clamped = df.join(F.broadcast(bounds.drop("n")), key_cols)
+    return clamped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).alias("n_clamped_lo"),
+        F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_clamped_hi"),
+        F.sum(F.greatest(F.least(v, F.col("hi")), F.col("lo"))).alias("sum_winsorized"),
+    )

@@ -1108,6 +1108,63 @@ def merge_changelog_users(spark, sf_dir):
     )
 
 
+@query(
+    "winsorize_event_values",
+    """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cumc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+),
+b AS (
+  SELECT event_type,
+         min(CASE WHEN cumc > (n - 1) * 50 // 1000 THEN cents END) AS lo,
+         min(CASE WHEN cumc > (n - 1) * 950 // 1000 THEN cents END) AS hi
+  FROM cum GROUP BY event_type
+)
+SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+       CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       CAST(SUM(greatest(least(cents, hi), lo)) AS BIGINT) AS sum_winsorized
+FROM v JOIN b USING (event_type)
+GROUP BY v.event_type, b.lo, b.hi
+""",
+)
+def winsorize_event_values(spark, sf_dir):
+    """Winsorization audit (clamp to the [5%, 95%] rank-based bounds,
+    report movement) over event values in integer cents.  Bounds come
+    from pure integer rank positions — no percentile interpolation to
+    disagree on across engines — computed on the per-(group, value)
+    HISTOGRAM (window partition is value-cardinality-sized, never
+    row-count-sized: `operators/sampling.order_statistic_bounds`)."""
+    from ..operators.sampling import winsorized_summary
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    out = winsorized_summary(ev, ["event_type"], "cents", 50, 950)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "lo",
+        "hi",
+        F.col("n_clamped_lo").cast("long").alias("n_clamped_lo"),
+        F.col("n_clamped_hi").cast("long").alias("n_clamped_hi"),
+        F.col("sum_winsorized").cast("long").alias("sum_winsorized"),
+    )
+
+
 # Trigger the documents/embeddings (LLM-pipeline) registrations — kept
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401

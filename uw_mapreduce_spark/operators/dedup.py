@@ -295,29 +295,51 @@ def minhash_lsh_pairs(
     return materialize_and_release(out)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash fingerprint per document.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "portable",
+) -> DataFrame:
+    """SimHash fingerprint per document (column ``simhash64``).
 
-    Each token hashes to 64 bits; bit b of the fingerprint is the sign of
-    Σ_tokens (±1 weighted by token frequency).  Implemented as 64 sum
-    aggregates over exploded tokens — a single hash aggregation, fully
-    codegen'd, no UDFs.
-    """
+    Bit b of the fingerprint is the sign of Σ_tokens (±1 weighted by
+    token frequency).  Implemented as per-bit sum aggregates over
+    exploded tokens — a single hash aggregation, fully codegen'd, no
+    UDFs.
+
+    ``portable`` (default): 60 bits from an md5-derived integer base —
+    the same trick as the portable MinHash family — so a SQL oracle
+    reproduces the fingerprint bit-for-bit (and the value stays
+    positive, no sign gymnastics).  ``xxhash64``: 64 bits of JVM
+    xxhash64, marginally stronger but engine-internal (rows-only
+    checkable)."""
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
     ).where(F.col("t") != "")
-    h = F.xxhash64(F.col("t"))
+    if hash_family == "portable":
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+        n_bits = 60
+    elif hash_family == "xxhash64":
+        h = F.xxhash64(F.col("t"))
+        n_bits = 64
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     sums = tok.groupBy("doc").agg(*bit_sums)
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        term = (
+            bit * F.lit(-(1 << 63)).cast("long")
+            if b == 63
+            else bit * F.lit(1 << b).cast("long")
+        )
         fp = term if fp is None else fp + term
     return sums.select(F.col("doc"), fp.alias("simhash64"))
 

@@ -980,6 +980,29 @@ def approx_distinct_parts(spark, sf_dir):
     )
 
 
+@query("approx_distinct_error_gate")  # self-asserting: rows-only
+def approx_distinct_error_gate(spark, sf_dir):
+    """Driver-visible accuracy gate for the HLL sketch (the sketch
+    itself is engine-specific, so `approx_distinct_parts` can only be
+    rows-only): per group, |approx − exact| must stay within 3× the
+    configured 5% relative standard deviation.  The filter keeps only
+    passing groups, and every group must pass — so the expected row
+    count (one per l_returnflag) IS the check; a lost row means the
+    sketch drifted.  Same pattern as `knn_ivf_recall`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts"))
+    return per_group.select(
+        "l_returnflag",
+        F.floor(F.lit(1000.0) * err / F.col("exact_parts"))
+        .cast("long")
+        .alias("err_permille"),
+    ).where(F.col("err_permille") <= 150)
+
+
 _SLIDING_MINMAX_SQL = """
 WITH base AS (
   SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rank, event_id,

@@ -196,7 +196,36 @@ def minhash_lsh_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
 
-@query("simhash_documents")  # rows-only
+# Full DuckDB twin of the portable 60-bit SimHash: same md5-derived
+# integer base per token, same per-bit ±frequency sums, same sign rule.
+_SIMHASH_SQL = (
+    r"""
+WITH tok AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+h AS (SELECT doc, ('0x' || substr(md5(t), 1, 15))::BIGINT AS x FROM tok),
+s AS (
+  SELECT doc,
+"""
+    + ",\n".join(
+        f"         SUM(CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    + """
+  FROM h GROUP BY doc
+)
+SELECT doc, CAST("""
+    + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    + """ AS BIGINT) AS simhash64
+FROM s
+"""
+)
+
+
+@query("simhash_documents", _SIMHASH_SQL)
 def simhash_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id")

@@ -386,7 +386,32 @@ def array_functions_embeddings(spark, sf_dir):
         F.floor(arr_sum * F.lit(1000.0)).cast("long").alias("sum_milli"),
     )
 
-@query("winnow_fingerprint_documents")  # xxhash64: no DuckDB twin, rows-only
+# Full DuckDB twin of the portable winnowing pipeline: same normalized
+# text, same md5-derived 60-bit k-gram hashes, same w-window sliding min.
+_WINNOW_SQL = r"""
+WITH n AS (
+  SELECT doc_id AS doc, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+f AS (SELECT doc, t, len(t) AS L FROM n WHERE len(t) >= 11),
+g0 AS (SELECT doc, t, L, unnest(range(1, L - 6)) AS i FROM f),
+g AS (
+  SELECT doc, i, L - 7 AS m,
+         ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT AS h
+  FROM g0
+),
+p AS (
+  SELECT doc, i, m,
+         min(h) OVER (
+           PARTITION BY doc ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS fp
+  FROM g
+)
+SELECT DISTINCT doc, CAST(fp AS BIGINT) AS fp FROM p WHERE i <= m - 3
+"""
+
+
+@query("winnow_fingerprint_documents", _WINNOW_SQL)
 def winnow_fingerprint_documents(spark, sf_dir):
     from ..operators.dedup import winnow_fingerprints
 

@@ -304,12 +304,65 @@ def token_count_by_lang(spark, sf_dir):
         F.sum(F.length("text").cast("long")).alias("total_chars"),
     )
 
-@query("lang_id_documents")  # heuristic classifier: rows-only
+# The "heuristic" is deterministic Catalyst arithmetic (stopword-profile
+# hit counts, argmax with lexicographic-descending tie-break), so it has
+# an exact DuckDB twin — generated from the same STOPWORDS dict so the
+# profiles can never drift apart.
+def _langid_sql() -> str:
+    from ..functions.text import STOPWORDS
+
+    scores = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, '{code}' AS lang, len(list_filter(ts, x -> x IN ({words}))) AS score FROM tok".format(
+            code=code, words=", ".join(f"'{w}'" for w in words)
+        )
+        for code, words in sorted(STOPWORDS.items())
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+s AS (
+{scores}
+),
+r AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM s
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM r WHERE rn = 1
+"""
+
+
+@query("lang_id_documents", _langid_sql())
 def lang_id_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
-@query("multimodal_features")  # mapInPandas plumbing: rows-only
+# DuckDB twin of the Python byte-stats stage: per-byte sum via hex pairs
+# of the utf-8 payload, then the SAME IEEE op order as the Python code —
+# (total / len) * 1000.0 then floor — so the doubles round identically.
+_FEATURES_SQL = r"""
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+e AS (SELECT media_id, nb, hx, unnest(range(nb)) AS p FROM b),
+s AS (
+  SELECT media_id, nb,
+         SUM(('0x' || substr(hx, 2 * p + 1, 2))::BIGINT) AS total
+  FROM e GROUP BY 1, 2
+)
+SELECT media_id, 'image' AS kind, CAST(nb AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 ELSE floor((CAST(total AS DOUBLE) / nb) * 1000.0)
+            END AS BIGINT) AS byte_mean_milli
+FROM s
+"""
+
+
+@query("multimodal_features", _FEATURES_SQL)
 def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(
@@ -323,7 +376,33 @@ def multimodal_features(spark, sf_dir):
         F.floor(F.col("byte_mean") * F.lit(1000.0)).cast("long").alias("byte_mean_milli"),
     )
 
-@query("multimodal_decode_real")  # real decode via mapInPandas: rows-only
+# Full DuckDB twin of the real-decode query: the 8x8 image body is the
+# uppercased concatenation of 12 md5 digests; byte p is the hex pair at
+# offset 2p; channel c's mean-milli is (sum of its 64 bytes)*1000 // 64 —
+# exactly what numpy's float64 mean followed by floor(m*1000) yields,
+# because sum <= 16320 makes every intermediate float step exact.
+def _sql_channel_sum(c: int) -> str:
+    return " + ".join(
+        f"('0x' || substr(bh, {2 * (3 * j + c) + 1}, 2))::BIGINT" for j in range(64)
+    )
+
+
+_DECODE_REAL_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         upper({' || '.join(f"md5(text || '{i}')" for i in range(12))}) AS bh
+  FROM documents
+)
+SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(({_sql_channel_sum(0)}) * 1000 // 64 AS VARCHAR) || '|' ||
+       CAST(({_sql_channel_sum(1)}) * 1000 // 64 AS VARCHAR) || '|' ||
+       CAST(({_sql_channel_sum(2)}) * 1000 // 64 AS VARCHAR) AS channel_means_milli,
+       '' AS decode_error
+FROM img
+"""
+
+
+@query("multimodal_decode_real", _DECODE_REAL_SQL)
 def multimodal_decode_real(spark, sf_dir):
     """REAL image decode end-to-end: synthesize a deterministic 8×8 P6
     PPM per document JVM-side (ASCII header + 12 chained md5 digests as
@@ -355,7 +434,9 @@ def multimodal_decode_real(spark, sf_dir):
                 lambda m: F.floor(m * F.lit(1000.0)).cast("long").cast("string"),
             ),
         ).alias("channel_means_milli"),
-        "decode_error",
+        # '' not NULL: a mixed None/str column breaks the driver's
+        # rows-only sort, and the oracle emits '' likewise.
+        F.coalesce(F.col("decode_error"), F.lit("")).alias("decode_error"),
     )
 
 @query('cosine_near_dup_pairs')

@@ -340,3 +340,58 @@ def test_funnel_skew_hot_user(spark):
     }
     assert got == expected
     assert len(got) > 1000  # the hot key really did fan out
+
+
+def test_stream_stream_funnel_full_converges_to_batch(spark, sf_small):
+    """FULL OUTER stream-stream join: matched pairs always emit; each
+    side's unmatched rows emit once the watermark passes their own join
+    horizon.  Same final-watermark discipline as the left-outer test,
+    applied to both sentinel kinds."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.joins import click_purchase_funnel_full
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    batch = load_table(spark, sf_small, "events")
+    b_clicks = batch.where(F.col("event_type") == "click")
+    b_purch = batch.where(F.col("event_type") == "purchase")
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us)
+        for r in click_purchase_funnel_full(b_clicks, b_purch).collect()
+    }
+    matched = {t for t in expected if t[1] != -1 and t[2] != -1}
+    orphan_purch = {t for t in expected if t[1] == -1}
+    unmatched_clicks = {t for t in expected if t[2] == -1}
+    assert matched and orphan_purch and unmatched_clicks  # all three kinds
+
+    ev_ts = {r.event_id: r.ts for r in batch.select("event_id", "ts").collect()}
+
+    stream = stream_events(spark, sf_small)
+    out = click_purchase_funnel_full(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_full_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from funnel_full_out").collect()}
+    final_wm = datetime.datetime.fromisoformat(
+        q.lastProgress["eventTime"]["watermark"].replace("Z", "+00:00")
+    ).replace(tzinfo=None)
+
+    assert got <= expected
+    assert matched <= got
+    within = datetime.timedelta(hours=1)
+    for t in expected - got:
+        if t[2] == -1:      # unmatched click: horizon is click.ts + within
+            assert ev_ts[t[1]] + within >= final_wm
+        else:               # orphan purchase: horizon is purchase.ts itself
+            assert t[1] == -1 and ev_ts[t[2]] >= final_wm

@@ -1132,6 +1132,33 @@ def merge_changelog_users(spark, sf_dir):
 
 
 @query(
+    "funnel_click_purchase_full",
+    """
+SELECT CAST(COALESCE(c.user_id, p.user_id) AS BIGINT) AS user_id,
+       CAST(COALESCE(c.event_id, -1) AS BIGINT) AS click_id,
+       CAST(COALESCE(p.event_id, -1) AS BIGINT) AS purchase_id,
+       CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def funnel_click_purchase_full(spark, sf_dir):
+    """Full-outer funnel: matched pairs + never-converted clicks + orphan
+    purchases (no preceding same-user click — the attribution/fraud
+    side).  Batch face of the watermarked FULL OUTER stream-stream join
+    (`streaming/joins.click_purchase_funnel_full`)."""
+    from ..streaming.joins import click_purchase_funnel_full
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_funnel_full(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
     "winsorize_event_values",
     """
 WITH v AS (

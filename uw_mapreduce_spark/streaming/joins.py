@@ -109,3 +109,46 @@ def click_purchase_funnel_outer(
             F.unix_micros("p_ts") - F.unix_micros("c_ts"), F.lit(-1)
         ).alias("lag_us"),
     )
+
+
+def click_purchase_funnel_full(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER funnel: the left-outer contract plus orphan purchases
+    (a purchase with no same-user click in the preceding ``within``)
+    emitting with sentinel ``click_id = -1``.  The orphan-purchase side
+    is the fraud/attribution question the inner and left variants can't
+    answer.  Streaming: both unmatched sides emit on watermark expiry
+    of their own join horizon; state stays watermark-bounded."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", delay)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", delay)
+    joined = c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL {within}"
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros("p_ts") - F.unix_micros("c_ts"), F.lit(-1)
+        ).alias("lag_us"),
+    )

@@ -1,18 +1,31 @@
+from .merge import apply_changelog
+from .packing import chunk_documents, deterministic_shuffle, pack_documents
 from .partitioning import range_partition, rebalance_by_rank, sort_within_partitions, total_sort
 from .rank import global_rank, global_rank_scalable
-from .sampling import bernoulli_sample, equi_depth_borders
+from .sampling import (
+    bernoulli_sample,
+    equi_depth_borders,
+    order_statistic_bounds,
+    winsorized_summary,
+)
 from .window import sliding_aggregate
 from .scale import sliding_aggregate_scalable
 
 __all__ = [
+    "apply_changelog",
     "bernoulli_sample",
+    "chunk_documents",
+    "deterministic_shuffle",
     "equi_depth_borders",
     "global_rank",
     "global_rank_scalable",
+    "order_statistic_bounds",
+    "pack_documents",
     "range_partition",
     "rebalance_by_rank",
     "sliding_aggregate",
     "sliding_aggregate_scalable",
     "sort_within_partitions",
     "total_sort",
+    "winsorized_summary",
 ]

@@ -193,8 +193,10 @@ def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def _minhash_aggs(num_hashes: int, hash_family: str) -> list:
-    """The k min-over-shingles aggregate expressions.
+def _minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_family: str
+) -> DataFrame:
+    """(doc, shingle) → one signature row per doc (columns mh0..mhk-1).
 
     ``xxhash64``: fastest JVM path, but no other engine reproduces it —
     queries using it are rows-only checkable.  ``portable``: one md5 per
@@ -202,19 +204,33 @@ def _minhash_aggs(num_hashes: int, hash_family: str) -> list:
     mod 2^61-1 — pure integer arithmetic any SQL engine replicates
     bit-for-bit (full value-hash oracle), and cheaper than k seeded
     hashes because the expensive digest happens once per shingle.
+
+    The portable base is PROJECTED to a column before the aggregation:
+    Catalyst performs no CSE across sibling aggregate expressions, so
+    embedding the md5 inside each of the k min() aggs would hash every
+    shingle k times (measured ~2× on the whole query at sf1).
     """
     if hash_family == "xxhash64":
-        return [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+        return sh.groupBy("doc").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
     if hash_family != "portable":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long")
-    return [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_M61)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_affine_params(num_hashes))
-    ]
+    based = sh.select(
+        "doc",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("_x"),
+    )
+    return based.groupBy("doc").agg(
+        *[
+            F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(_M61)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_affine_params(num_hashes))
+        ]
+    )
 
 
 def minhash_signatures(
@@ -228,7 +244,7 @@ def minhash_signatures(
     """MinHash signature per document: k independent min-over-shingles
     hashes.  Pure aggregation — one shuffle, JVM-side hashing."""
     sh = _shingles(df, text_col, id_col, n)
-    return sh.groupBy("doc").agg(*_minhash_aggs(num_hashes, hash_family))
+    return _minhash_signatures_from_shingles(sh, num_hashes, hash_family)
 
 
 def minhash_lsh_pairs(
@@ -259,7 +275,7 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sh = persist_scoped(_shingles(df, text_col, id_col, n), _SCOPE)
     sh.count()
-    sig = sh.groupBy("doc").agg(*_minhash_aggs(num_hashes, hash_family))
+    sig = _minhash_signatures_from_shingles(sh, num_hashes, hash_family)
     if hash_family == "portable":
         # md5 over the comma-joined minhashes: any engine reproduces the
         # bucket key, so the whole candidate set is oracle-checkable.
@@ -325,13 +341,19 @@ def simhash(
         n_bits = 64
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    # Project the hash ONCE before aggregating: no CSE across sibling
+    # aggregate expressions, so referencing `h` inside each of the
+    # n_bits sums would hash every token n_bits times.
+    hashed = tok.select("doc", h.alias("_h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(n_bits)
     ]
-    sums = tok.groupBy("doc").agg(*bit_sums)
+    sums = hashed.groupBy("doc").agg(*bit_sums)
     fp = None
     for b in range(n_bits):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

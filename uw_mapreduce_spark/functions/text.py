@@ -73,14 +73,20 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def lang_id(text: Column) -> Column:
-    """Heuristic language ID: argmax of stopword-profile hit counts.
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Heuristic language ID over a pre-tokenized array: argmax of
+    stopword-profile hit counts.
 
     Ties break lexicographically-descending on the language code via the
     struct ordering, making the answer deterministic.  Returns 'und' when
     no profile matches at all.
+
+    ``toks`` is referenced once per language profile, and Catalyst does
+    NOT de-duplicate sibling expressions — pass a projected COLUMN (a
+    cheap leaf reference), not the ``tokens(...)`` regex-split
+    expression, or the split runs once per profile (measured ~2× on
+    `lang_id_documents`).
     """
-    toks = tokens(text)
     scored = F.array(
         *[
             F.struct(
@@ -92,6 +98,13 @@ def lang_id(text: Column) -> Column:
     )
     best = F.array_max(scored)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """One-expression convenience wrapper over ``lang_id_from_tokens``
+    (re-tokenizes per profile; prefer projecting tokens first in hot
+    paths)."""
+    return lang_id_from_tokens(tokens(text))
 
 
 def fingerprint(text: Column) -> Column:

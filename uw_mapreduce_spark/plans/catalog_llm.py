@@ -336,8 +336,14 @@ FROM r WHERE rn = 1
 
 @query("lang_id_documents", _langid_sql())
 def lang_id_documents(spark, sf_dir):
+    from ..functions.text import lang_id_from_tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    # Tokenize in its own projection (same CSE rule as _shingles): the
+    # regex split runs once per row, not once per language profile.
+    return docs.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
+        "doc_id", lang_id_from_tokens(F.col("_toks")).alias("lang_pred")
+    )
 
 # DuckDB twin of the Python byte-stats stage: per-byte sum via hex pairs
 # of the utf-8 payload, then the SAME IEEE op order as the Python code —

@@ -54,20 +54,34 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     result is bit-stable across engines (IEEE division then floor is
     deterministic; raw double ratios are hash-fragile).
     """
-    toks = tokens(F.col(text_col))
+    # Tokenize and count in their own projection (no CSE across sibling
+    # expressions): the regex split and the distinct-size each run once
+    # per row instead of once per consumer.
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("_toks"),
+        F.size("_toks").alias("_n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_n_uniq"),
+    )
     n_chars = F.length(F.col(text_col))
-    n_tokens = F.size(toks)
-    stop = stopword_hits(toks, STOPWORDS["en"])
+    stop = stopword_hits(F.col("_toks"), STOPWORDS["en"])
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.col("_n_tokens").cast("long").alias("n_tokens"),
+        F.col("_n_uniq").cast("long").alias("n_uniq_tokens"),
         punct.cast("long").alias("n_punct"),
         stop.cast("long").alias("n_stopwords"),
-        F.floor(F.lit(1000.0) * stop / n_tokens).cast("long").alias("stopword_permille"),
-        F.floor(F.lit(1000.0) * F.size(F.array_distinct(toks)) / n_tokens)
+        F.floor(F.lit(1000.0) * stop / F.col("_n_tokens"))
+        .cast("long")
+        .alias("stopword_permille"),
+        F.floor(F.lit(1000.0) * F.col("_n_uniq") / F.col("_n_tokens"))
         .cast("long")
         .alias("uniq_permille"),
     )

@@ -86,6 +86,8 @@ SF1_QUERIES = [
     "knn_cosine_top5",
     "doc_stats_documents",
     "curation_pipeline",
+    "merge_changelog_users",
+    "chunk_documents_512",
 ]
 
 

@@ -324,3 +324,44 @@ def test_order_statistic_bounds_match_sorted_index(spark):
         assert ws[g].sum_winsorized == sum(min(max(v, lo), hi) for v in vals)
         assert ws[g].n_clamped_lo == sum(1 for v in vals if v < lo)
         assert ws[g].n_clamped_hi == sum(1 for v in vals if v > hi)
+
+
+def test_apply_changelog_scales_with_hot_key(spark):
+    """Volume + skew stress for the CDC merge: 2M changes over 100k keys
+    with one key receiving 10% of all traffic. The map-side
+    WindowGroupLimit keeps the shuffle per-key-bounded, so this must
+    complete quickly and agree with a groupBy-max reference computed
+    from the same frame."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.merge import apply_changelog
+
+    n = 2_000_000
+    chg = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 == 0, F.lit(0))
+            .otherwise((F.col("id") * 2654435761) % 100_000)
+            .alias("k"),
+            F.col("id").alias("v"),
+            F.when(F.col("id") % 97 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("id").alias("seq"),
+        )
+    )
+    merged = apply_changelog(None, chg, ["k"], ["seq"])
+    # Reference: per key, the max-seq row decides survival and value.
+    ref = (
+        chg.withColumn(
+            "_packed",
+            F.struct(F.col("seq"), F.col("op"), F.col("v")),
+        )
+        .groupBy("k")
+        .agg(F.max("_packed").alias("w"))
+        .where(F.col("w.op") != "D")
+        .select("k", F.col("w.v").alias("v"))
+    )
+    assert merged.select("k", "v").exceptAll(ref).count() == 0
+    assert ref.exceptAll(merged.select("k", "v")).count() == 0
+    # the hot key (10% of rows) must resolve to exactly one surviving row
+    hot = merged.where(F.col("k") == 0).collect()
+    assert len(hot) <= 1

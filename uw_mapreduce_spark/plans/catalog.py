@@ -1131,6 +1131,31 @@ def merge_changelog_users(spark, sf_dir):
     )
 
 
+@query("approx_quantile_error_gate")  # self-asserting: rows-only
+def approx_quantile_error_gate(spark, sf_dir):
+    """Accuracy gate for the quantile sketch (KLL/GK-style
+    `percentile_approx`), completing the approx-op gate family
+    (`knn_ivf_recall`, `approx_distinct_error_gate`): at accuracy
+    10000, each of p50/p90/p99 over lineitem prices must land within
+    2% of the exact percentile.  Three passing rows expected; a lost
+    row is the failure signal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    agg = li.agg(
+        F.expr("percentile_approx(c, array(0.5D, 0.9D, 0.99D), 10000)").alias("ap"),
+        F.expr("percentile(c, array(0.5D, 0.9D, 0.99D))").alias("ex"),
+    )
+    z = agg.select(F.posexplode(F.arrays_zip("ap", "ex")).alias("i", "pe"))
+    err = F.floor(
+        F.lit(1000.0) * F.abs(F.col("pe.ap") - F.col("pe.ex")) / F.col("pe.ex")
+    ).cast("long")
+    return z.select(
+        F.col("i").cast("long").alias("quantile_idx"),
+        err.alias("err_permille"),
+    ).where(F.col("err_permille") <= 20)
+
+
 @query(
     "funnel_click_purchase_full",
     """

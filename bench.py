@@ -42,6 +42,12 @@ HEADLINE = [
     "merge_changelog_users",
     "chunk_documents_512",
     "video_frame_sample",
+    # round-5 TPC-H completion: the heaviest of the 11 new shapes —
+    # two-nation volume join (q7), 5-table profit join (q9), and the
+    # sole-late-supplier aggregate rewrite of the double self-join (q21).
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
 ]
 
 

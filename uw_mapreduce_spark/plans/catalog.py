@@ -1243,3 +1243,4 @@ def winsorize_event_values(spark, sf_dir):
 # Trigger the documents/embeddings (LLM-pipeline) registrations — kept
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401
+from . import catalog_tpch  # noqa: E402,F401

@@ -1,3 +1,4 @@
+from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
 from .partitioning import range_partition, rebalance_by_rank, sort_within_partitions, total_sort
@@ -14,6 +15,9 @@ from .scale import sliding_aggregate_scalable
 __all__ = [
     "apply_changelog",
     "bernoulli_sample",
+    "bloom_build",
+    "bloom_prune",
+    "bloom_semi_join",
     "chunk_documents",
     "deterministic_shuffle",
     "equi_depth_borders",

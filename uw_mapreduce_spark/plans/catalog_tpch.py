@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.bloomjoin import bloom_semi_join
 from ..sources.tables import load_table
 from ._registry import query
 
@@ -565,4 +566,35 @@ def q2_min_balance_supplier(spark, sf_dir):
         cand.withColumn("min_bal", F.min("bal_c").over(w))
         .where(F.col("bal_c") == F.col("min_bal"))
         .select("l_partkey", "s_suppkey", "s_name", "bal_c")
+    )
+
+
+@query(
+    "bloom_semi_join_lineitem",
+    r"""
+SELECT l_returnflag,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n_rows
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+GROUP BY l_returnflag
+""",
+)
+def bloom_semi_join_lineitem(spark, sf_dir):
+    """Runtime-filtered semi join (`operators/bloomjoin.py`): revenue of
+    lineitems belonging to high-value orders.  The order-key set folds
+    into a 2^20-bit bloom filter (128 KiB), the probe side is pruned
+    map-only inside its scan stage, and the exact semi join then runs on
+    the survivors — result-identical to the oracle's plain EXISTS (the
+    verify join removes bloom false positives), but the fact-table
+    shuffle carries only ~the matching fraction at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    j = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")).alias(
+            "revenue_c"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
     )

@@ -32,6 +32,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / mapInPandas path (similarity, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let Catalyst inject its own bloom runtime filters on shuffle joins
+    # where one side is selective (complements operators/bloomjoin.py's
+    # explicit map-only prune for the cases the optimizer can't see).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -10,6 +10,7 @@ from .sampling import (
     winsorized_summary,
 )
 from .window import sliding_aggregate
+from .retrieval import bm25_topk
 from .scale import sliding_aggregate_scalable
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "bloom_build",
     "bloom_prune",
     "bloom_semi_join",
+    "bm25_topk",
     "chunk_documents",
     "deterministic_shuffle",
     "equi_depth_borders",

@@ -1,0 +1,167 @@
+"""Lexical retrieval: BM25 top-k document search over an inverted
+index, computed entirely in exact integer arithmetic.
+
+The LLM-pipeline gap this fills: the engine has embedding ANN
+(`operators/similarity.py`) but training-data curation also needs
+LEXICAL retrieval — benchmark decontamination by query, targeted
+corpus slicing, hard-negative mining for retriever training.
+
+Scale shape (the standard search plan, declared as DataFrame ops):
+  1. tokenize once per doc; doc length rides along (no second scan),
+  2. postings are filtered to the QUERY terms *before* the explode's
+     aggregation, so the (doc, term, tf) shuffle carries only terms
+     someone asked about — never the whole vocabulary,
+  3. df and the corpus constants (D docs, T tokens → avgdl) are tiny
+     aggregates broadcast into the scoring join,
+  4. per-(query, doc) scores sum per-term integers; top-k is a
+     row_number window per query — shuffle keyed by (tiny) query id.
+
+Integer exactness: this is the RATIONAL BM25 variant — Robertson's
+idf (D − df + 0.5)/(df + 0.5) WITHOUT the log wrap — because ln() is
+not guaranteed bit-identical across engines but staged integer DIV is.
+Every stage is scaled-integer (milli/micro) with explicit DIV, all
+operands non-negative, so Spark's DIV (truncate) and DuckDB's //
+(floor) agree and the driver's value-hash oracle can replicate scores
+bit-for-bit.  Ranking quality: monotone in tf and 1/df like log-BM25,
+with idf weight decaying polynomially instead of logarithmically.
+
+Magnitude bounds (why nothing overflows int64): tf_norm_milli ≤
+(k1+1)·1000 ≈ 2200; idf_milli ≤ 1000·(2D+1); their product at
+D = 10^10 docs is < 4.5·10^16 — two orders under 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_score_micro(tf: str, dl: str, df: str, d: str, t: str, *,
+                     k1_milli: int = 1200, b_milli: int = 750) -> Column:
+    """Per-(doc, term) BM25 partial score in exact integer micro-units.
+
+    All column names are substituted into ONE SQL string so the Spark
+    expression text and the DuckDB oracle (``bm25_score_micro_sql``)
+    stay structurally identical."""
+    return F.expr(bm25_score_micro_sql(tf, dl, df, d, t, k1_milli=k1_milli, b_milli=b_milli))
+
+
+def bm25_score_micro_sql(tf: str, dl: str, df: str, d: str, t: str, *,
+                         k1_milli: int = 1200, b_milli: int = 750,
+                         div: str = "DIV") -> str:
+    """The scoring expression as engine-portable SQL text.
+
+    ``div='DIV'`` for Spark, ``div='//'`` for DuckDB — every operand is
+    non-negative so truncating and flooring integer division agree."""
+    one_minus_b = 1000 - b_milli
+    avgdl = f"((1000 * {t}) {div} {d})"
+    dlr = f"((1000000 * {dl}) {div} {avgdl})"
+    inner = f"({one_minus_b} + ({b_milli} * {dlr}) {div} 1000)"
+    k1t = f"(({k1_milli} * {inner}) {div} 1000)"
+    den = f"(1000 * {tf} + {k1t})"
+    tfn = f"((({1000 + k1_milli} * {tf}) * 1000) {div} {den})"
+    idf = f"((1000 * (2 * ({d} - {df}) + 1)) {div} (2 * {df} + 1))"
+    return f"CAST(({tfn} * {idf}) {div} 1000 AS BIGINT)"
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[str, list[str]]], *,
+              k: int = 5, id_col: str = "doc_id", text_col: str = "text",
+              k1_milli: int = 1200, b_milli: int = 750) -> DataFrame:
+    """Top-k docs per query by rational BM25.
+
+    ``queries`` is a small in-memory list of (query_id, terms) — it
+    broadcasts.  Returns (query_id, rank, doc_id, score_micro)."""
+    spark = docs.sparkSession
+    qterms = sorted({t for _, ts in queries for t in ts})
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")).alias("toks"),
+    )
+    # tf AND dl in one pass: dl is constant per doc, so it rides the
+    # (doc, term) group-by instead of costing a second join against a
+    # lengths table.
+    postings = (
+        toks.select(
+            id_col,
+            F.size("toks").cast("long").alias("dl"),
+            F.explode(F.filter("toks", lambda x: x.isin(*qterms))).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("d_docs"),
+        F.sum(F.size("toks")).cast("long").alias("t_tokens"),
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id string, term string"
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            id_col,
+            bm25_score_micro(
+                "tf", "dl", "df", "d_docs", "t_tokens",
+                k1_milli=k1_milli, b_milli=b_milli,
+            ).alias("term_score_micro"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("term_score_micro").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_micro")
+    )
+
+
+def bm25_topk_oracle_sql(queries: list[tuple[str, list[str]]], *, k: int = 5,
+                         k1_milli: int = 1200, b_milli: int = 750) -> str:
+    """DuckDB twin of ``bm25_topk`` built from the SAME query list and
+    the SAME scoring-SQL generator, so the two engines cannot drift."""
+    values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in queries for t in ts
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted({t for _, ts in queries for t in ts}))
+    score = bm25_score_micro_sql(
+        "tf", "dl", "df", "d_docs", "t_tokens",
+        k1_milli=k1_milli, b_milli=b_milli, div="//",
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok AS term,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM toks)
+  WHERE tok IN ({in_list})
+  GROUP BY doc_id, dl, term
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY term),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS d_docs,
+         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS t_tokens
+  FROM toks
+),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM({score}) AS BIGINT) AS score_micro
+  FROM posting JOIN q USING (term) JOIN dfs USING (term), corpus
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score_micro FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

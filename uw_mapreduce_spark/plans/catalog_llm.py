@@ -824,3 +824,29 @@ def chunk_documents_512(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "text", "doc_id", chunk_tokens=512, overlap=64)
+
+
+# --------------------------------------------------------------------------
+# lexical retrieval (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+from ..operators.retrieval import bm25_topk, bm25_topk_oracle_sql  # noqa: E402
+
+# Fixed query set for the driver-visible search query; the DuckDB twin
+# is GENERATED from the same list + the same scoring-SQL builder, so
+# the two engines cannot drift.
+_BM25_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_stream_window", ["stream", "window"]),
+    ("q_scan_filter", ["scan", "filter", "column"]),
+]
+
+
+@query("bm25_search_documents", bm25_topk_oracle_sql(_BM25_QUERIES, k=5))
+def bm25_search_documents(spark, sf_dir):
+    """BM25 top-5 per query over the documents corpus (rational-idf
+    integer-exact variant — see `operators/retrieval.py` for why no
+    log).  Postings are pruned to the query terms before the inverted
+    index aggregates, so the shuffle carries only asked-about terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=5)

@@ -9,6 +9,7 @@ from .sampling import (
     order_statistic_bounds,
     winsorized_summary,
 )
+from .zorder import z_value, zorder_by
 from .window import sliding_aggregate
 from .retrieval import bm25_topk
 from .scale import sliding_aggregate_scalable
@@ -34,4 +35,6 @@ __all__ = [
     "sort_within_partitions",
     "total_sort",
     "winsorized_summary",
+    "z_value",
+    "zorder_by",
 ]

@@ -1240,6 +1240,65 @@ def winsorize_event_values(spark, sf_dir):
     )
 
 
+from ..operators.zorder import quantize_sql, z_value_sql, zorder_by  # noqa: E402
+
+_Z_BITS = 8  # 256 cells/dim → z in [0, 65536); DIV 1024 → 64 buckets
+
+
+def _zorder_oracle() -> str:
+    """Generated from the same quantize/interleave SQL builders the
+    operator uses (div='//' for DuckDB) — the curve cannot drift."""
+    qx = quantize_sql("user_id", "xlo", "xhi", _Z_BITS, div="//")
+    qy = quantize_sql("value_u", "ylo", "yhi", _Z_BITS, div="//")
+    zv = z_value_sql("qx", "qy", _Z_BITS, div="//")
+    return rf"""
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT CAST(MIN(user_id) AS BIGINT) AS xlo, CAST(MAX(user_id) AS BIGINT) AS xhi,
+         CAST(MIN(value_u) AS BIGINT) AS ylo, CAST(MAX(value_u) AS BIGINT) AS yhi
+  FROM base
+),
+q AS (SELECT user_id, value_u, {qx} AS qx, {qy} AS qy FROM base, b),
+z AS (SELECT user_id, value_u, {zv} AS zv FROM q)
+SELECT CAST(zv // 1024 AS BIGINT) AS bucket, count(*) AS n_events,
+       CAST(MIN(user_id) AS BIGINT) AS min_user, CAST(MAX(user_id) AS BIGINT) AS max_user,
+       CAST(MIN(value_u) AS BIGINT) AS min_value_u, CAST(MAX(value_u) AS BIGINT) AS max_value_u
+FROM z GROUP BY bucket
+"""
+
+
+@query("zorder_layout_events", _zorder_oracle())
+def zorder_layout_events(spark, sf_dir):
+    """Z-order clustering audit (`operators/zorder.py`): interleave
+    (user_id, value) onto the Morton curve and report each curve
+    bucket's bounding box — the per-bucket min/max ranges are exactly
+    the parquet footer stats a Z-ordered write would produce, so small
+    boxes = real two-column scan pruning.  The curve is pure integer
+    arithmetic; DuckDB replicates it bit-for-bit."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("value_u"),
+        )
+    )
+    z = zorder_by(ev, "user_id", "value_u", bits=_Z_BITS)
+    return (
+        z.groupBy(F.expr("__z DIV 1024").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+            F.min("value_u").cast("long").alias("min_value_u"),
+            F.max("value_u").cast("long").alias("max_value_u"),
+        )
+    )
+
+
 # Trigger the documents/embeddings (LLM-pipeline) registrations — kept
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401

@@ -66,3 +66,22 @@ def test_bm25_rewards_tf_and_penalizes_df(spark):
     # d1 has tf=3 of 'hash' in a short doc; d2 has tf=1 in a longer doc.
     assert rows[1]["doc_id"] == "d1" and rows[2]["doc_id"] == "d2"
     assert rows[1]["score_micro"] > rows[2]["score_micro"] > 0
+
+
+def test_rrf_fuse_prefers_docs_in_both_lists(spark):
+    from uw_mapreduce_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "query_id string, doc_id string, rank long",
+    )
+    b = spark.createDataFrame(
+        [("q", "d2", 1), ("q", "d4", 2)],
+        "query_id string, doc_id string, rank long",
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(a, b, k=10).collect()}
+    # d2 appears in both lists: 1e6//62 + 1e6//61 beats d1's 1e6//61.
+    assert rows["d2"]["rank"] == 1
+    assert rows["d2"]["rrf_micro"] == 1000000 // 62 + 1000000 // 61
+    assert rows["d1"]["rrf_micro"] == 1000000 // 61
+    assert set(rows) == {"d1", "d2", "d3", "d4"}

@@ -11,7 +11,7 @@ from .sampling import (
 )
 from .zorder import z_value, zorder_by
 from .window import sliding_aggregate
-from .retrieval import bm25_topk
+from .retrieval import bm25_topk, rrf_fuse
 from .scale import sliding_aggregate_scalable
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "bloom_prune",
     "bloom_semi_join",
     "bm25_topk",
+    "rrf_fuse",
     "chunk_documents",
     "deterministic_shuffle",
     "equi_depth_borders",

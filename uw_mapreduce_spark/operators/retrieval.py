@@ -165,3 +165,33 @@ SELECT query_id, rank, doc_id, score_micro FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *, k: int = 10,
+             c_const: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, doc_id, rank) lists —
+    the standard way to merge lexical (BM25) and vector (ANN) rankings
+    without comparable scores.  Contribution of each list is
+    floor(10^6 / (c + rank)) — integer DIV, so the fused scores are
+    engine-exact.  A doc present in only one list simply gets one
+    contribution (the union-groupBy IS the full outer join).
+
+    Scale: both inputs are already top-k-per-query (tiny relative to
+    the corpus); the fuse is one shuffle keyed by (query, doc)."""
+    def pts(df: DataFrame) -> DataFrame:
+        return df.select(
+            "query_id", "doc_id",
+            F.expr(f"1000000 DIV ({c_const} + rank)").alias("pts"),
+        )
+
+    fused = (
+        pts(ranked_a).unionByName(pts(ranked_b))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pts").cast("long").alias("rrf_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_micro")
+    )

@@ -850,3 +850,69 @@ def bm25_search_documents(spark, sf_dir):
     index aggregates, so the shuffle carries only asked-about terms."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_QUERIES, k=5)
+
+
+from ..operators.retrieval import bm25_topk_oracle_sql as _bm25_sql  # noqa: E402
+from ..operators.retrieval import rrf_fuse  # noqa: E402
+
+# Each hybrid query = BM25 term list + a query embedding (the vec of a
+# designated doc; vec_id and doc_id share one id space in the driver
+# tables).
+_HYBRID_QVECS = [("q_hash_join", 0), ("q_stream_window", 1), ("q_scan_filter", 2)]
+
+
+def _hybrid_oracle() -> str:
+    qmap = ", ".join(f"('{qid}', {v})" for qid, v in _HYBRID_QVECS)
+    vec_ids = ", ".join(str(v) for _, v in _HYBRID_QVECS)
+    return rf"""
+WITH lex AS (SELECT * FROM ({_bm25_sql(_BM25_QUERIES, k=20)})),
+qmap(query_id, qvec) AS (VALUES {qmap}),
+knn AS (
+  SELECT qvec, doc_id, rank FROM (
+    SELECT q.vec_id AS qvec, e.vec_id AS doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS BIGINT) AS rank
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({vec_ids})) q
+    JOIN embeddings e ON e.vec_id <> q.vec_id
+  ) WHERE rank <= 20
+),
+vecr AS (SELECT query_id, doc_id, rank FROM knn JOIN qmap USING (qvec)),
+pts AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS pts FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS pts FROM vecr
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(pts) AS BIGINT) AS rrf_micro
+  FROM pts GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, rrf_micro FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+@query("hybrid_search_rrf", _hybrid_oracle())
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 and exact-cosine vector
+    top-20 merged by reciprocal-rank fusion (integer RRF —
+    floor(1e6/(60+rank)) per list, summed).  The two retrievers run
+    independently (each with its own scale plan) and the fuse touches
+    only top-k rows — the production hybrid-search shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_QUERIES, k=20).select("query_id", "doc_id", "rank")
+    qmap = spark.createDataFrame(_HYBRID_QVECS, "query_id string, qvec long")
+    knn = knn_bruteforce(
+        emb, emb.where(F.col("vec_id").isin([v for _, v in _HYBRID_QVECS])), k=20
+    )
+    vec = (
+        knn.join(F.broadcast(qmap), knn.query_id == qmap.qvec)
+        .select(qmap.query_id, F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank"))
+    )
+    return rrf_fuse(lex, vec, k=10)

@@ -1,3 +1,4 @@
+from .bpe import bpe_train
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
@@ -18,6 +19,7 @@ __all__ = [
     "apply_changelog",
     "bernoulli_sample",
     "bloom_build",
+    "bpe_train",
     "bloom_prune",
     "bloom_semi_join",
     "bm25_topk",

@@ -916,3 +916,17 @@ def hybrid_search_rrf(spark, sf_dir):
         .select(qmap.query_id, F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank"))
     )
     return rrf_fuse(lex, vec, k=10)
+
+
+from ..operators.bpe import bpe_train  # noqa: E402
+
+
+@query("bpe_train_documents")  # iterative driver loop: rows-only check
+def bpe_train_documents(spark, sf_dir):
+    """BPE tokenizer training (`operators/bpe.py`): 8 merges learned
+    from the documents word histogram.  Inherently iterative (argmax →
+    merge → recount), so no SQL twin — same class as IVF k-means; the
+    pytest suite pins the merge table exactly against a pure-Python
+    reference trainer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)

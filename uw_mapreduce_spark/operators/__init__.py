@@ -14,6 +14,7 @@ from .zorder import z_value, zorder_by
 from .window import sliding_aggregate
 from .retrieval import bm25_topk, rrf_fuse
 from .scale import sliding_aggregate_scalable
+from .sketch import count_min_estimates
 
 __all__ = [
     "apply_changelog",
@@ -25,6 +26,7 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "chunk_documents",
+    "count_min_estimates",
     "deterministic_shuffle",
     "equi_depth_borders",
     "global_rank",

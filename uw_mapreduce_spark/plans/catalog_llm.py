@@ -930,3 +930,56 @@ def bpe_train_documents(spark, sf_dir):
     reference trainer."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=8)
+
+
+from ..operators.sketch import count_min_estimates  # noqa: E402
+
+# Full DuckDB twin of the portable count-min sketch: same md5-affine
+# cells (d=4 rows x w=16 columns — small enough that the 31-token
+# corpus vocabulary genuinely collides, so overcount is non-trivially
+# exercised), same min-over-rows point query.
+_CMS_SQL = r"""
+WITH occ AS (
+  SELECT tok AS item, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS x FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents)
+),
+seeds AS (
+  SELECT i, (2654435761 * (i + 1)) % 32749 + 1 AS a, (40503 * (i + 1)) % 65521 AS b
+  FROM (SELECT unnest(range(4)) AS i)
+),
+cells AS (
+  SELECT i, ((a * x + b) % 2305843009213693951) % 16 AS idx, count(*) AS n
+  FROM occ CROSS JOIN seeds GROUP BY i, idx
+),
+exact AS (
+  SELECT item, count(*) AS n_exact, min(x) AS x FROM occ
+  GROUP BY item ORDER BY n_exact DESC, item LIMIT 20
+),
+keys AS (
+  SELECT item, n_exact, i, ((a * x + b) % 2305843009213693951) % 16 AS idx
+  FROM exact CROSS JOIN seeds
+),
+est AS (
+  SELECT item, n_exact, min(n) AS est_n FROM keys JOIN cells USING (i, idx)
+  GROUP BY item, n_exact
+)
+SELECT item, CAST(n_exact AS BIGINT) AS n_exact, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - n_exact AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@query("count_min_tokens", _CMS_SQL)
+def count_min_tokens(spark, sf_dir):
+    """Count-min sketch heavy hitters (`operators/sketch.py`): top-20
+    token frequencies estimated from a 4x16 portable-hash sketch next
+    to their exact counts.  w=16 < vocabulary size, so collisions (and
+    the one-sided overcount) are real, and DuckDB rebuilds the
+    identical cells — the whole sketch is value-hash checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    return count_min_estimates(toks, "tok", depth=4, width=16, check_top=20)

@@ -1,0 +1,76 @@
+"""Physical-plan regression gates.
+
+PLANS.md documents how each operator family plans; these tests ENFORCE
+the load-bearing properties so a refactor cannot silently regress them:
+filters/projection pushed to the parquet scan, bloom pruning staying
+map-only, explicit broadcasts surviving, the sessionize two-window
+pipeline keeping its single exchange, and Z-order clustering actually
+range-partitioning.  Assertions stick to properties that are stable
+pre-AQE (explicit hints, scan pushdown, exchange counts of fixed
+shapes) — AQE-dependent join picks are deliberately not pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uw_mapreduce_spark.plans.catalog import QUERIES
+from uw_mapreduce_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_pushes_filter_and_prunes_columns(spark, sf_small):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_small))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # Projection pruning: the scan schema must not include unused cols.
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_bloom_prune_is_map_only(spark, sf_small):
+    from uw_mapreduce_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    keys = (
+        load_table(spark, sf_small, "orders")
+        .where(F.col("o_totalprice") > 450000)
+        .select("o_orderkey")
+    )
+    words = bloom_build(keys, "o_orderkey")
+    pruned = bloom_prune(load_table(spark, sf_small, "lineitem"), "l_orderkey", words)
+    plan = _plan(pruned)
+    assert "Exchange" not in plan  # the prune fuses into the scan stage
+    assert "xxhash64" in plan
+
+
+def test_zorder_clustering_plans_a_range_exchange(spark):
+    from uw_mapreduce_spark.operators.zorder import zorder_by
+
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 1000).alias("y")
+    )
+    plan = _plan(zorder_by(df, "x", "y", bits=8, n_partitions=8))
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_sessionize_pipelines_both_windows_over_one_exchange(spark, sf_small):
+    plan = _plan(QUERIES["sessionize_events_batch"](spark, sf_small))
+    # Two window operators + the session aggregate all cluster by
+    # user_id: one shuffle feeds the whole pipeline.
+    assert plan.count("Exchange") == 1
+
+
+def test_q7_explicit_broadcasts_survive(spark, sf_small):
+    plan = _plan(QUERIES["q7_volume_shipping"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2  # hinted supp + nation sides
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_bruteforce_never_shuffles_the_corpus(spark, sf_small):
+    plan = _plan(QUERIES["knn_cosine_top5"](spark, sf_small))
+    # The only exchange allowed is the top-k window's shuffle of scored
+    # rows keyed by query; the corpus side joins via broadcast.
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

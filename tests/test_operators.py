@@ -365,3 +365,27 @@ def test_apply_changelog_scales_with_hot_key(spark):
     # the hot key (10% of rows) must resolve to exactly one surviving row
     hot = merged.where(F.col("k") == 0).collect()
     assert len(hot) <= 1
+
+
+def test_incremental_rollup_equals_recompute_and_drops_empty_groups(spark):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.merge import incremental_rollup
+
+    base = spark.createDataFrame(
+        [("u1", 10), ("u1", 20), ("u2", 5), ("u3", 7)], "k string, v long"
+    )
+    snapshot = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").cast("long").alias("sum_v")
+    )
+    # inserts for u1/u4; u3 fully retracted (group must disappear).
+    changelog = spark.createDataFrame(
+        [("u1", 100, 1), ("u4", 1, 1), ("u3", 7, -1)], "k string, v long, weight int"
+    )
+    got = {r["k"]: (r["n"], r["sum_v"]) for r in
+           incremental_rollup(snapshot, changelog, ["k"], "v").collect()}
+    assert got == {"u1": (3, 130), "u2": (1, 5), "u4": (1, 1)}
+    # cold start (snapshot=None) aggregates the changelog alone
+    cold = {r["k"]: (r["n"], r["sum_v"]) for r in
+            incremental_rollup(None, changelog, ["k"], "v").collect()}
+    assert cold == {"u1": (1, 100), "u4": (1, 1)}

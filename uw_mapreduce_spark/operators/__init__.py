@@ -1,6 +1,6 @@
 from .bpe import bpe_train
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
-from .merge import apply_changelog
+from .merge import apply_changelog, incremental_rollup
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
 from .partitioning import range_partition, rebalance_by_rank, sort_within_partitions, total_sort
 from .rank import global_rank, global_rank_scalable
@@ -30,6 +30,7 @@ __all__ = [
     "deterministic_shuffle",
     "equi_depth_borders",
     "global_rank",
+    "incremental_rollup",
     "global_rank_scalable",
     "order_statistic_bounds",
     "pack_documents",

@@ -1299,6 +1299,46 @@ def zorder_layout_events(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_rollup_events",
+    r"""
+WITH survivors AS (
+  SELECT user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+  WHERE NOT (ts < TIMESTAMP '2024-01-20' AND event_id % 97 = 0)
+)
+SELECT user_id, count(*) AS n, CAST(SUM(value_u) AS BIGINT) AS sum_v
+FROM survivors GROUP BY user_id
+""",
+)
+def incremental_rollup_events(spark, sf_dir):
+    """Incremental view maintenance (`operators/merge.incremental_rollup`):
+    a per-user count/sum snapshot built from pre-cutoff events is
+    updated by a weighted changelog — post-cutoff rows as +1 inserts,
+    every 97th old event as a -1 retraction — WITHOUT touching the
+    base again.  The oracle recomputes from scratch over the surviving
+    rows: merged-vs-recomputed equality is the IVM contract, and at
+    scale the merge shuffles O(|delta|) instead of O(|base|)."""
+    from ..operators.merge import incremental_rollup
+
+    ev = events_u(spark, sf_dir)
+    cut = F.lit("2024-01-20").cast("timestamp")
+    old = ev.where(F.col("ts") < cut)
+    snapshot = old.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value_u").cast("long").alias("sum_v"),
+    )
+    inserts = ev.where(F.col("ts") >= cut).select(
+        "user_id", "value_u", F.lit(1).alias("weight")
+    )
+    deletes = old.where(F.col("event_id") % 97 == 0).select(
+        "user_id", "value_u", F.lit(-1).alias("weight")
+    )
+    return incremental_rollup(
+        snapshot, inserts.unionByName(deletes), ["user_id"], "value_u"
+    )
+
+
 # Trigger the documents/embeddings (LLM-pipeline) registrations — kept
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401

@@ -389,3 +389,29 @@ def test_incremental_rollup_equals_recompute_and_drops_empty_groups(spark):
     cold = {r["k"]: (r["n"], r["sum_v"]) for r in
             incremental_rollup(None, changelog, ["k"], "v").collect()}
     assert cold == {"u1": (1, 100), "u4": (1, 1)}
+
+
+def test_hash_split_is_deterministic_partition_and_total(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.split import hash_sample, hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    splits = [("train", 900), ("val", 50), ("test", 50)]
+    a = hash_split(df, "doc_id", splits)
+    b = hash_split(df.repartition(13), "doc_id", splits)
+    # Partitioning-invariant: identical assignment row-for-row.
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total partition of the corpus
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # ~uniform: train within 10% of its 90% expectation
+    assert abs(counts["train"] - 1800) < 180
+    # sample ⊂ corpus, deterministic, and independent under a new salt
+    s1 = hash_sample(df, "doc_id", 100)
+    s2 = hash_sample(df, "doc_id", 100)
+    assert s1.exceptAll(s2).count() == 0
+    assert abs(s1.count() - 200) < 80
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", [("a", 500), ("b", 400)])  # sums to 900

@@ -15,6 +15,7 @@ from .window import sliding_aggregate
 from .retrieval import bm25_topk, rrf_fuse
 from .scale import sliding_aggregate_scalable
 from .sketch import count_min_estimates
+from .split import hash_sample, hash_split
 
 __all__ = [
     "apply_changelog",
@@ -30,6 +31,8 @@ __all__ = [
     "deterministic_shuffle",
     "equi_depth_borders",
     "global_rank",
+    "hash_sample",
+    "hash_split",
     "incremental_rollup",
     "global_rank_scalable",
     "order_statistic_bounds",

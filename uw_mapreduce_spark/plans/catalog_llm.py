@@ -983,3 +983,35 @@ def count_min_tokens(spark, sf_dir):
         F.explode(tokens(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
     return count_min_estimates(toks, "tok", depth=4, width=16, check_top=20)
+
+
+from ..operators.split import hash_split, hash_split_sql  # noqa: E402
+
+_SPLITS = [("train", 900), ("val", 50), ("test", 50)]
+
+
+def _split_oracle() -> str:
+    case = hash_split_sql("doc_id", _SPLITS)
+    return rf"""
+SELECT {case} AS split, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY split
+"""
+
+
+@query("hash_split_documents", _split_oracle())
+def hash_split_documents(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (`operators/split.hash_split`): membership is a pure function of
+    doc_id (md5 permille), stable under repartitioning and reruns —
+    the property eval-split hygiene depends on.  Map-only; the oracle
+    CASE expression is generated from the same split list."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

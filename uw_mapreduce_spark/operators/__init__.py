@@ -1,4 +1,6 @@
+from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_train
+from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog, incremental_rollup
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
@@ -38,7 +40,9 @@ __all__ = [
     "order_statistic_bounds",
     "pack_documents",
     "range_partition",
+    "profile_columns",
     "rebalance_by_rank",
+    "rolling_zscore_anomalies",
     "sliding_aggregate",
     "sliding_aggregate_scalable",
     "sort_within_partitions",

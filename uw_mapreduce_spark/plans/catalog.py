@@ -1343,3 +1343,84 @@ def incremental_rollup_events(spark, sf_dir):
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401
 from . import catalog_tpch  # noqa: E402,F401
+
+
+from ..operators.anomaly import rolling_zscore_anomalies  # noqa: E402
+from ..operators.profile import profile_columns  # noqa: E402
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "totalprice_c"
+]
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+            f" count(*) - count({c}) AS n_null,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(MIN({c}) AS VARCHAR) AS min_repr,"
+            f" CAST(MAX({c}) AS VARCHAR) AS max_repr FROM p"
+        )
+    return (
+        "WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,"
+        " CAST(floor(o_totalprice * 100.0) AS BIGINT) AS totalprice_c FROM orders)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+@query("profile_orders", _profile_oracle())
+def profile_orders(spark, sf_dir):
+    """Column profiling (`operators/profile.py`): null counts,
+    cardinalities, and ranges for five orders columns in ONE
+    aggregation pass (Expand + partial agg — the table is read once).
+    Money is pre-cast to integer cents so min/max string forms are
+    engine-portable; the oracle is one generated UNION-ALL per
+    column."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("totalprice_c"),
+    )
+    return profile_columns(orders, _PROFILE_COLS)
+
+
+@query(
+    "rolling_zscore_events",
+    r"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000.0) AS BIGINT) AS value_m
+  FROM events
+),
+st AS (
+  SELECT user_id, event_id, ts_us, value_m,
+         count(value_m) OVER w AS n, SUM(value_m) OVER w AS s,
+         SUM(value_m * value_m) OVER w AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts_us, value_m FROM st
+WHERE n >= 10 AND (n * value_m - s) * (n * value_m - s) > 9 * (n * ss - s * s)
+""",
+)
+def rolling_zscore_events(spark, sf_dir):
+    """Rolling 3-sigma outliers (`operators/anomaly.py`): each event
+    judged against its user's trailing 20-event history via the
+    cross-multiplied integer form (n·x − Σ)² > 9·(n·Σx² − Σ²) — no
+    float mean/variance/sqrt, so the detector itself is value-hash
+    checked.  One shuffle on user_id; the three window sums share one
+    sort."""
+    ev = events_u(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("value_m"),
+    )
+    return rolling_zscore_anomalies(
+        ev, ["user_id"], ["ts_us", "event_id"], "value_m", window=20, k=3, min_history=10
+    )

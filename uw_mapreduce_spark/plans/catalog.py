@@ -1424,3 +1424,67 @@ def rolling_zscore_events(spark, sf_dir):
     return rolling_zscore_anomalies(
         ev, ["user_id"], ["ts_us", "event_id"], "value_m", window=20, k=3, min_history=10
     )
+
+
+@query(
+    "cohort_retention_events",
+    r"""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+firstd AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act JOIN firstd USING (user_id)
+GROUP BY cohort_day, day_offset
+""",
+)
+def cohort_retention_events(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-active day,
+    counted at each later day offset — the standard product-analytics
+    rollup.  Day arithmetic is integer DATE math (exact on both
+    engines); the first-day aggregate and the distinct-activity set
+    both key on user_id, so the join co-locates on one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    firstd = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(firstd, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "event_transitions_events",
+    r"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def event_transitions_events(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence (lead over the full (ts, id) tiebreak — order comes from
+    the data, not shuffle arrival).  One shuffle on user_id; the 5x5
+    output matrix partial-aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

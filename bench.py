@@ -48,6 +48,11 @@ HEADLINE = [
     "q7_volume_shipping",
     "q9_product_type_profit",
     "q21_waiting_suppliers",
+    # round-5 scale operators: bloom-pruned semi join, hybrid
+    # lexical+vector retrieval, Morton-curve layout clustering.
+    "bloom_semi_join_lineitem",
+    "hybrid_search_rrf",
+    "zorder_layout_events",
 ]
 
 

@@ -41,7 +41,12 @@ def test_bloom_prune_is_map_only(spark, sf_small):
     words = bloom_build(keys, "o_orderkey")
     pruned = bloom_prune(load_table(spark, sf_small, "lineitem"), "l_orderkey", words)
     plan = _plan(pruned)
-    assert "Exchange" not in plan  # the prune fuses into the scan stage
+    # No SHUFFLE of the probe side: the only exchange is the one-row
+    # broadcast of the word array; the bit-test filter fuses into the
+    # probe scan stage.
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("BroadcastExchange") == 1
     assert "xxhash64" in plan
 
 

@@ -137,3 +137,19 @@ def test_streaming_foreachbatch_parquet_sink(spark, sf_small):
         assert _g.glob(f"{out}/event_type=*")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_small_files_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).select("id", (F.col("id") % 7).alias("g"))
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    stats = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] == 1  # everything fits one target file
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10000 * 9999 // 2

@@ -1,11 +1,15 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .sinks import compact_small_files, write_bucketed, write_table
 from .text_kv import read_text_kv, write_text_kv
 
 __all__ = [
     "TABLE_NAMES",
+    "compact_small_files",
     "load_table",
     "load_tables",
     "register_views",
+    "write_bucketed",
+    "write_table",
     "read_text_kv",
     "write_text_kv",
 ]

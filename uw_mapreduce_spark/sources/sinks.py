@@ -56,3 +56,51 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact_small_files(spark, path: str, *, fmt: str = "parquet",
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        sort_within_by: list[str] | None = None) -> dict:
+    """Compact a small-files table in place: rewrite ``path`` with
+    file sizes near ``target_file_bytes``.
+
+    The 100 TB operational problem: streaming/incremental writers land
+    thousands of KB-sized files per partition; every subsequent scan
+    then pays per-file open/footer costs and the driver pays listing
+    memory.  Compaction = read → coalesce to ceil(bytes/target) →
+    rewrite.  ``coalesce`` (not repartition) narrows partitions WITHOUT
+    a shuffle; pass ``sort_within_by`` to restore clustering (e.g. the
+    Z-order column) during the rewrite.
+
+    Writes to a sibling temp dir then atomically swaps via rename —
+    never leaves the table half-rewritten on failure.  Returns
+    {'files_before', 'files_after', 'bytes'} for the caller's audit
+    log."""
+    import glob as _glob
+    import os
+    import shutil
+
+    def _data_files(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files
+                    if not f.startswith(("_", "."))]
+        return out
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_parts = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.format(fmt).load(path).coalesce(n_parts)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total,
+    }

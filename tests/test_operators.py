@@ -415,3 +415,20 @@ def test_hash_split_is_deterministic_partition_and_total(spark):
     assert abs(s1.count() - 200) < 80
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", [("a", 500), ("b", 400)])  # sums to 900
+
+
+def test_table_diff_classifies_all_four_statuses(spark):
+    from uw_mapreduce_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # NULL vs empty string must classify as changed, not unchanged.
+    o2 = spark.createDataFrame([(1, None)], "k long, s string")
+    n2 = spark.createDataFrame([(1, "")], "k long, s string")
+    assert table_diff(o2, n2, ["k"]).collect()[0]["diff_status"] == "changed"

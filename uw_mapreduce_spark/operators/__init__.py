@@ -1,5 +1,6 @@
 from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_train
+from .diff import table_diff
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog, incremental_rollup
@@ -45,6 +46,7 @@ __all__ = [
     "rolling_zscore_anomalies",
     "sliding_aggregate",
     "sliding_aggregate_scalable",
+    "table_diff",
     "sort_within_partitions",
     "total_sort",
     "winsorized_summary",

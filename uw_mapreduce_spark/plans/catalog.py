@@ -1488,3 +1488,88 @@ def event_transitions_events(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "table_diff_events",
+    r"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+),
+new_side AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 97 = 0 THEN value_u + 1 ELSE value_u END AS value_u
+  FROM base WHERE event_id % 101 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, user_id, event_type, value_u
+  FROM base WHERE event_id % 103 = 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.user_id = n.user_id AND o.event_type = n.event_type
+                 AND o.value_u = n.value_u THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM base o FULL OUTER JOIN new_side n USING (event_id)
+""",
+)
+def table_diff_events(spark, sf_dir):
+    """Snapshot reconciliation (`operators/diff.table_diff`): events vs
+    a deterministically mutated copy (every 101st key dropped, every
+    97th value bumped, every 103rd re-keyed as new).  One full outer
+    join on the key; values compare via an md5 row digest so wide rows
+    cost one string compare.  The oracle classifies by direct column
+    equality — digest-equality ≡ column-equality is exactly the
+    contract under test."""
+    from ..operators.diff import table_diff
+
+    ev = events_u(spark, sf_dir).select("event_id", "user_id", "event_type", "value_u")
+    new = ev.where(F.col("event_id") % 101 != 0).withColumn(
+        "value_u",
+        F.when(F.col("event_id") % 97 == 0, F.col("value_u") + 1).otherwise(
+            F.col("value_u")
+        ),
+    )
+    added = ev.where(F.col("event_id") % 103 == 0).withColumn(
+        "event_id", F.col("event_id") + 10000000
+    )
+    return table_diff(ev, new.unionByName(added), ["event_id"])
+
+
+@query(
+    "window_extended_orders",
+    r"""
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(floor(percent_rank() OVER w * 1000.0) AS BIGINT) AS pr_permille,
+       CAST(floor(cume_dist() OVER w * 1000.0) AS BIGINT) AS cd_permille,
+       CAST(first_value(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER wf AS BIGINT) AS first_tp_c,
+       CAST(last_value(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER wf AS BIGINT) AS last_tp_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_extended_orders(spark, sf_dir):
+    """The remaining SQL window functions in one query: ntile,
+    percent_rank, cume_dist (both emitted as floor(x*1000) — a single
+    correctly-rounded IEEE division, deterministic across engines,
+    unlike order-dependent double SUMs), and first/last value over the
+    full-partition frame.  All five share one (custkey, orderdate)
+    sort — one exchange, one WindowExec."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tp_c = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * F.lit(1000.0)).cast("long").alias("pr_permille"),
+        F.floor(F.cume_dist().over(w) * F.lit(1000.0)).cast("long").alias("cd_permille"),
+        F.first(tp_c).over(wf).alias("first_tp_c"),
+        F.last(tp_c).over(wf).alias("last_tp_c"),
+    )

@@ -395,3 +395,35 @@ def test_stream_stream_funnel_full_converges_to_batch(spark, sf_small):
             assert ev_ts[t[1]] + within >= final_wm
         else:               # orphan purchase: horizon is purchase.ts itself
             assert t[1] == -1 and ev_ts[t[2]] >= final_wm
+
+
+def test_streaming_rollup_maintenance_converges_to_batch(spark, sf_small, tmp_path):
+    """Multi-batch foreachBatch IVM: 4 file-batches drained one at a
+    time must leave the maintained snapshot equal to the one-shot batch
+    aggregate (and genuinely apply >1 incremental merge)."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.maintenance import maintain_rollup
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", F.floor(F.col("value") * 1000).cast("long").alias("value_m")
+    )
+    staging = str(tmp_path / "ev_stream")
+    ev.repartition(4).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q, m = maintain_rollup(stream, ["user_id"], "value_m")
+    q.awaitTermination(180)
+    assert m.batches_applied >= 4
+    expected = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("value_m").cast("long").alias("sum_v"))
+        .collect()
+    }
+    got = {tuple(r) for r in m.snapshot.collect()}
+    assert got == expected and len(got) > 0

@@ -1,3 +1,9 @@
+from .maintenance import RollupMaintainer, maintain_rollup
 from .sliding import sliding_event_time_sum, stream_events
 
-__all__ = ["sliding_event_time_sum", "stream_events"]
+__all__ = [
+    "RollupMaintainer",
+    "maintain_rollup",
+    "sliding_event_time_sum",
+    "stream_events",
+]

@@ -153,3 +153,29 @@ def test_compact_small_files_reduces_files_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("id")).collect()[0][0] == 10000 * 9999 // 2
+
+
+def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from uw_mapreduce_spark.sources.ingest import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "1,alice,100\n"
+        "2,bob,not_a_number\n"   # unparseable long
+        "3,carol,300\n"
+        "4,dave\n"               # wrong arity
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("amount", LongType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert raws == ["2,bob,not_a_number", "4,dave"]
+    assert good.columns == ["id", "name", "amount"]

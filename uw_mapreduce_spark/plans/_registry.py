@@ -25,6 +25,10 @@ def query(name: str, oracle: str | None = None):
     driver's rows-only check."""
 
     def register(fn):
+        if name in QUERIES:
+            # A silent overwrite would drop a catalog entry (and its
+            # driver row) without any test noticing — fail loudly.
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         QUERIES[name] = fn
         sql = oracle if oracle is not None else ORACLE_SQL.get(name)
         if sql is not None:

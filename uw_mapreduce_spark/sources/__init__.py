@@ -1,4 +1,5 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .ingest import read_csv_quarantine
 from .sinks import compact_small_files, write_bucketed, write_table
 from .text_kv import read_text_kv, write_text_kv
 
@@ -10,6 +11,7 @@ __all__ = [
     "register_views",
     "write_bucketed",
     "write_table",
+    "read_csv_quarantine",
     "read_text_kv",
     "write_text_kv",
 ]

@@ -99,6 +99,11 @@ SF1_QUERIES = [
     "curation_pipeline",
     "merge_changelog_users",
     "chunk_documents_512",
+    # round-5 scale evidence: bloom-pruned semi join over 10x lineitem,
+    # the q21 aggregate rewrite, and O(delta) incremental maintenance.
+    "bloom_semi_join_lineitem",
+    "q21_waiting_suppliers",
+    "incremental_rollup_events",
 ]
 
 

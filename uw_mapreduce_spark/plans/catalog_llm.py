@@ -1015,3 +1015,36 @@ def hash_split_documents(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "group_sample_documents",
+    r"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def group_sample_documents(spark, sf_dir):
+    """Exact-k deterministic per-group sample: 20 docs per language,
+    chosen by md5 order — a pure function of doc identity, so the
+    sample is reproducible across engines and reruns (the seeded-RNG
+    `stratified_sample_documents` is approximate-k and rows-only
+    checkable; this is the exact-k, fully-oracled twin).  One shuffle
+    on the group key; per-partition WindowGroupLimit prunes before the
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    pr = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("lang").orderBy(pr, "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )

@@ -201,3 +201,24 @@ def test_jaccard_max_df_prunes_hot_shingle(spark):
     near = lambda md: {(r.doc_a, r.doc_b)
                        for r in ngram_jaccard_pairs(df, threshold=0.8, max_df=md).collect()}
     assert near(None) == near(8) == {(0, 1)}
+
+
+def test_triangle_counts_known_graphs(spark):
+    from uw_mapreduce_spark.operators.graph import triangle_counts
+
+    # K4: every vertex sits in C(3,2) = 3 triangles; 4 triangles total.
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    got = {r["v"]: r["n_triangles"] for r in triangle_counts(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert sum(got.values()) // 3 == 4
+    # A path has no triangles; result is empty.
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+    # Duplicate / reversed / self-loop edges canonicalize away.
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 1)], "src long, dst long"
+    )
+    got2 = {r["v"]: r["n_triangles"] for r in triangle_counts(messy).collect()}
+    assert got2 == {0: 1, 1: 1, 2: 1}

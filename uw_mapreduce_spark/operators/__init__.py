@@ -1,6 +1,7 @@
 from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_train
 from .diff import table_diff
+from .graph import triangle_counts
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog, incremental_rollup
@@ -47,6 +48,7 @@ __all__ = [
     "sliding_aggregate",
     "sliding_aggregate_scalable",
     "table_diff",
+    "triangle_counts",
     "sort_within_partitions",
     "total_sort",
     "winsorized_summary",

@@ -82,3 +82,58 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts (and thereby the global
+    triangle count: sum/3).
+
+    The MapReduce-era algorithm done declaratively (Suri &
+    Vassilvitskii's degree-ordered wedge counting): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher;
+    then each triangle forms EXACTLY ONE wedge at its lowest vertex,
+    and — the scale property — the out-degree of every vertex in the
+    oriented graph is O(sqrt(|E|)), so the wedge join cannot blow up on
+    hub vertices the way a naive neighborhood self-join does.
+
+    Plan: canonicalize+distinct (one shuffle), degree count (one
+    shuffle, broadcast back), wedge self-join on the low vertex, then a
+    semi join against the edge set to close each wedge.  Returns
+    (v, n_triangles) for every vertex in at least one triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)  # reused by degrees + 2 joins
+    deg = (
+        und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    # Orient low -> high by (degree, id); ties on degree break by id.
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    o1 = oriented.select(F.col("lo"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
+    wedges = o1.join(o2, "lo").where(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    per_vertex = (
+        tris.select(F.col("lo").alias("v"))
+        .unionAll(tris.select(F.col("x").alias("v")))
+        .unionAll(tris.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_vertex

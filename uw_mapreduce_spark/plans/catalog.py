@@ -1573,3 +1573,40 @@ def window_extended_orders(spark, sf_dir):
         F.first(tp_c).over(wf).alias("first_tp_c"),
         F.last(tp_c).over(wf).alias("last_tp_c"),
     )
+
+
+@query(
+    "triangle_counts_suppliers",
+    r"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+  FROM ps p1 JOIN ps p2
+    ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS v FROM t UNION ALL SELECT y AS v FROM t UNION ALL SELECT z AS v FROM t
+) GROUP BY v
+""",
+)
+def triangle_counts_suppliers(spark, sf_dir):
+    """Triangle counting (`operators/graph.triangle_counts`) over the
+    supplier co-shipping graph (suppliers joined by sharing a part).
+    The engine uses degree-ordered wedge counting — oriented out-degree
+    is O(sqrt(E)), so hub vertices cannot blow up the wedge join; the
+    oracle's naive x<y<z triple join proves the optimized plan
+    result-identical."""
+    from ..operators.graph import triangle_counts
+
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    pairs = ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2)).select(
+        F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
+    )
+    return triangle_counts(pairs)

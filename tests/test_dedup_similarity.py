@@ -222,3 +222,18 @@ def test_triangle_counts_known_graphs(spark):
     )
     got2 = {r["v"]: r["n_triangles"] for r in triangle_counts(messy).collect()}
     assert got2 == {0: 1, 1: 1, 2: 1}
+
+
+def test_pagerank_known_graphs(spark):
+    from uw_mapreduce_spark.operators.graph import pagerank
+
+    # Directed 3-cycle: perfectly symmetric, ranks stay equal (and at
+    # the fixpoint value ~1/3).
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {r["v"]: r["rank_micro"] for r in pagerank(cyc, iterations=10).collect()}
+    assert len(set(got.values())) == 1
+    assert abs(got[0] - 333333) < 5
+    # Star pointing at the hub: the hub outranks every leaf.
+    star = spark.createDataFrame([(i, 99) for i in range(5)], "src long, dst long")
+    ranks = {r["v"]: r["rank_micro"] for r in pagerank(star, iterations=5).collect()}
+    assert all(ranks[99] > ranks[i] for i in range(5))

@@ -1,7 +1,7 @@
 from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_train
 from .diff import table_diff
-from .graph import triangle_counts
+from .graph import triangle_counts, pagerank
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog, incremental_rollup
@@ -41,6 +41,7 @@ __all__ = [
     "global_rank_scalable",
     "order_statistic_bounds",
     "pack_documents",
+    "pagerank",
     "range_partition",
     "profile_columns",
     "rebalance_by_rank",

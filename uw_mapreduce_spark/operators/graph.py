@@ -137,3 +137,54 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return per_vertex
+
+
+def pagerank(edges: DataFrame, *, iterations: int = 5, damping_milli: int = 850,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank over a directed graph in exact integer micro-units.
+
+    Update rule, all integer (deterministic on any engine — no float
+    sums whose order could differ):
+
+        r'(v) = ((1000 - d) * (10^6 DIV N)
+                 + d * SUM over in-neighbors u of (r(u) DIV outdeg(u)))
+                DIV 1000
+
+    with d = ``damping_milli``.  Truncation drops sub-micro mass and
+    dangling vertices leak theirs — both standard simplifications,
+    identical in the DuckDB oracle (generated by unrolling the same
+    formula per iteration), so the driver value-hash checks the whole
+    iteration.
+
+    Plan: out-degrees computed once and joined into the edge list,
+    which is localCheckpoint-ed and reused every round; each iteration
+    is one join + one aggregate (shuffle on dst), the classic scalable
+    PageRank shape.  Returns (v, rank_micro) for every vertex."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    verts = (
+        e.select("u").unionAll(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("v"))
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "u").localCheckpoint(eager=True)
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()  # scalar: N is needed in the literal base term
+    step = (
+        f"CAST(({1000 - damping_milli} * {1000000 // n}"
+        f" + {damping_milli} * COALESCE(in_sum, 0)) DIV 1000 AS BIGINT)"
+    )
+    ranks = verts.withColumn("rank_micro", F.lit(1000000 // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("v", "u"), "u")
+            .select("v", F.expr("rank_micro DIV outdeg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            verts.join(contrib, "v", "left")
+            .select("v", F.expr(step).alias("rank_micro"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1610,3 +1610,59 @@ def triangle_counts_suppliers(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
     )
     return triangle_counts(pairs)
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-CTE twin of `operators/graph.pagerank` (recursive CTEs
+    cannot aggregate portably, so each iteration is its own CTE built
+    from the same integer update rule)."""
+    parts = [
+        r"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + 10000000 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+verts AS (SELECT u AS v FROM e UNION SELECT v FROM e),
+od AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+ed AS (SELECT e.u, e.v, outdeg FROM e JOIN od USING (u)),
+bconst AS (SELECT 1000000 // count(*) AS b FROM verts),
+r0 AS (SELECT v, CAST(b AS BIGINT) AS rank_micro FROM verts, bconst)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT verts.v,
+         CAST((150 * b + 850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank_micro
+  FROM verts
+  CROSS JOIN bconst
+  LEFT JOIN (SELECT ed.v, SUM(rank_micro // outdeg) AS s
+             FROM ed JOIN r{i - 1} r ON r.v = ed.u GROUP BY ed.v) c
+    ON c.v = verts.v
+)"""
+        )
+    return "".join(parts) + f"\nSELECT v, rank_micro FROM r{iterations}"
+
+
+@query("pagerank_purchase_graph", _pagerank_oracle(5))
+def pagerank_purchase_graph(spark, sf_dir):
+    """Integer fixed-point PageRank (`operators/graph.pagerank`, 5
+    rounds, d=0.85) over the directed customer→supplier purchase graph
+    (supplier ids offset to keep the vertex space disjoint).  Every
+    iteration is one join + one aggregate on a checkpointed
+    degree-annotated edge list; the oracle unrolls the identical
+    integer update rule per iteration, so the whole fixpoint sequence
+    is value-hash checked."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5)

@@ -146,3 +146,32 @@ def test_gap_fill_locf_constructed(spark):
     assert out[(1, base + 3)] == (1, 300)
     assert len([1 for (u, _) in out if u == 2]) == 1
     assert [v for (u, _), v in out.items() if u == 2] == [(1, 500)]
+
+
+def test_coalesce_intervals_islands(spark):
+    from uw_mapreduce_spark.operators.intervals import coalesce_intervals
+
+    rows = [
+        ("k", 0, 10), ("k", 5, 15), ("k", 15, 20),   # overlap + touch -> one island
+        ("k", 30, 40),                                # gap -> new island
+        ("k", 35, 36),                                # nested inside previous
+        ("q", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "key string, s long, e long")
+    got = {
+        (r["key"], r["island_id"]): (r["island_start"], r["island_end"], r["n_merged"])
+        for r in coalesce_intervals(df, ["key"], "s", "e").collect()
+    }
+    assert got == {
+        ("k", 1): (0, 20, 3),
+        ("k", 2): (30, 40, 2),
+        ("q", 1): (0, 1, 1),
+    }
+    # touch_merges=False splits the touching pair.
+    got2 = {
+        (r["key"], r["island_id"]): r["n_merged"]
+        for r in coalesce_intervals(
+            df, ["key"], "s", "e", touch_merges=False
+        ).collect()
+    }
+    assert got2[("k", 1)] == 2 and got2[("k", 2)] == 1

@@ -1,6 +1,7 @@
 from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_train
 from .diff import table_diff
+from .intervals import coalesce_intervals
 from .graph import triangle_counts, pagerank
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
@@ -31,6 +32,7 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "chunk_documents",
+    "coalesce_intervals",
     "count_min_estimates",
     "deterministic_shuffle",
     "equi_depth_borders",

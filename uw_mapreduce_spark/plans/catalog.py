@@ -1666,3 +1666,49 @@ def pagerank_purchase_graph(spark, sf_dir):
         .distinct()
     )
     return pagerank(edges, iterations=5)
+
+
+@query(
+    "coalesce_intervals_events",
+    r"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+numbered AS (
+  SELECT user_id, s, e,
+         CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
+  FROM marked
+)
+SELECT user_id, island_id, MIN(s) AS island_start, MAX(e) AS island_end,
+       count(*) AS n_merged
+FROM numbered GROUP BY user_id, island_id
+""",
+)
+def coalesce_intervals_events(spark, sf_dir):
+    """Gaps-and-islands (`operators/intervals.coalesce_intervals`):
+    each event opens a 10-minute activity interval; overlapping
+    intervals per user merge into maximal activity islands.  Two
+    windows + one aggregate on one user_id exchange — linear, never the
+    quadratic interval-overlap self-join."""
+    from ..operators.intervals import coalesce_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(600000000)).alias("e"),
+    )
+    return coalesce_intervals(ev, ["user_id"], "s", "e").select(
+        "user_id",
+        "island_id",
+        F.col("island_start"),
+        F.col("island_end"),
+        "n_merged",
+    )

@@ -1712,3 +1712,91 @@ def coalesce_intervals_events(spark, sf_dir):
         F.col("island_end"),
         "n_merged",
     )
+
+
+@query(
+    "cooccurring_parts",
+    r"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+  SELECT l_partkey FROM op GROUP BY l_partkey HAVING count(*) >= 20
+),
+fp AS (SELECT l_orderkey, l_partkey FROM op
+       WHERE l_partkey IN (SELECT l_partkey FROM freq))
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+FROM fp a JOIN fp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING count(*) >= 3
+""",
+)
+def cooccurring_parts(spark, sf_dir):
+    """Market-basket co-occurrence (the A-Priori first join): part
+    pairs ordered together with support ≥ 3.  The scale lever is the
+    CANDIDATE PRUNE — the downward-closure property says a frequent
+    pair needs both parts individually frequent (≥ 20 orders), so the
+    infrequent tail exits BEFORE the quadratic per-basket pair
+    expansion; the prune set is tiny and broadcasts."""
+    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") >= 20
+    ).select("l_partkey")
+    fp = op.join(F.broadcast(freq), "l_partkey").select("l_orderkey", "l_partkey")
+    b = fp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        fp.join(b, (fp.l_orderkey == b.ok) & (fp.l_partkey < b.part_b))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+
+
+@query(
+    "funnel_three_step",
+    r"""
+WITH pe AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, MIN(ts_us) AS t_view FROM pe WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT pe.user_id, MIN(ts_us) AS t_click
+      FROM pe JOIN v ON pe.user_id = v.user_id
+      WHERE event_type = 'click' AND ts_us > t_view GROUP BY pe.user_id),
+p AS (SELECT pe.user_id, MIN(ts_us) AS t_purchase
+      FROM pe JOIN c ON pe.user_id = c.user_id
+      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY pe.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+""",
+)
+def funnel_three_step(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase, strictly
+    increasing times): per step, the earliest qualifying event per
+    user conditions the next step — the standard first-touch funnel
+    semantics.  Three key-partitioned aggregates, each input pruned by
+    the previous step's (small) survivor set."""
+    pe = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us"))
+    v = pe.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view")
+    )
+    c = (
+        pe.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        pe.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )

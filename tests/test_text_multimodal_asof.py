@@ -314,3 +314,27 @@ def test_resize_images_bad_payload_costs_one_row(spark):
     by_id = {r.media_id: r for r in out}
     assert by_id[1].decode_error is None and by_id[1].width == 4
     assert by_id[2].decode_error is not None and by_id[2].payload is None
+
+
+def test_asof_forward_direction(spark):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 20, "l2"), ("k", 35, "l3")], "k string, ts long, l string"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, "a"), ("k", 20, "b"), ("k", 30, "c")], "k string, ts long, v string"
+    )
+    fwd = {
+        r["l"]: (r["v_asof"], r["ts_asof"])
+        for r in asof_join(left, right, on="k", ts_col="ts", direction="forward").collect()
+    }
+    # l1(ts=10) -> first right at-or-after = (b, 20); l2(20) -> inclusive (b, 20);
+    # l3(35) -> nothing after -> NULLs.
+    assert fwd == {"l1": ("b", 20), "l2": ("b", 20), "l3": (None, None)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", ts_col="ts", direction="sideways")

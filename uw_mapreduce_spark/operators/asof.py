@@ -31,13 +31,23 @@ def asof_join(
     ts_col: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join.
 
     ``right_value_cols`` (default: all right columns except key and ts)
     appear in the output as ``<col><suffix>``, plus ``<ts_col><suffix>``
-    — NULL where no right row is at-or-before the left row.
+    — NULL where no right row matches.
+
+    ``direction``: 'backward' (default) matches the most recent right
+    row at-or-before the left row (``l.ts >= r.ts``); 'forward'
+    matches the EARLIEST right row at-or-after it (``l.ts <= r.ts`` —
+    pandas merge_asof's forward direction).  Forward is the same
+    carry-forward plan run over descending time: same single shuffle,
+    same O(1) state.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (on, ts_col)]
     left_types = dict(left.dtypes)
@@ -69,9 +79,12 @@ def asof_join(
             r_side = r_side.withColumn(c, F.lit(None).cast(left_types[c]))
 
     unioned = l_side.unionByName(r_side)
+    # Right rows order before left at equal ts in both directions (tag
+    # ascending), keeping the join inclusive.
+    ts_order = F.col(ts_col) if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col), F.col("_tag"))
+        .orderBy(ts_order, F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = unioned.withColumn("_carry", F.last("_carry", ignorenulls=True).over(w))

@@ -1800,3 +1800,30 @@ def funnel_three_step(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+@query(
+    "asof_forward_purchases",
+    r"""
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS next_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+)
+def asof_forward_purchases(spark, sf_dir):
+    """FORWARD as-of join (`operators/asof.asof_join(direction=
+    'forward')`): each purchase matched to the user's EARLIEST click
+    at-or-after it — the follow-up-attribution direction.  Same
+    single-shuffle carry-forward plan as backward, run over descending
+    time; the oracle is DuckDB's native forward ASOF (p.ts <= c.ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", right_value_cols=[],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_asof")).alias("next_click_us")
+    )

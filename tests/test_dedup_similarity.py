@@ -237,3 +237,26 @@ def test_pagerank_known_graphs(spark):
     star = spark.createDataFrame([(i, 99) for i in range(5)], "src long, dst long")
     ranks = {r["v"]: r["rank_micro"] for r in pagerank(star, iterations=5).collect()}
     assert all(ranks[99] > ranks[i] for i in range(5))
+
+
+def test_bigram_lm_scores_rank_scrambled_text_lower(spark):
+    from uw_mapreduce_spark.operators.lm import bigram_lm_scores
+
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    docs = spark.createDataFrame(
+        [
+            ("good1", fluent),
+            ("good2", fluent),
+            ("good3", "the cat sat on the mat"),
+            ("scrambled", "mat the on cat again sat the mat and on sat cat"),
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # Scrambled word salad scores strictly below the fluent docs.
+    assert got["scrambled"]["lm_score_permille"] < got["good1"]["lm_score_permille"]
+    assert got["good3"]["lm_score_permille"] > got["scrambled"]["lm_score_permille"]
+    # Empty doc: zero bigrams, zero score, still present in the output.
+    assert got["empty"]["n_bigrams"] == 0 and got["empty"]["lm_score_permille"] == 0
+    assert got["good1"]["n_bigrams"] == len(fluent.split()) - 1

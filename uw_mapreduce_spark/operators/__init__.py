@@ -2,6 +2,7 @@ from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_train
 from .diff import table_diff
 from .intervals import coalesce_intervals
+from .lm import bigram_lm_scores
 from .graph import triangle_counts, pagerank
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
@@ -25,6 +26,7 @@ from .split import hash_sample, hash_split
 __all__ = [
     "apply_changelog",
     "bernoulli_sample",
+    "bigram_lm_scores",
     "bloom_build",
     "bpe_train",
     "bloom_prune",

@@ -1048,3 +1048,45 @@ def group_sample_documents(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+from ..operators.lm import bigram_lm_scores  # noqa: E402
+
+
+@query(
+    "bigram_lm_scores_documents",
+    r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM toks),
+db AS (
+  SELECT doc_id, tk AS w1, lead(tk) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM flat QUALIFY w2 IS NOT NULL
+),
+bg AS (SELECT w1, w2, count(*) AS c_bg FROM db GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c_ctx FROM db GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT tk) AS BIGINT) AS v FROM flat),
+scored AS (
+  SELECT doc_id, CAST((1000 * (c_bg + 1)) // (c_ctx + v) AS BIGINT) AS p_pm
+  FROM db JOIN bg USING (w1, w2) JOIN ctx USING (w1), vocab
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS nb, CAST(SUM(p_pm) // count(*) AS BIGINT) AS sc
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sc, 0) AS BIGINT) AS lm_score_permille
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
+)
+def bigram_lm_scores_documents(spark, sf_dir):
+    """Statistical-LM quality gate (`operators/lm.bigram_lm_scores`):
+    every document scored by the integer-mean add-one bigram
+    probability under the corpus's own bigram model — scrambled text
+    (real words, improbable order) lands in the left tail where the
+    length/repetition gates cannot see it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)

@@ -260,3 +260,20 @@ def test_bigram_lm_scores_rank_scrambled_text_lower(spark):
     # Empty doc: zero bigrams, zero score, still present in the output.
     assert got["empty"]["n_bigrams"] == 0 and got["empty"]["lm_score_permille"] == 0
     assert got["good1"]["n_bigrams"] == len(fluent.split()) - 1
+
+
+def test_ppjoin_equals_naive_jaccard_join(spark, sf_small):
+    from uw_mapreduce_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard_permille"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8).collect()
+    }
+    pp = {
+        (r["doc_a"], r["doc_b"], r["jaccard_permille"])
+        for r in ppjoin_pairs(docs, "text", "doc_id", n=5, threshold=0.8).collect()
+    }
+    assert pp == naive  # prefix filtering is lossless
+    assert len(pp) > 0  # the corpus genuinely has near-dups to find

@@ -4,6 +4,7 @@ from .diff import table_diff
 from .intervals import coalesce_intervals
 from .lm import bigram_lm_scores
 from .graph import triangle_counts, pagerank
+from .dedup import ppjoin_pairs
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog, incremental_rollup
@@ -46,6 +47,7 @@ __all__ = [
     "order_statistic_bounds",
     "pack_documents",
     "pagerank",
+    "ppjoin_pairs",
     "range_partition",
     "profile_columns",
     "rebalance_by_rank",

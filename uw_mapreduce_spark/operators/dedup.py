@@ -464,3 +464,96 @@ def cross_corpus_overlap(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PPJoin-style PREFIX FILTERING
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection") — result-identical to ``ngram_jaccard_pairs`` but only
+    each document's RARE-SHINGLE PREFIX enters the candidate join.
+
+    Why this is the 100 TB form of the inverted-index join: indexing
+    every shingle makes the candidate join's fan-out the sum of squared
+    posting-list lengths.  Order each doc's shingles by global
+    frequency (rarest first, ties lexicographic — one TOTAL order for
+    the whole corpus) and index only the first
+
+        prefix_len = |x| - ceil(t * |x|) + 1
+
+    shingles: two docs with Jaccard >= t MUST share a prefix shingle
+    (pigeonhole on the required overlap), so no pair is lost, while
+    the posting lists now hold mostly-rare shingles — the frequent-
+    shingle quadratic blowup disappears structurally instead of being
+    max_df-truncated away.  A length filter (1000*min >= t_milli*max)
+    prunes size-incompatible candidates before verification; the exact
+    intersection count then restores precision.
+
+    All threshold arithmetic is integer (t_milli per-mille, ceil via
+    (a + 999) DIV 1000) so the output hash-matches the same DuckDB
+    oracle as the plain inverted-index operator.
+    """
+    t_milli = int(round(threshold * 1000))
+    sh = persist_scoped(_shingles(df, text_col, id_col, n), _SCOPE)
+    sh.count()  # one materialization; candidate + verify subtrees reuse it
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("g_df"))
+    w = Window.partitionBy("doc").orderBy("g_df", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n_sh") - F.expr(f"({t_milli} * n_sh + 999) DIV 1000") + F.lit(1)
+    ).select("doc", "shingle", "n_sh")
+    a, b = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        a.join(
+            b,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc") < F.col("pb.doc"))
+            # length filter: J >= t forces 1000*min(|x|,|y|) >= t*max.
+            & (
+                F.lit(1000) * F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
+                >= F.lit(t_milli) * F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
+            ),
+        )
+        .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard_permille",
+            F.floor(
+                F.lit(1000.0)
+                * F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).cast("long"),
+        )
+    )
+    out = jac.where(F.col("jaccard_permille") >= t_milli).select(
+        "doc_a", "doc_b", "jaccard_permille"
+    )
+    return materialize_and_release(out)

@@ -1090,3 +1090,44 @@ def bigram_lm_scores_documents(spark, sf_dir):
     length/repetition gates cannot see it."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs)
+
+
+from ..operators.dedup import ppjoin_pairs  # noqa: E402
+
+# TRUE exact Jaccard (no max_df cut): the prefix filter is lossless, so
+# the oracle is the plain quadratic-verify formulation over ALL
+# shingles — proving PPJoin result-identical to the naive join.
+_PPJOIN_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) AS BIGINT) AS jaccard_permille
+FROM common JOIN sizes s1 ON doc_a = s1.doc_id JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 800
+"""
+
+
+@query("ppjoin_jaccard_documents", _PPJOIN_SQL)
+def ppjoin_jaccard_documents(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard (`operators/dedup.
+    ppjoin_pairs`): only each doc's rare-shingle prefix enters the
+    candidate join, yet the result is the TRUE threshold join — the
+    oracle verifies against the unpruned naive formulation, unlike the
+    max_df-cut sibling `ngram_jaccard_documents`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs, "text", "doc_id", n=5, threshold=0.8)

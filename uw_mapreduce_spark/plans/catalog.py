@@ -1827,3 +1827,53 @@ def asof_forward_purchases(spark, sf_dir):
     return joined.select(
         "event_id", "user_id", F.unix_micros(F.col("ts_asof")).alias("next_click_us")
     )
+
+
+_FUZZY_SQL_ER = """
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query(
+    "entity_resolution_parts",
+    f"""
+WITH RECURSIVE pairs AS ({_FUZZY_SQL_ER}),
+edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION ALL
+  SELECT key_b AS a, key_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b
+),
+labeled AS (SELECT v, CAST(min(l) AS BIGINT) AS canonical_key FROM reach GROUP BY v)
+SELECT v AS p_partkey, canonical_key,
+       CAST(count(*) OVER (PARTITION BY canonical_key) AS BIGINT) AS cluster_size
+FROM labeled
+""",
+)
+def entity_resolution_parts(spark, sf_dir):
+    """Fused entity-resolution pipeline: blocked fuzzy matching
+    (`fuzzy_part_name_pairs` — Σ|block|² candidates, levenshtein
+    verify) → duplicate clusters (`operators/graph.
+    connected_components`, iterative min-label) → canonical survivor
+    per cluster (smallest key) with cluster sizes — the master-data /
+    record-linkage workload as one lazy plan.  Oracle: the fuzzy SQL
+    feeding a recursive min-reachable-id CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = QUERIES["fuzzy_part_name_pairs"](spark, sf_dir).select("key_a", "key_b")
+    labeled = connected_components(pairs, "key_a", "key_b").select(
+        F.col("v").alias("p_partkey"), F.col("label").alias("canonical_key")
+    )
+    w = Window.partitionBy("canonical_key")
+    return labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))

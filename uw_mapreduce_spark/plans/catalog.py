@@ -1877,3 +1877,36 @@ def entity_resolution_parts(spark, sf_dir):
     )
     w = Window.partitionBy("canonical_key")
     return labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
+@query("hll_sketch_rollup_events")  # self-asserting: sketches are engine-specific
+def hll_sketch_rollup_events(spark, sf_dir):
+    """Mergeable-sketch rollup: per-DAY HLL sketches of distinct users,
+    unioned to the global estimate WITHOUT rescanning the base — the
+    incremental-analytics pattern where daily sketches are stored and
+    any date range answers from sketch union (hll_sketch_agg /
+    hll_union_agg, Apache DataSketches under the hood).  Self-asserting
+    like the approx gates: the final filter keeps the row only if the
+    merged estimate lands within 5% of the exact distinct count, so an
+    empty result IS the failure signal (sketch bytes have no DuckDB
+    twin)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias(
+            "merged_estimate"
+        ),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    out = merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        "merged_estimate",
+        F.expr(
+            "CAST(abs(merged_estimate - exact_users) * 1000 DIV exact_users AS BIGINT)"
+        ).alias("err_permille"),
+    )
+    return out.where(F.col("err_permille") <= 50)

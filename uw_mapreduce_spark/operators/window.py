@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .rank import global_rank
 
 AGG_FNS = {
     "sum": F.sum,

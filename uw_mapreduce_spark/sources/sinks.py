@@ -76,7 +76,6 @@ def compact_small_files(spark, path: str, *, fmt: str = "parquet",
     never leaves the table half-rewritten on failure.  Returns
     {'files_before', 'files_after', 'bytes'} for the caller's audit
     log."""
-    import glob as _glob
     import os
     import shutil
 

@@ -1131,3 +1131,85 @@ def ppjoin_jaccard_documents(spark, sf_dir):
     max_df-cut sibling `ngram_jaccard_documents`."""
     docs = load_table(spark, sf_dir, "documents")
     return ppjoin_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
+
+
+@query(
+    "padding_efficiency_documents",
+    r"""
+WITH dt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+srt AS (
+  SELECT n_tokens,
+         (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch
+  FROM dt
+),
+nai AS (
+  SELECT n_tokens,
+         (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+  FROM dt
+),
+ps AS (SELECT CAST(SUM(mx * c - s) AS BIGINT) AS pad FROM (
+  SELECT batch, MAX(n_tokens) mx, count(*) c, SUM(n_tokens) s FROM srt GROUP BY batch)),
+pn AS (SELECT CAST(SUM(mx * c - s) AS BIGINT) AS pad FROM (
+  SELECT batch, MAX(n_tokens) mx, count(*) c, SUM(n_tokens) s FROM nai GROUP BY batch))
+SELECT (SELECT count(*) FROM dt) AS n_docs,
+       CAST((SELECT SUM(n_tokens) FROM dt) AS BIGINT) AS total_tokens,
+       ps.pad AS pad_sorted, pn.pad AS pad_naive,
+       CAST(CASE WHEN pn.pad > 0 THEN ((pn.pad - ps.pad) * 1000) // pn.pad
+                 ELSE 0 END AS BIGINT) AS savings_permille
+FROM ps, pn
+""",
+)
+def padding_efficiency_documents(spark, sf_dir):
+    """Length-bucketed batching audit: padding waste of batches of 32
+    when documents are batched sorted-by-length vs in arrival order —
+    the dynamic-batching decision every training pipeline makes, in
+    exact integers.  Both global orders use the SCALABLE two-pass rank
+    (`operators/rank.global_rank_scalable`) — the manifest is one row
+    per document, but at 10^10 documents even the manifest must not
+    hit a single-partition window."""
+    from ..operators.rank import global_rank_scalable
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens(F.col("text")), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+    def pad(order_by):
+        ranked = global_rank_scalable(dt, order_by, "r")
+        per_batch = ranked.groupBy(F.expr("r DIV 32").alias("batch")).agg(
+            F.max("n_tokens").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_tokens").alias("s"),
+        )
+        return per_batch.agg(
+            F.sum(F.col("mx") * F.col("c") - F.col("s")).cast("long").alias("pad")
+        )
+
+    totals = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    ps = pad(["n_tokens", "doc_id"]).withColumnRenamed("pad", "pad_sorted")
+    pn = pad(["doc_id"]).withColumnRenamed("pad", "pad_naive")
+    return (
+        totals.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(pn))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "pad_sorted",
+            "pad_naive",
+            F.expr(
+                "CAST(CASE WHEN pad_naive > 0 THEN ((pad_naive - pad_sorted) * 1000)"
+                " DIV pad_naive ELSE 0 END AS BIGINT)"
+            ).alias("savings_permille"),
+        )
+    )

@@ -65,3 +65,37 @@ def test_bpe_greedy_merge_is_left_to_right(spark):
         (r["left"], r["right"]) for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
     ]
     assert got == [("a", "a"), ("aa", "aa")]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from uw_mapreduce_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [("d1", "low lower low"), ("d2", "aaaa")], "doc_id string, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in
+           bpe_encode(docs, merges).collect()}
+
+    def py_apply(word):
+        s = list(word)
+        for l, r in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            s = out
+        return len(s)
+
+    want = {
+        "d1": (3, sum(py_apply(w) for w in "low lower low".split())),
+        "d2": (1, py_apply("aaaa")),
+    }
+    assert got == want
+    # merges genuinely compress: tokens < characters
+    assert got["d1"][1] < len("lowlowerlow")

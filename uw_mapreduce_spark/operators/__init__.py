@@ -1,5 +1,5 @@
 from .anomaly import rolling_zscore_anomalies
-from .bpe import bpe_train
+from .bpe import bpe_encode, bpe_train
 from .diff import table_diff
 from .intervals import coalesce_intervals
 from .lm import bigram_lm_scores
@@ -29,6 +29,7 @@ __all__ = [
     "bernoulli_sample",
     "bigram_lm_scores",
     "bloom_build",
+    "bpe_encode",
     "bpe_train",
     "bloom_prune",
     "bloom_semi_join",

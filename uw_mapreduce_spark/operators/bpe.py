@@ -98,3 +98,37 @@ def bpe_train(docs: DataFrame, *, n_merges: int = 8, text_col: str = "text",
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], *,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table: (doc, n_words, n_tokens) per doc —
+    the deliverable a tokenizer-training run feeds back into the
+    pipeline (tokens-per-doc under the learned vocab drives packing
+    and cost estimates).
+
+    Map-only: each merge is one fold expression applied in rank order
+    (the order BPE semantics require); n merges nest n folds over each
+    word's symbol array — all Catalyst, no shuffle, no python."""
+    words = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    sym_of_word = "filter(split(w, ''), x -> x <> '')"
+    expr = sym_of_word
+    for left, right in merges:
+        l, r = _sq(left), _sq(right)
+        expr = f"""
+          aggregate({expr}, CAST(array() AS array<string>), (acc, x) ->
+            CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' AND x = '{r}'
+                 THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}'))
+                 ELSE concat(acc, array(x)) END)
+        """
+    per_word = F.expr(f"transform(_words, w -> size({expr}))")
+    return (
+        docs.select(F.col(id_col), words.alias("_words"))
+        .select(
+            id_col,
+            F.size("_words").cast("long").alias("n_words"),
+            F.aggregate(
+                per_word, F.lit(0), lambda a, v: a + v
+            ).cast("long").alias("n_tokens"),
+        )
+    )

@@ -1,6 +1,6 @@
 """Full catalog-vs-DuckDB sweep as a pytest gate.
 
-The driver verifies ~50 of the 74 catalog entries per round (rotation
+The driver verifies a rotating subset of the catalog per round (rotation
 covers the rest next round); this slow-marked test closes that window
 locally by checking EVERY ``queries()`` entry against its
 ``oracle_sql()`` twin at sf0.01 — the same row-count + column + value

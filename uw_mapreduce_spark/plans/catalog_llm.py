@@ -1213,3 +1213,39 @@ def padding_efficiency_documents(spark, sf_dir):
             ).alias("savings_permille"),
         )
     )
+
+
+@query(
+    "udtf_sentences_documents",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '[.!?]'),
+                          x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))),
+           x -> x <> '') AS ss
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS idx, ss[i + 1] AS sentence,
+       CAST(length(ss[i + 1]) AS BIGINT) AS sent_len
+FROM t, unnest(range(len(ss))) AS u(i)
+""",
+)
+def udtf_sentences_documents(spark, sf_dir):
+    """Python UDTF surface (`functions/udtfs.Sentences`): sentence
+    explosion via a LATERAL table function — the one-to-many UDF shape
+    the SQL API exposes (Spark 4 UDTFs).  The splitter's strip charset
+    is explicit so DuckDB replicates every sentence byte-for-byte;
+    row-at-a-time Python is acceptable here only because the demo IS
+    the API surface — the module docstring points scale users to the
+    explode(built-in) form."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.idx, s.sentence,"
+        " CAST(length(s.sentence) AS BIGINT) AS sent_len"
+        " FROM _udtf_docs, LATERAL sentences_udtf(text) s"
+    )

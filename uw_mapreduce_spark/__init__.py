@@ -24,3 +24,8 @@ file:line whose *behavior* it reproduces.
 """
 
 __version__ = "0.1.0"
+
+from .audit import PipelineAudit  # noqa: E402
+from .session import apply_runtime_confs, get_spark  # noqa: E402
+
+__all__ = ["PipelineAudit", "apply_runtime_confs", "get_spark", "__version__"]

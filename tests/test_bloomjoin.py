@@ -62,3 +62,13 @@ def test_bloom_build_rejects_bad_sizes(spark):
         bloom_build(df, "k", n_bits=3 << 10)  # not a power of two
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_bits=1 << 30)  # over the collect cap
+
+
+def test_bloom_semi_join_handles_null_keys(spark):
+    probe = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    build = spark.createDataFrame([(2,), (None,)], "b long")
+    got = sorted(
+        r["k"] for r in bloom_semi_join(probe, build, "k", "b").collect()
+    )
+    # NULL never equi-joins: same answer as a plain semi join.
+    assert got == [2]

@@ -60,6 +60,11 @@ def bloom_build(build: DataFrame, key: str, *, n_bits: int = DEFAULT_N_BITS,
     matter how many build rows exist."""
     if n_bits > MAX_N_BITS or n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two <= {MAX_N_BITS}")
+    # NULL keys never match an equi-join, and a NULL hash would land a
+    # None word index in the driver-side fill — drop them up front (the
+    # probe-side bit test also nulls out on NULL keys, so both sides
+    # agree with plain semi-join semantics).
+    build = build.where(F.col(key).isNotNull())
     k = F.col(key)
     bits = build.select(
         F.explode(F.array(*[_bit_expr(k, i, n_bits) for i in range(n_hashes)])).alias("bit")

@@ -38,7 +38,12 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
 
     Returns one row per key present in either side: key columns +
     ``status_col`` in {'added', 'removed', 'changed', 'unchanged'}.
-    ``compare_cols`` defaults to all shared non-key columns."""
+    ``compare_cols`` defaults to all shared non-key columns.
+
+    Contract: ``key_cols`` must uniquely identify a row on each side —
+    duplicate keys would multiply through the full outer join.
+    Deduplicate or aggregate first (`apply_changelog` compacts a
+    multi-version table to latest-per-key)."""
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]

@@ -170,6 +170,10 @@ def pagerank(edges: DataFrame, *, iterations: int = 5, damping_milli: int = 850,
     e_deg = e.join(outdeg, "u").localCheckpoint(eager=True)
     verts = verts.localCheckpoint(eager=True)
     n = verts.count()  # scalar: N is needed in the literal base term
+    if n == 0:
+        # No edges → no vertices: empty result, not a DIV-by-zero in
+        # the base-term literal.
+        return verts.withColumn("rank_micro", F.lit(0).cast("long"))
     step = (
         f"CAST(({1000 - damping_milli} * {1000000 // n}"
         f" + {damping_milli} * COALESCE(in_sum, 0)) DIV 1000 AS BIGINT)"

@@ -95,3 +95,78 @@ def test_incremental_rollup_equals_recompute(spark, base, inserts, retract_mask)
         agg[k][1] += v
     want = sorted((k, n, s) for k, (n, s) in agg.items() if n > 0)
     assert got == want
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(st.lists(_word, max_size=12), min_size=1, max_size=10),
+    qterms=st.lists(_word, min_size=1, max_size=3, unique=True),
+)
+def test_bm25_matches_python_on_random_corpora(spark, docs, qterms):
+    from tests.test_retrieval import _py_bm25
+    from uw_mapreduce_spark.operators.retrieval import bm25_topk
+
+    rows = [(f"d{i}", " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in bm25_topk(df, [("q", qterms)], k=100).collect()
+    }
+    want = _py_bm25(rows, [("q", qterms)])
+    assert len(got) == len(want["q"])
+    for rank, (doc, score) in enumerate(want["q"], start=1):
+        assert got[("q", rank)] == (doc, score)
+
+
+@_SETTINGS
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+)
+def test_table_diff_matches_brute_force(spark, old, new):
+    from uw_mapreduce_spark.operators.diff import table_diff
+
+    o = spark.createDataFrame(list(old.items()) or [(None, None)], "k long, v long").where(
+        F.col("k").isNotNull()
+    )
+    n = spark.createDataFrame(list(new.items()) or [(None, None)], "k long, v long").where(
+        F.col("k").isNotNull()
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(o, n, ["k"]).collect()}
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        else:
+            want[k] = "unchanged" if old[k] == new[k] else "changed"
+    assert got == want
+
+
+@_SETTINGS
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=12, max_size=40))
+def test_rolling_zscore_matches_python(spark, vals):
+    from uw_mapreduce_spark.operators.anomaly import rolling_zscore_anomalies
+
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, seq long, v long")
+    got = sorted(
+        r["seq"]
+        for r in rolling_zscore_anomalies(
+            df, ["key"], ["seq"], "v", window=10, k=3, min_history=5
+        ).collect()
+    )
+    want = []
+    for i, x in enumerate(vals):
+        hist = vals[max(0, i - 10):i]
+        n = len(hist)
+        if n < 5:
+            continue
+        s, ss = sum(hist), sum(h * h for h in hist)
+        if (n * x - s) ** 2 > 9 * (n * ss - s * s):
+            want.append(i)
+    assert got == want

@@ -63,3 +63,39 @@ def test_zorder_partitions_are_sorted_and_range_disjoint(spark):
 
     ok = z.select("__z").rdd.mapPartitions(_sorted_within).collect()
     assert all(ok)
+
+
+def test_zorder_n_dim_interleave_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.zorder import z_value_sql_n, zorder_by_n
+
+    # 3-D interleave matches python bit-twiddling.
+    rows = [(x, y, z) for x in range(8) for y in range(8) for z in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = df.withColumn("m", F.expr(z_value_sql_n(["x", "y", "z"], 3))).collect()
+    for r in got:
+        want = 0
+        for i in range(3):
+            want |= ((r["x"] >> i) & 1) << (3 * i)
+            want |= ((r["y"] >> i) & 1) << (3 * i + 1)
+            want |= ((r["z"] >> i) & 1) << (3 * i + 2)
+        assert r["m"] == want
+    # 512-cell cube in 8 z-buckets: each bucket is a 4x4x4 octant tile.
+    zb = zorder_by_n(df, ["x", "y", "z"], bits=3)
+    boxes = (
+        zb.groupBy(F.expr("__z DIV 64").alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+            (F.max("z") - F.min("z")).alias("zr"),
+        )
+        .collect()
+    )
+    assert len(boxes) == 8
+    assert all(r["xr"] == 3 and r["yr"] == 3 and r["zr"] == 3 for r in boxes)
+    # bit-budget guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        z_value_sql_n(["a"] * 8, 8)

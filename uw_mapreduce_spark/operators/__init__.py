@@ -17,7 +17,7 @@ from .sampling import (
     order_statistic_bounds,
     winsorized_summary,
 )
-from .zorder import z_value, zorder_by
+from .zorder import z_value, zorder_by, zorder_by_n
 from .window import sliding_aggregate
 from .retrieval import bm25_topk, rrf_fuse
 from .scale import sliding_aggregate_scalable
@@ -62,4 +62,5 @@ __all__ = [
     "winsorized_summary",
     "z_value",
     "zorder_by",
+    "zorder_by_n",
 ]

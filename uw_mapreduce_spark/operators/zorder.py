@@ -78,3 +78,48 @@ def zorder_by(df: DataFrame, x_col: str, y_col: str, *, bits: int = DEFAULT_BITS
     if n_partitions is not None:
         with_z = with_z.repartitionByRange(n_partitions, "__z")
     return with_z.sortWithinPartitions("__z")
+
+
+def z_value_sql_n(qcols: list[str], bits: int, *, div: str = "DIV") -> str:
+    """N-dimensional Morton interleave: column j takes bit positions
+    j, j+N, j+2N, …  Same portable addition-of-disjoint-powers
+    construction as the 2-D form.  N·bits must fit a signed 64-bit
+    value."""
+    n = len(qcols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits exceeds 62 usable bits")
+    terms = []
+    for i in range(bits):
+        for j, qc in enumerate(qcols):
+            terms.append(f"(({qc} {div} {1 << i}) % 2) * {1 << (i * n + j)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_by_n(df: DataFrame, cols: list[str], *, bits: int = 8,
+                n_partitions: int | None = None) -> DataFrame:
+    """N-column Z-order clustering (the ≥3-dimension form of
+    ``zorder_by``): one bounds aggregate broadcast, per-column
+    quantization, N-way interleave, range partition + sort.  Default
+    bits=8 keeps 7 dimensions inside int64; raise it only for few
+    columns."""
+    bounds = df.agg(
+        *[
+            f(c).cast("long").alias(f"{tag}{j}")
+            for j, c in enumerate(cols)
+            for f, tag in ((F.min, "lo"), (F.max, "hi"))
+        ]
+    )
+    with_z = df.crossJoin(F.broadcast(bounds))
+    qnames = []
+    for j, c in enumerate(cols):
+        qn = f"__q{j}"
+        with_z = with_z.withColumn(
+            qn, F.expr(quantize_sql(c, f"lo{j}", f"hi{j}", bits))
+        )
+        qnames.append(qn)
+    with_z = with_z.withColumn("__z", F.expr(z_value_sql_n(qnames, bits)))
+    drop = [f"{t}{j}" for j in range(len(cols)) for t in ("lo", "hi")] + qnames
+    with_z = with_z.drop(*drop)
+    if n_partitions is not None:
+        with_z = with_z.repartitionByRange(n_partitions, "__z")
+    return with_z.sortWithinPartitions("__z")

@@ -79,3 +79,30 @@ def test_knn_bruteforce_never_shuffles_the_corpus(spark, sf_small):
     # rows keyed by query; the corpus side joins via broadcast.
     assert "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_plan_digest_counts_join_strategies(spark, sf_small):
+    from uw_mapreduce_spark.inspect import plan_digest
+
+    d = plan_digest(QUERIES["q9_product_type_profit"](spark, sf_small), execute=True)
+    assert d["broadcast_hash_joins"] >= 2     # part + supplier-nation hints
+    assert d["nested_loop_joins"] == 0
+    assert d["scans"] >= 3
+    assert d["scans_with_pushed_filters"] >= 1  # the p_name LIKE pushdown
+    assert d["codegen_spans"] >= 1            # only visible in the final plan
+
+
+def test_schema_drift_classifies_changes(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from uw_mapreduce_spark.inspect import schema_drift
+
+    old = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    new = StructType([StructField("b", LongType()), StructField("c", StringType())])
+    assert schema_drift(old, new) == {
+        "added": ["c"],
+        "removed": ["a"],
+        "type_changed": [("b", "string", "bigint")],
+    }

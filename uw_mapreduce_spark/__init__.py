@@ -26,6 +26,8 @@ file:line whose *behavior* it reproduces.
 __version__ = "0.1.0"
 
 from .audit import PipelineAudit  # noqa: E402
+from .inspect import plan_digest, schema_drift  # noqa: E402
 from .session import apply_runtime_confs, get_spark  # noqa: E402
 
-__all__ = ["PipelineAudit", "apply_runtime_confs", "get_spark", "__version__"]
+__all__ = ["PipelineAudit", "apply_runtime_confs", "get_spark",
+           "plan_digest", "schema_drift", "__version__"]

@@ -476,3 +476,36 @@ def test_streaming_rollup_maintenance_restarts_durably(spark, sf_small, tmp_path
     }
     got = {tuple(r) for r in m2.snapshot.collect()}
     assert got == expected
+
+
+def test_streaming_zscore_converges_to_batch(spark, sf_small, tmp_path):
+    """In-order replay (one availableNow trigger, in-batch sort): the
+    streaming detector must flag exactly the rows the batch operator
+    flags."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.anomaly import rolling_zscore_stream
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value_m"),
+    )
+    expected = {tuple(r) for r in rolling_zscore_stream(ev).collect()}  # batch face
+    assert len(expected) > 0
+
+    staging = str(tmp_path / "zs_in")
+    ev.coalesce(1).write.parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    q = (
+        rolling_zscore_stream(stream)
+        .writeStream.format("memory")
+        .queryName("zs_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from zs_out").collect()}
+    assert got == expected

@@ -1249,3 +1249,48 @@ def udtf_sentences_documents(spark, sf_dir):
         " CAST(length(s.sentence) AS BIGINT) AS sent_len"
         " FROM _udtf_docs, LATERAL sentences_udtf(text) s"
     )
+
+
+@query(
+    "dedup_manifest_documents",
+    f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b
+),
+labeled AS (SELECT v, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v)
+SELECT d.doc_id,
+       CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS canonical_id,
+       d.doc_id = COALESCE(l.label, d.doc_id) AS keep,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN labeled l ON d.doc_id = l.v
+""",
+)
+def dedup_manifest_documents(spark, sf_dir):
+    """The dedup pipeline's END ARTIFACT: one manifest row per corpus
+    document — its canonical representative (cluster min-id, itself if
+    unclustered), the keep/drop decision, and its size for byte
+    accounting.  Downstream consumers filter `keep` (training) or
+    invert it (deletion audit); at 100 TB the manifest IS the
+    deliverable — the corpus is never rewritten, readers join against
+    it.  Composed from the near-dup pair join + connected components
+    in one lazy plan."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    labeled = connected_components(pairs, "doc_a", "doc_b")
+    out = docs.join(labeled, docs.doc_id == labeled.v, "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").cast("long").alias("canonical_id"),
+        (F.col("doc_id") == F.coalesce("label", "doc_id")).alias("keep"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return out

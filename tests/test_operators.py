@@ -432,3 +432,20 @@ def test_table_diff_classifies_all_four_statuses(spark):
     o2 = spark.createDataFrame([(1, None)], "k long, s string")
     n2 = spark.createDataFrame([(1, "")], "k long, s string")
     assert table_diff(o2, n2, ["k"]).collect()[0]["diff_status"] == "changed"
+
+
+def test_scd2_intervals_chain(spark):
+    from uw_mapreduce_spark.operators.merge import scd2_intervals
+
+    rows = [("k", 10, "a"), ("k", 20, "b"), ("k", 30, "c"), ("q", 5, "z")]
+    df = spark.createDataFrame(rows, "key string, ts long, val string")
+    got = {
+        (r["key"], r["val"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(df, ["key"], ["ts"]).collect()
+    }
+    assert got == {
+        ("k", "a"): (10, 20, False),
+        ("k", "b"): (20, 30, False),
+        ("k", "c"): (30, None, True),
+        ("q", "z"): (5, None, True),
+    }

@@ -7,7 +7,7 @@ from .graph import triangle_counts, pagerank
 from .dedup import ppjoin_pairs
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
-from .merge import apply_changelog, incremental_rollup
+from .merge import apply_changelog, incremental_rollup, scd2_intervals
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
 from .partitioning import range_partition, rebalance_by_rank, sort_within_partitions, total_sort
 from .rank import global_rank, global_rank_scalable
@@ -53,6 +53,7 @@ __all__ = [
     "profile_columns",
     "rebalance_by_rank",
     "rolling_zscore_anomalies",
+    "scd2_intervals",
     "sliding_aggregate",
     "sliding_aggregate_scalable",
     "table_diff",

@@ -98,3 +98,27 @@ def incremental_rollup(snapshot: DataFrame | None, changelog: DataFrame,
         .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_v").cast("long").alias("sum_v"))
         .where(F.col("n") > 0)
     )
+
+
+def scd2_intervals(changes: DataFrame, key_cols: list[str],
+                   order_cols: list[str], ts_col: str | None = None) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a keyed change stream
+    into validity intervals — each change row becomes a version valid
+    from its own timestamp until the key's NEXT change
+    (valid_to = NULL ⇒ current version).
+
+    ``order_cols`` must totally order each key's changes (timestamp
+    plus a unique tiebreak); ``ts_col`` (default: the first order
+    column) supplies the interval bounds.  The warehouse-maintenance
+    complement of ``apply_changelog`` (which keeps only the latest
+    winner): SCD2 keeps EVERY version queryable — "what did this row
+    say at time T" becomes a point-in-interval lookup
+    (`operators/rangejoin.range_join`).  One window over the key: a
+    single shuffle, O(1) state per row."""
+    ts_col = ts_col or order_cols[0]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

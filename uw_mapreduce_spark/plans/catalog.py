@@ -1910,3 +1910,86 @@ def hll_sketch_rollup_events(spark, sf_dir):
         ).alias("err_permille"),
     )
     return out.where(F.col("err_permille") <= 50)
+
+
+@query(
+    "rfm_segmentation_customers",
+    r"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS monetary_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary_c,
+       CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS BIGINT) AS m_quartile
+FROM m
+""",
+)
+def rfm_segmentation_customers(spark, sf_dir):
+    """RFM segmentation — the canonical customer-analytics rollup:
+    recency / frequency / monetary per customer, each quartiled with
+    ntile over a fully tie-broken order (metric, custkey) so the
+    segment assignment is deterministic across engines.  NOTE the
+    unpartitioned ntile windows collapse to one partition — fine for a
+    customer DIMENSION (rows ≪ facts); a fact-sized input would use
+    the histogram order-statistic bounds (`operators/sampling.py`)
+    instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary_c").desc(), "o_custkey")
+    return m.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+
+
+@query(
+    "scd2_user_event_history",
+    r"""
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from,
+       lead(epoch_us(ts)) OVER w AS valid_to,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+)
+def scd2_user_event_history(spark, sf_dir):
+    """SCD type-2 dimension building (`operators/merge.scd2_intervals`):
+    each user's event stream becomes versioned validity intervals —
+    every state queryable as-of any time via a point-in-interval
+    lookup.  One shuffle on the key; (ts, event_id) totally orders the
+    chain so the intervals are deterministic."""
+    from ..operators.merge import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    out = scd2_intervals(ev, ["user_id"], ["ts_us", "event_id"])
+    return out.select(
+        "user_id", "event_id", "event_type",
+        F.col("valid_from").alias("valid_from"),
+        "valid_to", "is_current",
+    )

@@ -1993,3 +1993,37 @@ def scd2_user_event_history(spark, sf_dir):
         F.col("valid_from").alias("valid_from"),
         "valid_to", "is_current",
     )
+
+
+@query(
+    "histogram_value_by_type",
+    r"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT MIN(value_u) AS lo, MAX(value_u) AS hi FROM v)
+SELECT event_type,
+       CAST(((value_u - lo) * 20) // (hi - lo + 1) AS BIGINT) AS bin,
+       count(*) AS n
+FROM v, b
+GROUP BY event_type, bin
+""",
+)
+def histogram_value_by_type(spark, sf_dir):
+    """Equi-WIDTH histogram (20 bins over the global [min, max]) per
+    event type — the dashboard-binning complement of the equi-DEPTH
+    borders operator.  Bin index is pure integer arithmetic
+    (((v−lo)·B) DIV (hi−lo+1) ∈ [0, B)); bounds are a one-row
+    broadcast; the aggregate partial-combines map-side, so the shuffle
+    carries ≤ types×bins rows per partition."""
+    ev = events_u(spark, sf_dir).where(F.col("value").isNotNull())
+    b = ev.agg(F.min("value_u").alias("lo"), F.max("value_u").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.expr("CAST(((value_u - lo) * 20) DIV (hi - lo + 1) AS BIGINT)").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

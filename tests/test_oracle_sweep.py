@@ -21,3 +21,14 @@ def test_full_oracle_sweep(spark):
     except ImportError:
         from oracle_harness import run
     assert run() == 0, "oracle sweep reported failures (see stdout)"
+
+
+def test_registry_consistency():
+    """Static catalog invariants: every oracle belongs to a registered
+    query, no empty SQL, and no rows-only entry silently shadows an
+    oracle (the driver's compare keys on queries())."""
+    from uw_mapreduce_spark.plans.catalog import ORACLE, QUERIES
+
+    assert set(ORACLE) <= set(QUERIES)
+    assert all(sql and sql.strip() for sql in ORACLE.values())
+    assert len(QUERIES) >= 136  # the round-5 catalog floor

@@ -2027,3 +2027,57 @@ def histogram_value_by_type(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "referential_integrity_audit",
+    r"""
+SELECT 'lineitem->orders' AS fk, count(*) AS n_child,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'orders->customer', count(*),
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem->part', count(*),
+       CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', count(*),
+       CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+""",
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Star-schema referential-integrity audit: orphan counts for every
+    fact→dimension foreign key in one pass per edge — the acceptance
+    gate before any delivery joins into production.  Each check is a
+    left join + conditional count (dimension side broadcast where
+    small); orphans on a clean load are 0, and the oracle proves the
+    engine and DuckDB agree on exactly which rows dangle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def check(child, parent, ckey, pkey, name, broadcast_parent=True):
+        p = parent.select(pkey)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        j = child.join(p, child[ckey] == p[pkey], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    return (
+        check(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders", False)
+        .unionByName(check(orders, cust, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(check(li, part, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(check(li, supp, "l_suppkey", "s_suppkey", "lineitem->supplier"))
+    )

@@ -509,3 +509,26 @@ def test_streaming_zscore_converges_to_batch(spark, sf_small, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("select * from zs_out").collect()}
     assert got == expected
+
+
+def test_windowed_distinct_users_stream_converges_to_batch(spark, sf_small):
+    from uw_mapreduce_spark.streaming.sliding import (
+        stream_events,
+        windowed_distinct_users,
+    )
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {tuple(r) for r in windowed_distinct_users(batch).collect()}
+    assert len(expected) > 0
+
+    agg = windowed_distinct_users(stream_events(spark, sf_small))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wdu_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from wdu_out").collect()}
+    assert got == expected

@@ -140,3 +140,35 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minute
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Distinct users per event-time window via MERGEABLE HLL sketches
+    — the streaming form of `hll_sketch_rollup_events`' stored-sketch
+    pattern.  Exact COUNT(DISTINCT) cannot stream (it would hold every
+    key forever); the sketch aggregate carries fixed-size state per
+    window, merges across micro-batches, and the watermark bounds how
+    many windows stay live.  Same code path on batch, which is how the
+    convergence test pins the estimates: a drained stream's sketches
+    merge to exactly the batch sketches, so even the ESTIMATES match
+    row-for-row."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration))
+        .agg(
+            F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)").alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "approx_users",
+            "n_events",
+        )
+    )

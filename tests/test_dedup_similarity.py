@@ -277,3 +277,31 @@ def test_ppjoin_equals_naive_jaccard_join(spark, sf_small):
     }
     assert pp == naive  # prefix filtering is lossless
     assert len(pp) > 0  # the corpus genuinely has near-dups to find
+
+
+def test_ann_index_save_load_round_trip(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.similarity import (
+        kmeans_centroids,
+        knn_ivf,
+        load_ann_index,
+        save_ann_index,
+    )
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    built = kmeans_centroids(emb, 16)
+    path = str(tmp_path / "ivf_index")
+    save_ann_index(built, path)
+    loaded = load_ann_index(spark, path)
+    fresh = {
+        tuple(r) for r in knn_ivf(emb, queries, k=5, num_centroids=16, n_probes=6).collect()
+    }
+    reused = {
+        tuple(r) for r in knn_ivf(emb, queries, k=5, n_probes=6, centroids=loaded).collect()
+    }
+    # Deterministic training -> the persisted index reproduces the
+    # in-place build's results exactly.
+    assert reused == fresh and len(fresh) > 0

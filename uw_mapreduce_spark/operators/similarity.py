@@ -205,6 +205,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     kmeans_iterations: int = 2,
     n_assign: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned approximate top-k cosine.
 
@@ -229,9 +230,13 @@ def knn_ivf(
     substantially higher; tune with ``n_probes`` (query cost) before
     ``n_assign`` (index cost).
     """
-    centroids = kmeans_centroids(
-        corpus, num_centroids, id_col, vec_col, iterations=kmeans_iterations
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, num_centroids, id_col, vec_col, iterations=kmeans_iterations
+        )
+    # else: a persisted index (save_ann_index/load_ann_index) — the
+    # build-once probe-many path; num_centroids/kmeans_iterations are
+    # ignored, the index defines the partitioning.
     # Collect the (lazy) centroid frame ONCE; assign and probes share
     # the literals instead of each re-running the final Lloyd aggregate.
     cents = _centroid_literals(centroids, vec_col)
@@ -519,3 +524,17 @@ def cosine_near_dup_pairs_numpy(
             b_mat.destroy()
         out = seg if out is None else out.unionAll(seg)
     return out
+
+
+def save_ann_index(centroids: DataFrame, path: str) -> None:
+    """Persist an IVF centroid table (the BUILD artifact): train once,
+    probe from every later session.  At 100 TB the k-means build reads
+    the full corpus; queries should never pay that again — the index is
+    C rows of (cent_id, unit vector), parquet-small."""
+    centroids.write.mode("overwrite").parquet(path)
+
+
+def load_ann_index(spark, path: str) -> DataFrame:
+    """Load a persisted centroid table for `assign_centroids` /
+    `knn_ivf(..., centroids=...)`-style probing."""
+    return spark.read.parquet(path)

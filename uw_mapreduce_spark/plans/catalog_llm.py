@@ -1294,3 +1294,57 @@ def dedup_manifest_documents(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
     )
     return out
+
+
+def _curation_v2_oracle() -> str:
+    """Composed verbatim from the REGISTERED oracles of the pipeline's
+    components (manifest, bigram LM) plus the generated split CASE —
+    the fused plan is checked against the composition of its parts."""
+    from ._registry import ORACLE
+
+    mani = ORACLE["dedup_manifest_documents"]
+    lm = ORACLE["bigram_lm_scores_documents"]
+    split_case = hash_split_sql("d.doc_id", _SPLITS)
+    return rf"""
+WITH mani AS (SELECT * FROM ({mani})),
+lm AS (SELECT * FROM ({lm})),
+base AS (SELECT d.doc_id, d.n_chars, {split_case} AS split FROM documents d)
+SELECT b.split, count(*) AS n_docs,
+       CAST(SUM(b.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(lm.lm_score_permille) AS BIGINT) AS sum_lm
+FROM base b
+JOIN mani m ON b.doc_id = m.doc_id AND m.keep
+JOIN lm ON b.doc_id = lm.doc_id
+GROUP BY b.split
+"""
+
+
+@query("curation_pipeline_v2", _curation_v2_oracle())
+def curation_pipeline_v2(spark, sf_dir):
+    """Round-5 capstone curation pipeline, one fused lazy plan:
+    near-dup manifest (pair join → CC → keep-one), corpus bigram-LM
+    quality scores, and deterministic train/val/test assignment —
+    reported as per-split document counts, byte totals, and summed LM
+    scores over the KEPT docs.  Every component is individually
+    oracle-checked; this query checks their COMPOSITION (the oracle is
+    assembled from the components' registered SQL, so the fused plan
+    and the composed SQL cannot drift apart)."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    labeled = connected_components(pairs, "doc_a", "doc_b")
+    kept = docs.join(labeled, docs.doc_id == labeled.v, "left").where(
+        F.coalesce("label", "doc_id") == F.col("doc_id")
+    )
+    lm = bigram_lm_scores(docs).select("doc_id", "lm_score_permille")
+    return (
+        hash_split(kept, "doc_id", _SPLITS)
+        .join(lm, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("lm_score_permille").cast("long").alias("sum_lm"),
+        )
+    )

@@ -21,6 +21,7 @@ from .zorder import z_value, zorder_by, zorder_by_n
 from .window import sliding_aggregate
 from .retrieval import bm25_topk, rrf_fuse
 from .scale import sliding_aggregate_scalable
+from .similarity import load_ann_index, save_ann_index
 from .sketch import count_min_estimates
 from .split import hash_sample, hash_split
 
@@ -52,7 +53,9 @@ __all__ = [
     "range_partition",
     "profile_columns",
     "rebalance_by_rank",
+    "load_ann_index",
     "rolling_zscore_anomalies",
+    "save_ann_index",
     "scd2_intervals",
     "sliding_aggregate",
     "sliding_aggregate_scalable",

@@ -1,6 +1,6 @@
 from .anomaly import rolling_zscore_stream
 from .maintenance import RollupMaintainer, maintain_rollup
-from .sliding import sliding_event_time_sum, stream_events
+from .sliding import sliding_event_time_sum, stream_events, windowed_distinct_users
 
 __all__ = [
     "RollupMaintainer",
@@ -8,4 +8,5 @@ __all__ = [
     "maintain_rollup",
     "sliding_event_time_sum",
     "stream_events",
+    "windowed_distinct_users",
 ]

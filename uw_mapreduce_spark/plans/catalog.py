@@ -2081,3 +2081,50 @@ def referential_integrity_audit(spark, sf_dir):
         .unionByName(check(li, part, "l_partkey", "p_partkey", "lineitem->part"))
         .unionByName(check(li, supp, "l_suppkey", "s_suppkey", "lineitem->supplier"))
     )
+
+
+@query(
+    "mom_revenue_growth",
+    r"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM orders GROUP BY month_start
+)
+SELECT month_start, revenue_c,
+       lag(revenue_c) OVER (ORDER BY month_start) AS prev_revenue_c,
+       CAST(CASE WHEN lag(revenue_c) OVER (ORDER BY month_start) > 0
+                 THEN ((revenue_c - lag(revenue_c) OVER (ORDER BY month_start)) * 1000)
+                      // lag(revenue_c) OVER (ORDER BY month_start)
+            END AS BIGINT) AS growth_permille
+FROM m
+""",
+)
+def mom_revenue_growth(spark, sf_dir):
+    """Period-over-period reporting: monthly revenue with the previous
+    month and integer-DIV growth per-mille — the last analytics staple
+    the catalog lacked.  The unpartitioned lag window runs over ~80
+    month rows (the AGGREGATE, not the fact table), so the
+    single-partition window is the correct plan here."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias(
+            "revenue_c"
+        )
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue_c").over(w)
+    return m.select(
+        "month_start",
+        "revenue_c",
+        prev.alias("prev_revenue_c"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "CAST(((revenue_c - lag(revenue_c) OVER (ORDER BY month_start)) * 1000)"
+                " DIV lag(revenue_c) OVER (ORDER BY month_start) AS BIGINT)"
+            ),
+        ).alias("growth_permille"),
+    )

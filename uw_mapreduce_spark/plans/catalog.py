@@ -2128,3 +2128,36 @@ def mom_revenue_growth(spark, sf_dir):
             ),
         ).alias("growth_permille"),
     )
+
+
+@query(
+    "top_parts_per_brand_with_ties",
+    r"""
+SELECT p_brand, p_partkey, price_c FROM (
+  SELECT p_brand, p_partkey,
+         CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_c,
+         rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+  FROM part
+) WHERE rnk <= 3
+""",
+)
+def top_parts_per_brand_with_ties(spark, sf_dir):
+    """Ties-PRESERVING per-group top-k: rank() keeps every part tied at
+    the boundary price (the ANSI WITH TIES semantics), where the
+    sibling `top_parts_per_brand` uses row_number() to force exactly k
+    — the two standard and differently-correct answers to "top 3 per
+    group", both now covered.  Ordering needs no unique tiebreak
+    precisely BECAUSE ties share a rank: the row set is deterministic
+    even though row order within a tie is not."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long").alias("price_c"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .drop("rnk")
+    )

@@ -35,14 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return sliding_events(spark, "/root/testdata/sf0.001", window=91)
 
 
-def _last_verified_round() -> dict[str, int]:
-    """Highest round number in which each query got a CLEAN driver row
-    (no error, no explicit check failure), from the CORRECTNESS_r*.json
-    files committed alongside this file.  A row that errored or failed a
-    match does NOT count as verified — the query keeps priority 0 so it
-    re-runs next round instead of rotating to the back of the queue.
-    Queries with no clean row anywhere map to 0."""
+def _last_verified_round() -> tuple[dict[str, int], dict[str, int]]:
+    """Per query: (a) highest round with a CLEAN driver row (no error, no
+    explicit check failure) and (b) highest round with a clean HASH row
+    (full value-hash oracle comparison, not just a rows-only check), from
+    the CORRECTNESS_r*.json files committed alongside this file.  A row
+    that errored or failed a match does NOT count as verified — the query
+    keeps priority 0 so it re-runs next round instead of rotating to the
+    back of the queue.  Queries with no clean row anywhere map to 0."""
     last: dict[str, int] = {}
+    last_hash: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -63,7 +65,9 @@ def _last_verified_round() -> dict[str, int]:
             )
             if clean:
                 last[name] = max(last.get(name, 0), rnd)
-    return last
+                if row.get("hash_match") is True:
+                    last_hash[name] = max(last_hash.get(name, 0), rnd)
+    return last, last_hash
 
 
 def _rotated_names() -> list[str]:
@@ -74,11 +78,23 @@ def _rotated_names() -> list[str]:
     left 18 queries without a row).  Ordering by last-verified round
     (never-verified first; ties keep catalog order, which is stable) is
     a deterministic round-robin: every query regains a green row within
-    ceil(len(catalog)/N) rounds, with no driver cooperation needed."""
-    last = _last_verified_round()
+    ceil(len(catalog)/N) rounds, with no driver cooperation needed.
+
+    Oracle upgrades reset priority: a query that now has a full value-hash
+    oracle but whose only clean driver rows were rows-only (its oracle was
+    added/ported after its last run) is treated as never-verified, so the
+    strengthened check actually executes instead of rotating behind
+    newly-registered queries (judge round-5 item 1)."""
+    last, last_hash = _last_verified_round()
+
+    def key_round(n: str) -> int:
+        if n in ORACLE and last_hash.get(n, 0) == 0:
+            return 0  # oracle added/upgraded since last clean row: re-check now
+        return last.get(n, 0)
+
     names = list(QUERIES)
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last.get(n, 0), pos[n]))
+    return sorted(names, key=lambda n: (key_round(n), pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -56,12 +56,27 @@ def test_bloom_semi_join_casts_mismatched_key_types(spark):
     assert sorted(r["k"] for r in got.collect()) == [7, 13, 999]
 
 
+def test_bloom_semi_join_narrowing_cast_drops_wrapped_keys(spark):
+    # LONG build keys against an INT probe column: 2^32 + 7 would wrap
+    # onto 7 under a blind cast and manufacture a match a plain semi
+    # join (which widens both sides) rejects. The round-trip filter must
+    # drop the out-of-range key while keeping in-range ones.
+    probe = spark.createDataFrame([(7,), (13,), (21,)], "k int")
+    build = spark.createDataFrame([((1 << 32) + 7,), (13,)], "b long")
+    exact = probe.join(build, probe.k == build.b, "left_semi")
+    got = bloom_semi_join(probe, build, "k", "b")
+    assert sorted(r["k"] for r in exact.collect()) == [13]
+    assert sorted(r["k"] for r in got.collect()) == [13]
+
+
 def test_bloom_build_rejects_bad_sizes(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_bits=3 << 10)  # not a power of two
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_bits=1 << 30)  # over the collect cap
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", n_bits=32)  # below one 64-bit word
 
 
 def test_bloom_semi_join_handles_null_keys(spark):

@@ -58,8 +58,10 @@ def bloom_build(build: DataFrame, key: str, *, n_bits: int = DEFAULT_N_BITS,
     into (word_idx, mask) and ``bit_or`` collapses them map-side, so the
     shuffle and the driver collect are both bounded by m/64 rows no
     matter how many build rows exist."""
-    if n_bits > MAX_N_BITS or n_bits & (n_bits - 1):
-        raise ValueError(f"n_bits must be a power of two <= {MAX_N_BITS}")
+    if n_bits < 64 or n_bits > MAX_N_BITS or n_bits & (n_bits - 1):
+        raise ValueError(
+            f"n_bits must be a power of two in [64, {MAX_N_BITS}] (one word minimum)"
+        )
     # NULL keys never match an equi-join, and a NULL hash would land a
     # None word index in the driver-side fill — drop them up front (the
     # probe-side bit test also nulls out on NULL keys, so both sides
@@ -124,9 +126,23 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
     # xxhash64 hashes (value, TYPE): a long probe key vs int build key
     # would hash differently and the prune would drop TRUE matches, so
     # the build key is cast to the probe key's exact type up front.
-    keys = build.select(
-        F.col(build_key).cast(probe.schema[probe_key].dataType).alias(build_key)
-    ).distinct()
+    # A NARROWING cast can wrap an out-of-range build key onto a valid
+    # probe value — a match a plain semi join (which widens both sides)
+    # would reject — so keep only build keys that survive a cast-back
+    # round trip unchanged: lossless casts pass, wrapped/overflowed/null
+    # casts are dropped (an out-of-range key can never equal any probe
+    # value under widened equality, so dropping it is exact).  try_cast
+    # turns ANSI overflow errors into NULLs, which the round-trip
+    # comparison then filters out.
+    build_type = build.schema[build_key].dataType
+    probe_type = probe.schema[probe_key].dataType
+    bk = F.col(build_key)
+    keys = (
+        build.select(bk.alias("__orig"), bk.try_cast(probe_type).alias(build_key))
+        .where(F.col(build_key).try_cast(build_type).eqNullSafe(F.col("__orig")))
+        .select(build_key)
+        .distinct()
+    )
     words = bloom_build(keys, build_key, n_bits=n_bits, n_hashes=n_hashes)
     pruned = bloom_prune(probe, probe_key, words, n_hashes=n_hashes)
     return pruned.join(

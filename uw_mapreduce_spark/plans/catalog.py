@@ -1797,8 +1797,8 @@ def funnel_three_step(spark, sf_dir):
     )
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))))
     )
 
 

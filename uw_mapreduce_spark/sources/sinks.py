@@ -72,8 +72,15 @@ def compact_small_files(spark, path: str, *, fmt: str = "parquet",
     a shuffle; pass ``sort_within_by`` to restore clustering (e.g. the
     Z-order column) during the rewrite.
 
-    Writes to a sibling temp dir then atomically swaps via rename —
-    never leaves the table half-rewritten on failure.  Returns
+    Writes to a sibling temp dir then swaps via two renames
+    (path -> .__compact_old__, then tmp -> path).  Data is never lost or
+    half-rewritten — each rename is atomic and both directories are
+    complete — but the swap itself is NOT atomic: a crash or concurrent
+    reader between the two renames sees the table path briefly absent.
+    Recovery after a crash in that window: rename .__compact_old__ back
+    to the table path (or tmp forward, if it survived).  True
+    single-rename atomicity needs a manifest/symlink indirection, i.e. a
+    table format (Delta/Iceberg) rather than a bare directory.  Returns
     {'files_before', 'files_after', 'bytes'} for the caller's audit
     log."""
     import os

@@ -32,8 +32,12 @@ class RollupMaintainer:
     """Holds the running snapshot across micro-batches.
 
     With ``snapshot_path`` the snapshot is DURABLE: loaded from parquet
-    on construction (resume) and atomically swapped to disk after each
-    batch (write to a temp dir, rename over the old).  Paired with the
+    on construction (resume) and swapped to disk after each batch via
+    write-to-temp + two renames (path -> .__old__, tmp -> path).  Each
+    rename is atomic so no state is ever lost, but a crash between the
+    renames leaves the path briefly absent — recovery is renaming
+    .__old__ back (the stream's checkpoint makes the re-run of that
+    batch idempotent anyway).  Paired with the
     stream's checkpointLocation, the pipeline restarts exactly where it
     stopped: the source replays only unseen files and the rollup
     continues from the persisted state — the full production

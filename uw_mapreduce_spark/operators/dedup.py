@@ -239,7 +239,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 5,
     num_hashes: int = 32,
-    hash_family: str = "portable",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: k independent min-over-shingles
     hashes.  Pure aggregation — one shuffle, JVM-side hashing."""
@@ -255,7 +255,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-    hash_family: str = "portable",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard.
@@ -269,6 +269,13 @@ def minhash_lsh_pairs(
     and the verification cost stays proportional to the candidate set,
     which is what makes LSH sub-quadratic.  Recall is probabilistic, as
     with any LSH.
+
+    ``hash_family='xxhash64'`` (default) is the production path —
+    measured ~18% faster end-to-end than ``'portable'`` at sf1 (5.64 vs
+    6.67 s best-of-3, local[32]); the md5 digest per shingle is the
+    cost.  Use ``'portable'`` only when an external engine must
+    reproduce the buckets bit-for-bit (the catalog's oracle-checked
+    query pins it).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -315,7 +322,7 @@ def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_family: str = "portable",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprint per document (column ``simhash64``).
 
@@ -372,7 +379,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
-    hash_family: str = "portable",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every char k-gram, then keep the minimum hash of every window

@@ -194,7 +194,8 @@ WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 500
 @query("minhash_lsh_documents", _MINHASH_SQL)
 def minhash_lsh_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=5, threshold=0.5,
+                             hash_family="portable")
 
 # Full DuckDB twin of the portable 60-bit SimHash: same md5-derived
 # integer base per token, same per-bit ±frequency sums, same sign rule.
@@ -228,7 +229,7 @@ FROM s
 @query("simhash_documents", _SIMHASH_SQL)
 def simhash_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id")
+    return simhash(docs, "text", "doc_id", hash_family="portable")
 
 @query('knn_cosine_top5')
 def knn_cosine_top5(spark, sf_dir):
@@ -503,7 +504,7 @@ def winnow_fingerprint_documents(spark, sf_dir):
     from ..operators.dedup import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs)
+    return winnow_fingerprints(docs, hash_family="portable")
 
 @query('curation_pipeline')
 def curation_pipeline(spark, sf_dir):

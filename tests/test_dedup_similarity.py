@@ -157,11 +157,12 @@ def test_winnow_fingerprints_overlap_properties(spark):
 
 
 def test_cosine_numpy_blocked_equals_exact(spark, sf_small):
-    """The BLAS kernel with a FORCED multi-block broadcast (block_rows
-    far below corpus size → several id-range blocks, each collected and
-    broadcast separately) must emit exactly the Catalyst exact path's
-    pairs, each exactly once — blocks partition the id space, so no
-    pair can be dropped or double-counted."""
+    """The BLAS kernel with FORCED multi-block pairing (block_rows far
+    below corpus size → several id-range blocks, rows replicated into
+    their block-pair groups and scored executor-side via applyInPandas)
+    must emit exactly the Catalyst exact path's pairs, each exactly
+    once — every (a < b) pair lives in exactly one block-pair group, so
+    no pair can be dropped or double-counted."""
     from uw_mapreduce_spark.operators.similarity import (
         cosine_near_dup_pairs,
         cosine_near_dup_pairs_numpy,

@@ -408,23 +408,26 @@ def cosine_near_dup_pairs_numpy(
     is the justified Pandas/Arrow drop-down: dense linear algebra is the
     one thing the built-in expression engine can't express efficiently.
 
-    The broadcast side is BLOCKED: the id space is split into
-    ``ceil(n / block_rows)`` ranges (deterministic sampled borders —
-    same machinery as the scalable sliding path), and each block is
-    collected, unit-normalized, and broadcast on its own iteration of a
-    driver loop, so driver and executor memory hold ~one block of
-    vectors regardless of corpus size, never the full matrix.  For each
-    block (lo, hi], only corpus rows with id < hi stream through
-    ``mapInPandas`` (pairs are emitted as (a < b) with b in the block,
-    so rows at or past the block's end can't produce anything — the
-    upper-triangle filter done at the scan).  Blocks partition the id
-    space exactly, so each qualifying pair is emitted exactly once; the
-    per-batch kernel is the same ``batch @ blockᵀ`` matmul.
+    The pairing is BLOCKED and runs ENTIRELY executor-side: the id
+    space is split into B = ``ceil(n / block_rows)`` ranges
+    (deterministic sampled borders — same machinery as the scalable
+    sliding path), each row is tagged with its block and replicated into
+    the B block-PAIRS it participates in ((min(b,k), max(b,k)) for
+    every k), and one ``applyInPandas`` over groupBy(pair) runs the
+    block-vs-block ``L @ Rᵀ`` matmul per group.  Each qualifying pair
+    (a < b) lives in exactly one group (block ranges are ordered and
+    disjoint), so every pair is emitted exactly once.
 
-    At sf0.1 (2k vectors) this is one block — identical plan and speed
-    to the unblocked kernel; at corpus scale it degrades to B corpus
-    scans (the inherent O(n²) of the exact baseline) with bounded
-    memory.  ``cosine_near_dup_lsh`` remains the sub-quadratic path.
+    Topology at 100 TB: total shuffle is n·B rows — the inherent
+    O(n²/block_rows) data motion of an exact all-pairs baseline — but
+    it is a single shuffle fanned across B(B+1)/2 independent groups on
+    executors; the DRIVER holds nothing (no collect, no broadcast
+    lifecycle), and per-task memory is bounded by ~2 blocks of vectors.
+    ``cosine_near_dup_lsh`` remains the sub-quadratic path when recall
+    < 1 is acceptable.
+
+    At sf0.1 (2k vectors) this is one block — a single broadcast kernel
+    with no shuffle at all (the fast path below).
     """
     import math
 
@@ -439,17 +442,25 @@ def cosine_near_dup_pairs_numpy(
     n = slim.count()
     if n == 0:
         return slim.sparkSession.createDataFrame([], "id_a long, id_b long")
-    num_blocks = max(1, math.ceil(n / block_rows))
-    borders = _deterministic_borders(slim, id_col, num_blocks) if num_blocks > 1 else []
-    # Disjoint, covering id ranges: (-inf, b0], (b0, b1], ..., (b_last, +inf).
-    bounds = [None, *borders, None]
-    sc = corpus.sparkSession.sparkContext
 
     schema = StructType(
         [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
     )
 
-    def score_against(b_ids, b_mat):
+    num_blocks = max(1, math.ceil(n / block_rows))
+    if num_blocks == 1:
+        # Fast path: the whole corpus fits one block — collect once
+        # (bounded by block_rows), broadcast, and score every scan batch
+        # against it.  No shuffle; the upper-triangle filter (a < b)
+        # dedups in place.
+        sc = corpus.sparkSession.sparkContext
+        rows = slim.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        b_ids, b_mat = sc.broadcast(ids[order]), sc.broadcast(mat[order])
+
         def score(batches):
             blk_ids, blk_mat = b_ids.value, b_mat.value
             for pdf in batches:
@@ -464,66 +475,61 @@ def cosine_near_dup_pairs_numpy(
                 keep = a < b
                 yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
-        return score
+        return slim.mapInPandas(score, schema=schema)
 
-    # Single block: return the lazy plan unchanged (one broadcast, no
-    # lifecycle to manage).  Multiple blocks: each segment's pair set is
-    # EAGERLY materialized (localCheckpoint — pair outputs are tiny) and
-    # its broadcasts destroyed before the next block is collected, so
-    # the driver truly holds one block at a time.  A lazy union of all
-    # segments would keep every block's Broadcast pinned in the driver
-    # until the final action — re-accumulating the whole matrix the
-    # blocking exists to avoid.  NOTE: the multi-block path therefore
-    # runs collect/localCheckpoint JOBS at plan-construction time — the
-    # returned frame is the (cheap) union of already-computed segments.
-    #
-    # ``block_rows`` is enforced as a HARD cap (×4 slack): borders are a
-    # sampled equi-depth estimate, so a range can overshoot under
-    # sampling error or id skew — any block found oversized at count
-    # time is re-bordered WITHIN the range (≤2 refinement levels) before
-    # anything is collected, keeping driver bytes bounded at collect
-    # time, not just in expectation.
-    out = None
-    work = [(lo, hi, 0) for lo, hi in zip(bounds, bounds[1:])]
-    while work:
-        lo, hi, depth = work.pop(0)
-        in_block = F.lit(True) if lo is None else F.col(id_col) > F.lit(lo)
-        if hi is not None:
-            in_block &= F.col(id_col) <= F.lit(hi)
-        blk = slim.where(in_block)
-        if num_blocks > 1:
-            cnt = blk.count()
-            if cnt == 0:
-                continue
-            if cnt > 4 * block_rows and depth < 2:
-                sub = _deterministic_borders(
-                    blk, id_col, max(2, math.ceil(cnt / block_rows))
-                )
-                splits = [lo, *sub, hi]
-                refined = [
-                    (a, b, depth + 1)
-                    for a, b in zip(splits, splits[1:])
-                    if a is None or b is None or b > a
-                ]
-                if len(refined) > 1:
-                    work = refined + work
-                    continue
-        rows = blk.collect()
-        if not rows:
-            continue
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.array([r[1] for r in rows], dtype=np.float64)
+    # Multi-block: executor-side block-pair join.  Borders are a sampled
+    # equi-depth estimate; if any block overshoots the ×4 slack (skewed
+    # or duplicate-heavy ids), re-border globally with more blocks (≤2
+    # retries) — the check is one B-row aggregate, not a data pass.
+    borders = _deterministic_borders(slim, id_col, num_blocks)
+    for _retry in range(2):
+        barr = F.array(*[F.lit(int(b)) for b in borders])
+        blk_expr = F.size(F.filter(barr, lambda b: b < F.col(id_col)))
+        tagged = slim.withColumn("_blk", blk_expr)
+        counts = [
+            r["count"] for r in tagged.groupBy("_blk").count().collect()
+        ]
+        if max(counts) <= 4 * block_rows:
+            break
+        num_blocks = max(num_blocks + 1, math.ceil(n / block_rows * 2))
+        borders = _deterministic_borders(slim, id_col, num_blocks)
+    nb = len(borders) + 1  # actual block count after any retry
+
+    # Each row joins every block-pair it belongs to: (min(b,k), max(b,k))
+    # for k in [0, nb) — nb distinct structs per row, so group (i, j)
+    # receives block i's and block j's rows exactly once each.
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(nb - 1)),
+        lambda k: F.struct(
+            F.least(F.col("_blk"), k).alias("pi"),
+            F.greatest(F.col("_blk"), k).alias("pj"),
+        ),
+    )
+    exploded = tagged.select(
+        id_col, vec_col, "_blk", F.explode(pair_structs).alias("_p")
+    ).select(id_col, vec_col, "_blk", F.col("_p.pi").alias("_pi"), F.col("_p.pj").alias("_pj"))
+
+    def score_pair(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        order = np.argsort(ids)
-        b_ids, b_mat = sc.broadcast(ids[order]), sc.broadcast(mat[order])
-        stream = slim if hi is None else slim.where(F.col(id_col) < F.lit(hi))
-        seg = stream.mapInPandas(score_against(b_ids, b_mat), schema=schema)
-        if len(bounds) > 2:
-            seg = seg.localCheckpoint(eager=True)
-            b_ids.destroy()
-            b_mat.destroy()
-        out = seg if out is None else out.unionAll(seg)
-    return out
+        if pi == pj:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b = ids[ii], ids[jj]
+            keep = a < b
+            return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+        lmask = (pdf["_blk"] == pi).to_numpy()
+        if not lmask.any() or lmask.all():
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        sims = mat[lmask] @ mat[~lmask].T
+        ii, jj = np.nonzero(sims >= threshold)
+        # Block i's id range precedes block j's entirely, so a < b holds
+        # for every cross pair by construction.
+        return pd.DataFrame({"id_a": ids[lmask][ii], "id_b": ids[~lmask][jj]})
+
+    return exploded.groupBy("_pi", "_pj").applyInPandas(score_pair, schema=schema)
 
 
 def save_ann_index(centroids: DataFrame, path: str) -> None:

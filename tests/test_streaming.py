@@ -230,6 +230,48 @@ def test_stream_stream_funnel_converges_to_batch(spark, sf_small):
     assert got == expected
 
 
+def test_three_step_funnel_stream_converges_to_batch(spark, sf_small):
+    """CHAINED stream-stream joins (two stateful operators in one
+    append-mode query): a fully-drained 3-step funnel stream must emit
+    exactly the batch plan's (view, click, purchase) triples."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.joins import view_click_purchase_funnel
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {
+        tuple(r)
+        for r in view_click_purchase_funnel(
+            batch.where(F.col("event_type") == "view"),
+            batch.where(F.col("event_type") == "click"),
+            batch.where(F.col("event_type") == "purchase"),
+            within="24 hours",
+        ).collect()
+    }
+    assert len(expected) > 0
+
+    stream = stream_events(spark, sf_small)
+    out = view_click_purchase_funnel(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="24 hours",
+        delay="48 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel3_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from funnel3_out").collect()}
+    assert got == expected
+
+
 def test_stream_stream_funnel_outer_converges_to_batch(spark, sf_small):
     """LEFT OUTER stream-stream join contract: matched pairs emit as in
     the inner join; an unmatched click emits its sentinel row once the

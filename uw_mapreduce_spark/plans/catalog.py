@@ -540,6 +540,43 @@ def funnel_click_purchase(spark, sf_dir):
 
 
 @query(
+    "funnel_triples_events",
+    """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_vc_us,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_cp_us
+FROM events v
+JOIN events c ON v.user_id = c.user_id
+JOIN events p ON c.user_id = p.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND p.event_type = 'purchase'
+  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+""",
+)
+def funnel_triples_events(spark, sf_dir):
+    """Three-step row-level funnel: every (view, click, purchase)
+    triple of one user with each step inside the next 24 hours
+    (the synthetic event stream is day-scale sparse per user; 1-hour
+    steps yield zero triples).  Batch face
+    of the CHAINED watermarked stream-stream join
+    (`streaming/joins.view_click_purchase_funnel`) — two stateful joins
+    in one streaming query; the streaming twin is pinned to this result
+    by a convergence test.  Complements `funnel_three_step`'s
+    first-touch aggregate with the alerting/attribution row contract."""
+    from ..streaming.joins import view_click_purchase_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return view_click_purchase_funnel(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        within="24 hours",
+    )
+
+
+@query(
     "funnel_click_purchase_outer",
     """
 SELECT c.user_id, c.event_id AS click_id,
@@ -1774,7 +1811,10 @@ def funnel_three_step(spark, sf_dir):
     increasing times): per step, the earliest qualifying event per
     user conditions the next step — the standard first-touch funnel
     semantics.  Three key-partitioned aggregates, each input pruned by
-    the previous step's (small) survivor set."""
+    the previous step's (small) survivor set.  Row-level streaming
+    twin: `funnel_triples_events` /
+    `streaming/joins.view_click_purchase_funnel` (chained watermarked
+    stream-stream joins)."""
     pe = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click", "purchase")
     ).select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us"))

@@ -1,12 +1,22 @@
 from .anomaly import rolling_zscore_stream
+from .joins import (
+    click_purchase_funnel,
+    click_purchase_funnel_full,
+    click_purchase_funnel_outer,
+    view_click_purchase_funnel,
+)
 from .maintenance import RollupMaintainer, maintain_rollup
 from .sliding import sliding_event_time_sum, stream_events, windowed_distinct_users
 
 __all__ = [
     "RollupMaintainer",
+    "click_purchase_funnel",
+    "click_purchase_funnel_full",
+    "click_purchase_funnel_outer",
     "rolling_zscore_stream",
     "maintain_rollup",
     "sliding_event_time_sum",
     "stream_events",
+    "view_click_purchase_funnel",
     "windowed_distinct_users",
 ]

@@ -111,6 +111,87 @@ def click_purchase_funnel_outer(
     )
 
 
+def view_click_purchase_funnel(
+    views: DataFrame,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Three-step funnel as a CASCADE of watermarked stream-stream inner
+    joins: (view, click, purchase) triples of the same user with
+    ``view.ts < click.ts <= view.ts + within`` and
+    ``click.ts < purchase.ts <= click.ts + within``.
+
+    Two chained stateful joins (Spark supports multiple stateful
+    operators in append mode); each side carries a ``delay`` watermark,
+    so both joins' state stays bounded by watermark + interval exactly
+    like the 2-step family.  Batch inputs run the identical plan minus
+    watermarks — the convergence pytest pins a fully-drained stream to
+    the batch answer, and the batch face is the oracle-checked catalog
+    query (``funnel_triples_events``).
+
+    Note the row-level contract differs from ``funnel_three_step``'s
+    first-touch AGGREGATE on purpose: streaming emits every qualifying
+    triple as it completes (the alerting/attribution use case); the
+    batch aggregate remains the reporting face.
+
+    Output: user_id, view_id, click_id, purchase_id, lag_vc_us,
+    lag_cp_us (µs lags — integers, hash-stable)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", delay)
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", delay)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", delay)
+    # The intermediate stream must carry exactly ONE event-time column
+    # into the second stateful join (Spark rejects two watermarked
+    # columns), so the view→click lag is computed eagerly and v_ts is
+    # projected away; c_ts remains the single event-time column that the
+    # second join's interval condition and state eviction key off.
+    vc = v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL {within}"
+        ),
+    ).select(
+        "c_user",
+        "view_id",
+        "click_id",
+        "c_ts",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_vc_us"),
+    )
+    vcp = vc.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL {within}"
+        ),
+    )
+    return vcp.select(
+        F.col("c_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "purchase_id",
+        "lag_vc_us",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_cp_us"),
+    )
+
+
 def click_purchase_funnel_full(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -99,3 +99,28 @@ def test_bpe_encode_applies_merges_in_order(spark):
     assert got == want
     # merges genuinely compress: tokens < characters
     assert got["d1"][1] < len("lowlowerlow")
+
+
+def test_bpe_prefix_totals_bookkeeping(spark):
+    """Per-rank token reductions must reconcile with the trainer's
+    recorded pair counts: exact when left != right (disjoint
+    occurrences, greedy applies all), within [ceil(c/2), c] when
+    left == right (overlapping runs: 'aaaa' counts 3 pairs, merges 2).
+    The corpus includes both shapes."""
+    import math
+
+    from uw_mapreduce_spark.operators.bpe import bpe_prefix_token_totals
+
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    mt = bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    totals = bpe_prefix_token_totals(docs, [(r["left"], r["right"]) for r in mt])
+    assert len(totals) == len(mt) + 1
+    # totals[0] is the raw symbol count of the tokenized corpus.
+    raw = sum(len(w) for t in TEXTS for w in t.lower().split() if w)
+    assert totals[0] == raw
+    for k, r in enumerate(mt):
+        red = totals[k] - totals[k + 1]
+        if r["left"] == r["right"]:
+            assert math.ceil(r["pair_count"] / 2) <= red <= r["pair_count"]
+        else:
+            assert red == r["pair_count"]

@@ -132,3 +132,38 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], *,
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_prefix_token_totals(docs: DataFrame,
+                            merges: list[tuple[str, str]], *,
+                            text_col: str = "text") -> list[int]:
+    """Corpus-total token counts under every PREFIX of the merge table:
+    element k = Σ tokens with the first k merges applied (element 0 =
+    raw symbol count, element len(merges) = the full vocabulary).
+
+    One map-only pass: the k+1 prefix encoders are sibling sum
+    aggregates over the same scan (each prefix expression nests the
+    previous one, so Catalyst evaluates a chain, not k² folds), and the
+    single collected row is the bookkeeping a trainer audits — the
+    per-rank token reduction each merge actually achieved."""
+    words = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    sym_of_word = "filter(split(w, ''), x -> x <> '')"
+    exprs = [sym_of_word]
+    for left, right in merges:
+        l, r = _sq(left), _sq(right)
+        exprs.append(f"""
+          aggregate({exprs[-1]}, CAST(array() AS array<string>), (acc, x) ->
+            CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' AND x = '{r}'
+                 THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}'))
+                 ELSE concat(acc, array(x)) END)
+        """)
+    aggs = [
+        F.sum(
+            F.expr(
+                f"aggregate(transform(_words, w -> size({e})), 0L, (a, v) -> a + v)"
+            )
+        ).cast("long").alias(f"t{k}")
+        for k, e in enumerate(exprs)
+    ]
+    row = docs.select(words.alias("_words")).agg(*aggs).collect()[0]
+    return [int(row[f"t{k}"]) for k in range(len(exprs))]

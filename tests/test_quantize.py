@@ -1,0 +1,45 @@
+"""Scalar int8 embedding quantization (`operators/quantize.py`):
+round-trip error bounds, exact codes on a known vector, zero-vector
+handling, and the map-only (shuffle-free) plan shape.
+"""
+
+from __future__ import annotations
+
+from uw_mapreduce_spark.operators.quantize import (
+    quantize_embeddings_int8,
+    quantize_stats_int8,
+)
+from uw_mapreduce_spark.sources.tables import load_table
+
+
+def test_known_vector_codes(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    # scale = max|v| = 1.0 → q = round(127 * v)
+    assert rows[1].q == [127, -63, 32, 0]  # floor(x+0.5): -63.5→-63, 31.75+0.5→32
+    assert rows[1].scale_u == 1_000_000
+    assert rows[2].q == [0, 0, 0, 0] and rows[2].scale_u == 0
+
+
+def test_reconstruction_error_bounded(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = quantize_stats_int8(emb).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_dims == 64
+        if r.scale_u == 0:
+            assert r.max_err_u == 0
+            continue
+        # |v - q·scale/127| ≤ scale/254 for round-to-nearest (+1 for the
+        # floor() integerization of the µ-units).
+        assert r.max_err_u <= r.scale_u * 1000 // 254 + 1
+        assert r.sum_abs_q >= abs(r.sum_q)
+
+
+def test_quantizer_plan_is_shuffle_free(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    plan = quantize_stats_int8(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

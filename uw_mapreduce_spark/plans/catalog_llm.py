@@ -1400,3 +1400,51 @@ def curation_pipeline_v2(spark, sf_dir):
             F.sum("lm_score_permille").cast("long").alias("sum_lm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: embedding quantization (the compression tier before ANN serving).
+
+_QUANT_SQL = r"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), m AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, v -> abs(v))) AS ma
+  FROM base
+)
+SELECT vec_id,
+       CAST(len(e) AS BIGINT) AS n_dims,
+       CAST(floor(ma * 1000000.0) AS BIGINT) AS scale_u,
+       CASE WHEN ma = 0.0 THEN 0
+            ELSE CAST(list_sum(list_transform(e,
+                 v -> CAST(floor(v * (127.0 / ma) + 0.5) AS BIGINT))) AS BIGINT)
+       END AS sum_q,
+       CASE WHEN ma = 0.0 THEN 0
+            ELSE CAST(list_sum(list_transform(e,
+                 v -> abs(CAST(floor(v * (127.0 / ma) + 0.5) AS BIGINT)))) AS BIGINT)
+       END AS sum_abs_q,
+       CASE WHEN ma = 0.0 THEN 0
+            ELSE CAST(floor(list_max(list_transform(e,
+                 v -> abs(v - floor(v * (127.0 / ma) + 0.5) * ma / 127.0)))
+                 * 1000000000.0) AS BIGINT)
+       END AS max_err_u
+FROM m
+"""
+
+
+@query("quantize_embeddings_int8", _QUANT_SQL)
+def quantize_embeddings_int8_q(spark, sf_dir):
+    """Scalar int8 quantization audit (`operators/quantize.py`):
+    per-vector symmetric codes with scale, code sums, and integerized
+    max reconstruction error.  MAP-ONLY — higher-order functions over
+    the row's own array, no shuffle, no Python — and every output uses
+    only IEEE-exact double ops (mul/div/add/abs/floor), so the DuckDB
+    twin mirrors the identical formula text and hash-matches exactly:
+    a fully value-checked quantizer, not a rows-only one."""
+    from ..operators.quantize import quantize_stats_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_stats_int8(emb)

@@ -1,0 +1,35 @@
+"""Weighted PPS sampling (`operators/sampling.pps_sample`): expected
+size, weight bias (certainty rows always kept), and determinism of the
+integer-exact md5 draw.
+"""
+
+from __future__ import annotations
+
+
+def test_pps_sample_weighted_and_deterministic(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.sampling import pps_sample
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    W = docs.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    k = 50
+    kept = pps_sample(docs, "n_chars", k, "doc_id")
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # Expected size ~k: allow generous concentration slack.
+    assert k // 2 <= len(ids1) <= 2 * k
+    assert len(ids1) < n
+    # Certainty rows (k·w >= W) are always kept.
+    certain = [
+        r.doc_id
+        for r in docs.where(F.lit(k) * F.col("n_chars").cast("long") >= W).collect()
+    ]
+    assert set(certain) <= set(ids1)
+    # Pure function of the data: identical on re-run.
+    ids2 = sorted(
+        r.doc_id
+        for r in pps_sample(docs, "n_chars", k, "doc_id").select("doc_id").collect()
+    )
+    assert ids1 == ids2

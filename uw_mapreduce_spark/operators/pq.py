@@ -1,0 +1,230 @@
+"""Product quantization (PQ): the ~32× compression tier for ANN
+serving — each vector becomes m sub-vector codes into per-subspace
+k-entry codebooks, and queries scan CODES with a per-query lookup
+table instead of floats (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).
+
+Scale shape:
+* TRAIN (`pq_train`): one sub-vector explode (n·m rows), then Lloyd
+  iterations where the corpus-side work is a BROADCAST join against the
+  m·k codebook rows + a (vec, sub)-keyed argmin — the shuffle carries
+  n·m assignment rows and the mean aggregate carries m·k·(d/m) cells,
+  never the corpus². Deterministic: hash-spread seeds, decimal-exact
+  means, (dist, cent_id) tie-break — a pure function of the corpus,
+  same contract as `similarity.kmeans_centroids`.
+* ENCODE (`pq_encode`): broadcast codebook + argmin per subspace,
+  map-heavy with one n·m → n code-collect shuffle. Codes are m small
+  ints per vector: 8 bytes instead of 256 for a 64-dim float vector.
+* SEARCH (`pq_adc_topk`): asymmetric distance — the query stays float,
+  docs stay codes; one broadcast of the q·m·k lookup table, one join on
+  (sub, code), one (query, vec) sum, one top-k. The corpus is never
+  decoded.
+
+Training is iterative (no SQL twin — same class as IVF k-means), so the
+catalog gate is SELF-ASSERTING: ADC recall@k against exact brute force
+must clear a floor, the `knn_ivf_recall` pattern.
+
+Like the IVF index, the codebook is a build-once artifact: persist with
+`similarity.save_ann_index` (it is just a small DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _unit
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int) -> DataFrame:
+    """(id, sub, sv): unit-normalize the full vector, then slice into m
+    contiguous sub-vectors of d/m dims.  Unit-normalizing FIRST makes
+    ADC's summed L2 distances rank like cosine (|a−b|² = 2−2·cosθ on
+    the unit sphere), so the recall gate can use the cosine brute force
+    as ground truth."""
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    w = d // m
+    slices = F.array(
+        *[F.slice(F.col("_u"), i * w + 1, w) for i in range(m)]
+    )
+    return (
+        df.select(F.col(id_col).alias("vid"), _unit(F.col(vec_col)).alias("_u"))
+        .select("vid", F.posexplode(slices).alias("sub", "sv"))
+    )
+
+
+_D2 = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0.0D, (s, x) -> s + x)"
+
+
+def _assign_codes(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast join on
+    the subspace key, squared-L2 per candidate, deterministic argmin via
+    min(struct(dist, code)).  Shuffle: n·m rows keyed by (vid, sub)."""
+    cand = sv.join(F.broadcast(codebook), "sub").select(
+        "vid", "sub", F.struct(F.expr(_D2).alias("d2"), F.col("code")).alias("dc")
+    )
+    return (
+        cand.groupBy("vid", "sub")
+        .agg(F.min("dc").alias("dc"))
+        .select("vid", "sub", F.col("dc.code").alias("code"), F.col("dc.d2").alias("d2"))
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Train the PQ codebook: (sub, code, cv) with k entries per
+    subspace.  Seeds per subspace are the sub-vectors of the k corpus
+    rows with smallest xxhash64(id) (hash-spread, deterministic); Lloyd
+    refinement uses decimal-exact means so the codebook is a pure
+    function of the corpus (see `kmeans_centroids` for why double sums
+    are not)."""
+    first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("empty corpus")
+    d = int(first[0]["d"])
+    sv = _subvectors(corpus, id_col, vec_col, m, d)
+
+    seed_ids = (
+        corpus.select(F.col(id_col).alias("vid"))
+        .orderBy(F.xxhash64(F.col("vid")), F.col("vid"))
+        .limit(k)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy(F.xxhash64(F.col("vid")), F.col("vid")))
+            - 1,
+        )
+    )
+    codebook = sv.join(F.broadcast(seed_ids), "vid").select(
+        "sub", "code", F.col("sv").alias("cv")
+    )
+    for _ in range(iterations):
+        assigned = _assign_codes(sv, codebook)
+        codebook = (
+            sv.join(assigned.select("vid", "sub", "code"), ["vid", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)")) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("mx")
+            )
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+            .select("sub", "code", F.transform("pm", lambda s: s["mx"]).alias("cv"))
+        )
+    return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int | None = None,
+) -> DataFrame:
+    """(id, codes array<int>, mse_u): each vector's m codes in subspace
+    order plus its integerized quantization error Σ|sv − cv|² — the
+    audit number a build pipeline thresholds before swapping floats for
+    codes."""
+    mm = m if m is not None else codebook.agg(F.max("sub")).collect()[0][0] + 1
+    first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    d = int(first[0]["d"]) if first else 0
+    sv = _subvectors(corpus, id_col, vec_col, mm, d)
+    assigned = _assign_codes(sv, codebook)
+    return (
+        assigned.groupBy("vid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"),
+            F.floor(F.sum("d2") * F.lit(1_000_000.0)).cast("long").alias("mse_u"),
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.transform("sc", lambda s: s["code"]).alias("codes"),
+            "mse_u",
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay float, corpus stays
+    codes.  Per query the m·|codebook| lookup table of sub-distances is
+    computed once (q·m·k rows, broadcast); each doc's distance is the
+    sum of its m table entries — one join on (sub, code), one
+    (query, doc) aggregate, one windowed top-k.
+
+    With ``rerank = N > 0`` the ADC pass becomes the CANDIDATE
+    generator (top-N per query) and an exact-cosine re-rank over just
+    those q·N candidates produces the final top-k — the standard
+    PQ + re-rank serving topology: the float corpus is read only for
+    the candidate rows (an id equi-join — at 100 TB that is a
+    broadcast-able q·N-row probe into the float table), recovering
+    near-exact recall while the full scan still runs on codes."""
+    codes = pq_encode(corpus, codebook, id_col, vec_col, m=m).select(
+        F.col(id_col).alias("nid"), F.posexplode("codes").alias("sub", "code")
+    )
+    first = queries.select(F.size(vec_col).alias("d")).limit(1).collect()
+    d = int(first[0]["d"]) if first else 0
+    qsv = _subvectors(queries, id_col, vec_col, m, d).select(
+        F.col("vid").alias("qid"), "sub", "sv"
+    )
+    lut = qsv.join(F.broadcast(codebook), "sub").select(
+        "qid", "sub", "code", F.expr(_D2).alias("pd")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid").asc())
+    n_cand = max(k, rerank) if rerank else k
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_cand)
+    )
+    if not rerank:
+        return cand.select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    nvec = corpus.select(
+        F.col(id_col).alias("nid"), _unit(F.col(vec_col)).alias("_nu")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("qid"), _unit(F.col(vec_col)).alias("_qu")
+    )
+    dot = F.aggregate(
+        F.zip_with("_qu", "_nu", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    exact = (
+        cand.select("qid", "nid")
+        .join(nvec, "nid")
+        .join(F.broadcast(qvec), "qid")
+        .select("qid", "nid", dot.alias("cos"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

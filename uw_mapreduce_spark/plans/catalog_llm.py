@@ -1478,3 +1478,37 @@ def pps_sample_documents(spark, sf_dir):
     return kept.select(
         "doc_id", F.col("n_chars").cast("long").alias("w"), u32.alias("u32")
     )
+
+
+@query("pq_recall_gate")  # self-asserting quality gate: rows-only
+def pq_recall_gate(spark, sf_dir):
+    """Driver-visible PQ quality gate (`operators/pq.py`): recall@10 of
+    the PQ + exact-re-rank serving topology (m=16 subspaces, 32-entry
+    codebooks, ADC top-100 candidates, exact-cosine re-rank) against
+    exact brute force, as integer permille.  Self-asserting — the row
+    survives only if recall ≥ 800‰ (measured 900‰ on the driver
+    embeddings; PQ training is iterative k-means, so no SQL twin
+    exists — the `knn_ivf_recall` pattern).  Codes compress 64-dim
+    float32 vectors 16×; the float table is touched only for the q·100
+    candidate rows."""
+    from ..operators.pq import pq_adc_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    cb = pq_train(emb, m=16, k=32, iterations=2)
+    truth = knn_bruteforce(emb, queries_df, k=10).select("query_id", "neighbor_id")
+    approx = (
+        pq_adc_topk(emb, queries_df, cb, k=10, m=16, rerank=100)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.floor(
+            F.lit(1000.0) * F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
+        )
+        .cast("long")
+        .alias("recall_permille"),
+    ).where(F.col("recall_permille") >= 800)

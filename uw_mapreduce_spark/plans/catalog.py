@@ -540,6 +540,64 @@ def funnel_click_purchase(spark, sf_dir):
 
 
 @query(
+    "attribution_linear_events",
+    """
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+)
+SELECT click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(1000 // n_touch) AS BIGINT) AS credit_permille
+FROM touches
+GROUP BY click_id
+""",
+)
+def attribution_linear_events(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase splits its credit
+    equally over the same user's clicks in the preceding 24 hours
+    (floor(1000/n) permille per touch — integer, hash-stable); output
+    is each click's accumulated credit.  Complements the as-of join
+    (last-touch = 100% to the nearest click) with the multi-touch
+    model.  One key-partitioned interval join + a per-purchase window
+    count + one click-keyed aggregate — all shuffles on user/purchase/
+    click keys, no single-partition stage."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("purchase_id"))
+        .alias("n_touch"),
+    )
+    return touches.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.floor(F.lit(1000) / F.col("n_touch")))
+        .cast("long")
+        .alias("credit_permille"),
+    )
+
+
+@query(
     "funnel_triples_events",
     """
 SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,

@@ -33,3 +33,29 @@ def test_pps_sample_weighted_and_deterministic(spark, sf_small):
         for r in pps_sample(docs, "n_chars", k, "doc_id").select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.sampling import mixture_sample
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    targets = {"en": 600, "de": 100, "es": 100, "fr": 100, "zh": 100}
+    kept = mixture_sample(docs, "lang", targets, 200, "doc_id")
+    by_lang = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(by_lang.values())
+    # ~200 rows total, en the clear majority (60% target vs ~50% corpus
+    # share), every targeted language represented.
+    assert 140 <= n <= 260
+    assert set(by_lang) == set(targets)
+    assert by_lang["en"] > max(v for k, v in by_lang.items() if k != "en") * 2
+    # Deterministic.
+    again = mixture_sample(docs, "lang", targets, 200, "doc_id")
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )

@@ -171,3 +171,42 @@ def pps_sample(
         .where(u32 * F.col("W") < F.lit(int(expected_k)) * w * F.lit(1 << 32))
         .drop("W")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    targets_permille: dict[str, int],
+    total: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic corpus-mixture sampling: draw ~``total`` rows whose
+    GROUP proportions match ``targets_permille`` (the data-mixing step
+    of LLM corpus assembly — e.g. 60% en / 10% each other language —
+    independent of the corpus's own skew).
+
+    Per group g the keep probability is ``total·t_g / (1000·n_g)``
+    (capped at 1 when the group is smaller than its quota); the draw is
+    the same portable integer md5 coin as `pps_sample`:
+    ``u32 · n_g · 1000 < total · t_g · 2³²`` — exact int64 at test
+    scale (widen to DECIMAL(38) once n_g approaches 2¹⁹ rows·groups),
+    reproducible by any SQL engine, so the SAMPLING step itself is
+    value-hash oracle-checkable.  Groups absent from the target map are
+    dropped (weight 0).  Group counts are one map-side-combined
+    aggregate broadcast back — no corpus reshuffle; the filter is
+    codegen over the scan."""
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(g, int(p)) for g, p in sorted(targets_permille.items())],
+        f"{group_col} string, _t long",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(tdf), group_col)
+        .join(F.broadcast(counts), group_col)
+        .where(u32 * F.col("_ng") * F.lit(1000) < F.lit(int(total)) * F.col("_t") * F.lit(1 << 32))
+        .drop("_t", "_ng")
+    )

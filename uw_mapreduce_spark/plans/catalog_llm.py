@@ -1512,3 +1512,37 @@ def pq_recall_gate(spark, sf_dir):
         .cast("long")
         .alias("recall_permille"),
     ).where(F.col("recall_permille") >= 800)
+
+
+_MIXTURE_SQL = r"""
+WITH t(lang, t) AS (VALUES ('en', 600), ('de', 100), ('es', 100),
+                           ('fr', 100), ('zh', 100)),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN t ON d.lang = t.lang
+JOIN n ON d.lang = n.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      * n.ng * 1000 < 200 * t.t * 4294967296
+"""
+
+
+@query("mixture_sample_documents", _MIXTURE_SQL)
+def mixture_sample_documents(spark, sf_dir):
+    """Corpus mixing (`operators/sampling.mixture_sample`): draw a
+    ~200-doc sample whose language proportions target 60% en / 10%
+    each of de·es·fr·zh regardless of corpus skew — the data-mixing
+    step of LLM corpus assembly, with the portable integer md5 draw, so
+    even the SAMPLING is value-hash checked (RNG samplers are
+    necessarily rows-only)."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        "lang",
+        {"en": 600, "de": 100, "es": 100, "fr": 100, "zh": 100},
+        200,
+        "doc_id",
+    )
+    return kept.select("doc_id", "lang")

@@ -1546,3 +1546,51 @@ def mixture_sample_documents(spark, sf_dir):
         "doc_id",
     )
     return kept.select("doc_id", "lang")
+
+
+def _quality_rules_oracle() -> str:
+    """Composed from the REGISTERED doc_stats oracle, so the rule gate
+    and its input statistics cannot drift apart (the curation_v2
+    pattern)."""
+    from ._registry import ORACLE
+
+    ds = ORACLE["doc_stats_documents"]
+    return rf"""
+WITH ds AS (SELECT * FROM ({ds}))
+SELECT doc_id,
+       CAST(n_tokens BETWEEN 5 AND 5000 AS BIGINT) AS tokens_ok,
+       CAST(stopword_permille >= 10 AS BIGINT) AS stop_ok,
+       CAST(uniq_permille >= 300 AS BIGINT) AS uniq_ok,
+       CAST(n_punct * 1000 <= n_chars * 150 AS BIGINT) AS punct_ok,
+       CAST(n_tokens BETWEEN 5 AND 5000
+            AND stopword_permille >= 10
+            AND uniq_permille >= 300
+            AND n_punct * 1000 <= n_chars * 150 AS BIGINT) AS keep
+FROM ds
+"""
+
+
+@query("quality_rules_documents", _quality_rules_oracle())
+def quality_rules_documents(spark, sf_dir):
+    """Gopher-style composite quality filter: named heuristic rules
+    (token-count range, stopword floor, unique-token floor, punctuation
+    ceiling — Rae et al. 2021's rule-set shape, thresholds tuned to the
+    synthetic corpus) evaluated per document over the `doc_stats`
+    columns, plus the conjunction as the keep verdict.  Each rule is a
+    driver-visible integer column, so a mixture shift in ANY rule shows
+    up in the value hash; the oracle is COMPOSED from the registered
+    doc_stats SQL.  Map-only over the stats (which are one tokenize
+    pass, no shuffle)."""
+    stats = doc_stats(load_table(spark, sf_dir, "documents"))
+    tokens_ok = F.col("n_tokens").between(5, 5000)
+    stop_ok = F.col("stopword_permille") >= 10
+    uniq_ok = F.col("uniq_permille") >= 300
+    punct_ok = F.col("n_punct") * 1000 <= F.col("n_chars") * 150
+    return stats.select(
+        "doc_id",
+        tokens_ok.cast("long").alias("tokens_ok"),
+        stop_ok.cast("long").alias("stop_ok"),
+        uniq_ok.cast("long").alias("uniq_ok"),
+        punct_ok.cast("long").alias("punct_ok"),
+        (tokens_ok & stop_ok & uniq_ok & punct_ok).cast("long").alias("keep"),
+    )

@@ -49,3 +49,22 @@ def test_pq_adc_rerank_recall_floor(spark, sf_small):
     n_hit = truth.join(got, ["query_id", "neighbor_id"], "left_semi").count()
     assert n_truth == 100  # 10 queries x k=10
     assert n_hit / n_truth >= 0.8
+
+
+def test_ivf_pq_composed_recall_and_pruning(spark, sf_small):
+    """The IVFADC composition (IVF cell pruning → ADC scoring → exact
+    re-rank) must clear the same recall floor the catalog gate asserts
+    (6/16 probes, n_assign=2, rerank=100 → measured 0.84)."""
+    from uw_mapreduce_spark.operators.pq import ivf_pq_topk
+    from uw_mapreduce_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cb = pq_train(emb, m=16, k=32, iterations=2)
+    cents = kmeans_centroids(emb, 16)
+    truth = knn_bruteforce(emb, queries, k=10).select("query_id", "neighbor_id")
+    got = ivf_pq_topk(
+        emb, queries, cb, cents, k=10, m=16, n_probes=6, n_assign=2, rerank=100
+    ).select("query_id", "neighbor_id")
+    n_hit = truth.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+    assert n_hit / truth.count() >= 0.75

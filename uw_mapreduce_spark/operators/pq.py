@@ -228,3 +228,95 @@ def pq_adc_topk(
             F.col("rk").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    n_probes: int = 4,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF+PQ composed index (the IVFADC serving topology, Jégou 2011
+    §IV): the coarse IVF quantizer prunes WHICH codes are scored, the
+    PQ lookup table prices each survivor — at 100 TB the query touches
+    ``n_probes/C`` of the code table (itself 16× smaller than the float
+    corpus), and floats only for the optional q·N re-rank probe.
+
+    Composition of the two audited pieces: corpus vectors are tagged
+    with their ``n_assign`` nearest IVF cells (`_multi_assign_with` —
+    the boundary-spill trick that recovers single-assignment recall
+    loss), queries probe their ``n_probes`` nearest cells, and the ADC
+    join gains a (query, cell) equi-key so only co-celled codes are
+    scored.  All small sides (centroids, lookup table, probe map)
+    broadcast; the code table never reshuffles."""
+    from .similarity import _centroid_literals, _multi_assign_with
+
+    cents = _centroid_literals(centroids, vec_col)
+    tagged = _multi_assign_with(
+        corpus.select(id_col, vec_col), cents, vec_col, n_assign
+    ).select(F.col(id_col).alias("nid"), "cent_id").distinct()
+    qcells = _multi_assign_with(
+        queries.select(id_col, vec_col), cents, vec_col, min(n_probes, len(cents))
+    ).select(F.col(id_col).alias("qid"), "cent_id")
+
+    codes = pq_encode(corpus, codebook, id_col, vec_col, m=m).select(
+        F.col(id_col).alias("nid"), F.posexplode("codes").alias("sub", "code")
+    )
+    first = queries.select(F.size(vec_col).alias("d")).limit(1).collect()
+    d = int(first[0]["d"]) if first else 0
+    qsv = _subvectors(queries, id_col, vec_col, m, d).select(
+        F.col("vid").alias("qid"), "sub", "sv"
+    )
+    lut = qsv.join(F.broadcast(codebook), "sub").select(
+        "qid", "sub", "code", F.expr(_D2).alias("pd")
+    )
+    # Candidate (query, doc) pairs = co-celled pairs, deduped across
+    # spill assignments; then the ADC sum runs over candidates only.
+    cand = (
+        tagged.join(F.broadcast(qcells), "cent_id")
+        .select("qid", "nid")
+        .distinct()
+    )
+    scored = (
+        cand.join(codes, "nid")
+        .join(F.broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid").asc())
+    n_cand = max(k, rerank) if rerank else k
+    top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= n_cand)
+    if not rerank:
+        return top.select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    nvec = corpus.select(F.col(id_col).alias("nid"), _unit(F.col(vec_col)).alias("_nu"))
+    qvec = queries.select(F.col(id_col).alias("qid"), _unit(F.col(vec_col)).alias("_qu"))
+    dot = F.aggregate(
+        F.zip_with("_qu", "_nu", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    exact = (
+        top.select("qid", "nid")
+        .join(nvec, "nid")
+        .join(F.broadcast(qvec), "qid")
+        .select("qid", "nid", dot.alias("cos"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

@@ -53,6 +53,14 @@ HEADLINE = [
     "bloom_semi_join_lineitem",
     "hybrid_search_rrf",
     "zorder_layout_events",
+    # round-6 additions: shuffle-free int8 quantization, integer-exact
+    # corpus mixing, multi-touch attribution, chained 3-step funnel,
+    # composite quality rules.
+    "quantize_embeddings_int8",
+    "mixture_sample_documents",
+    "attribution_linear_events",
+    "funnel_triples_events",
+    "quality_rules_documents",
 ]
 
 
@@ -94,6 +102,7 @@ SF1_QUERIES = [
     "q3_shipping_priority",
     "dedup_exact_documents",
     "minhash_lsh_documents",
+    "minhash_lsh_fast_documents",
     "knn_cosine_top5",
     "doc_stats_documents",
     "curation_pipeline",

@@ -574,3 +574,79 @@ def test_windowed_distinct_users_stream_converges_to_batch(spark, sf_small):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("select * from wdu_out").collect()}
     assert got == expected
+
+
+def test_three_step_funnel_outer_stream_converges_to_batch(spark, sf_small):
+    """Chained LEFT OUTER drop-off funnel: matched triples always emit;
+    sentinel rows emit once their own horizon (click.ts + within for
+    (v,c,-1); view.ts + within for (v,-1,-1)) passes the watermark —
+    rows still inside the horizon at stream end are withheld, not
+    wrong.  Same final-watermark split as the 2-step outer test."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.joins import view_click_purchase_funnel_outer
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {
+        tuple(r)
+        for r in view_click_purchase_funnel_outer(
+            batch.where(F.col("event_type") == "view"),
+            batch.where(F.col("event_type") == "click"),
+            batch.where(F.col("event_type") == "purchase"),
+            within="24 hours",
+        ).collect()
+    }
+    shapes = {(r[2] == -1, r[3] == -1) for r in expected}
+    # The batch answer must exercise full triples AND both drop-off shapes.
+    assert {(False, False), (False, True), (True, True)} <= shapes
+    full = {t for t in expected if t[3] != -1}
+    ev_ts = {
+        r.event_id: r.ts
+        for r in batch.where(
+            F.col("event_type").isin("view", "click")
+        ).select("event_id", "ts").collect()
+    }
+
+    stream = stream_events(spark, sf_small)
+    out = view_click_purchase_funnel_outer(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="24 hours",
+        delay="48 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel3o_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from funnel3o_out").collect()}
+    final_wm = datetime.datetime.fromisoformat(
+        q.lastProgress["eventTime"]["watermark"].replace("Z", "+00:00")
+    ).replace(tzinfo=None)
+    within = datetime.timedelta(hours=24)
+
+    assert got <= expected  # nothing spurious
+    assert full <= got      # every full triple emitted
+
+    def horizon(t):
+        # (v,c,-1) rows expire in the SECOND join, whose input watermark
+        # lags the global one by the first join's interval (watermark
+        # propagation through chained stateful operators), so their
+        # horizon is click.ts + 2·within; (v,-1,-1) rows expire in the
+        # single first join at view.ts + within.
+        if t[2] != -1:
+            return ev_ts[t[2]] + 2 * within
+        return ev_ts[t[1]] + within
+
+    for t in expected - got:
+        assert t[3] == -1 and horizon(t) >= final_wm  # genuinely unevictable
+    evictable = {t for t in expected - full if horizon(t) < final_wm}
+    assert evictable <= got

@@ -635,6 +635,42 @@ def funnel_triples_events(spark, sf_dir):
 
 
 @query(
+    "funnel_triples_outer_events",
+    """
+SELECT v.user_id, v.event_id AS view_id,
+       COALESCE(c.event_id, -1) AS click_id,
+       COALESCE(p.event_id, -1) AS purchase_id,
+       COALESCE(CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT), -1) AS lag_vc_us,
+       COALESCE(CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT), -1) AS lag_cp_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+""",
+)
+def funnel_triples_outer_events(spark, sf_dir):
+    """Drop-off 3-step funnel: every view emits with exactly how far it
+    got — full triple, (view, click, −1), or (view, −1, −1) — the
+    funnel-leakage report.  Batch face of the chained LEFT OUTER
+    stream-stream joins (`streaming/joins.
+    view_click_purchase_funnel_outer`); a sentinel click's NULL c_ts
+    makes the second interval condition unsatisfiable, which is the
+    drop-off semantics falling out of plain outer-join algebra."""
+    from ..streaming.joins import view_click_purchase_funnel_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    return view_click_purchase_funnel_outer(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        within="24 hours",
+    )
+
+
+@query(
     "funnel_click_purchase_outer",
     """
 SELECT c.user_id, c.event_id AS click_id,

@@ -4,6 +4,7 @@ from .joins import (
     click_purchase_funnel_full,
     click_purchase_funnel_outer,
     view_click_purchase_funnel,
+    view_click_purchase_funnel_outer,
 )
 from .maintenance import RollupMaintainer, maintain_rollup
 from .sliding import sliding_event_time_sum, stream_events, windowed_distinct_users
@@ -18,5 +19,6 @@ __all__ = [
     "sliding_event_time_sum",
     "stream_events",
     "view_click_purchase_funnel",
+    "view_click_purchase_funnel_outer",
     "windowed_distinct_users",
 ]

@@ -233,3 +233,95 @@ def click_purchase_funnel_full(
             F.unix_micros("p_ts") - F.unix_micros("c_ts"), F.lit(-1)
         ).alias("lag_us"),
     )
+
+
+def view_click_purchase_funnel_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Drop-off variant of the 3-step funnel: LEFT OUTER at both
+    chained joins, so every view emits with exactly how far it got —
+    (view, click, purchase), (view, click, −1), or (view, −1, −1) —
+    the funnel-leakage question the inner variant cannot answer.
+    Sentinels (−1) rather than NULLs keep the integer columns
+    hash-stable across engines, as in `click_purchase_funnel_outer`.
+
+    Structure: a naive LEFT OUTER chain would send sentinel rows with a
+    NULL c_ts into the second stateful join, where a NULL event-time
+    row can never be expired by the watermark — the (view, −1, −1)
+    rows would sit in state forever and never emit.  So the plan is a
+    UNION of two branches whose intermediate event-time columns are
+    always non-NULL:
+
+    * matched branch: INNER view→click join (real c_ts), then LEFT
+      OUTER against purchases → (v, c, p) and (v, c, −1);
+    * drop-off branch: LEFT OUTER view→click filtered to the unmatched
+      side → (v, −1, −1).
+
+    On batch inputs the union is row-identical to the plain LEFT JOIN
+    chain (the oracle keeps that classic form, proving equivalence);
+    each branch's state stays watermark-bounded."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", delay)
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", delay)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", delay)
+    step1 = F.expr(
+        f"v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL {within}"
+    )
+    step2 = F.expr(
+        f"v_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL {within}"
+    )
+    matched = (
+        v.join(c, step1)
+        .select(
+            "v_user",
+            "view_id",
+            "click_id",
+            "c_ts",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_vc_us"),
+        )
+        .join(p, step2, "leftOuter")
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+            "lag_vc_us",
+            F.coalesce(
+                F.unix_micros("p_ts") - F.unix_micros("c_ts"), F.lit(-1)
+            ).alias("lag_cp_us"),
+        )
+    )
+    dropoff = (
+        v.join(c, step1, "leftOuter")
+        .where(F.col("click_id").isNull())
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            F.lit(-1).cast("long").alias("click_id"),
+            F.lit(-1).cast("long").alias("purchase_id"),
+            F.lit(-1).cast("long").alias("lag_vc_us"),
+            F.lit(-1).cast("long").alias("lag_cp_us"),
+        )
+    )
+    return matched.unionByName(dropoff)

@@ -374,6 +374,54 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "range_window_revenue_orders",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT d,
+       rev_c,
+       CAST(SUM(rev_c) OVER (ORDER BY d
+              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rev_7d_c,
+       CAST(COUNT(*) OVER (ORDER BY d
+              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS days_present_7d
+FROM daily
+""",
+)
+def range_window_revenue_orders(spark, sf_dir):
+    """Time-RANGE window frames (the rows-vs-range distinction the rest
+    of the window family doesn't exercise): trailing-7-DAY revenue per
+    order date, where the frame is defined by a time interval — days
+    with no orders contribute nothing and are skipped, which a
+    ROWS-frame cannot express.  Spark side: ``rangeBetween(-6, 0)``
+    over the epoch-day integer (Spark's RANGE frames are numeric; a
+    date column maps to days-since-epoch losslessly).  The window runs
+    over the DAILY AGGREGATE (~2.4 k rows at sf0.1, aggregate-sized
+    like `mom_revenue_growth`), never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        .withColumn("_day", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("_day").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("long").alias("rev_7d_c"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present_7d"),
+    )
+
+
+@query(
     "running_revenue_global",
     """
 SELECT o_orderkey,

@@ -52,3 +52,41 @@ def read_csv_quarantine(spark: SparkSession, path: str, schema: StructType, *,
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return good, bad
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest a directory of opaque media files via Spark's built-in
+    ``binaryFile`` source — the entry point that turns an image/audio
+    dump into the engine's media frame (`functions/multimodal.
+    attach_media` downstream).
+
+    Columns: (path, mod_time, n_bytes, payload).  ``glob`` filters by
+    pathname pattern (pushed to the source via pathGlobFilter, so
+    non-matching files are never opened); ``max_bytes`` guards the
+    executor heap against oversized blobs — the FILTER is on the
+    source's length metadata column, so oversized payloads are pruned
+    at scan time, not after materializing their bytes.
+
+    Scale notes: binaryFile caps per-file size at
+    ``spark.sql.sources.binaryFile.maxLength`` (int32 max) and packs
+    many small files per task via the usual maxPartitionBytes packing —
+    the right source for millions of small media objects; shard
+    archives (tar/UWV1 containers) are better for billions."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path).select(
+        F.col("path"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
+    if max_bytes is not None:
+        df = df.where(F.col("n_bytes") <= max_bytes)
+    return df

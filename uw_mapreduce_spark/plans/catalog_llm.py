@@ -1646,3 +1646,135 @@ def minhash_lsh_fast_documents(spark, sf_dir):
     return minhash_lsh_pairs(
         docs, "text", "doc_id", n=5, threshold=0.5, hash_family="xxhash64"
     )
+
+
+def _semantic_manifest_oracle() -> str:
+    """Composed from the REGISTERED exact-cosine pair oracle + the same
+    recursive-CTE connected-components used by the n-gram manifest —
+    plan and composition cannot drift apart."""
+    from ._registry import ORACLE
+
+    pairs = ORACLE["cosine_near_dup_pairs"]
+    return rf"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b
+),
+labeled AS (SELECT v, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v)
+SELECT e.vec_id,
+       CAST(COALESCE(l.label, e.vec_id) AS BIGINT) AS canonical_id,
+       e.vec_id = COALESCE(l.label, e.vec_id) AS keep
+FROM embeddings e LEFT JOIN labeled l ON e.vec_id = l.v
+"""
+
+
+@query("semantic_dedup_manifest", _semantic_manifest_oracle())
+def semantic_dedup_manifest(spark, sf_dir):
+    """SEMANTIC dedup (the SemDeDup-style pipeline step): exact-cosine
+    near-duplicate pairs over the embedding corpus → connected
+    components → one manifest row per vector with its canonical
+    representative and keep/drop verdict.  Same manifest-as-artifact
+    contract as `dedup_manifest_documents`, but clustering by MEANING
+    (embedding geometry) instead of surface n-grams — the two manifests
+    together are the lexical+semantic dedup a training corpus needs.
+    The pair stage is the executor-side blocked BLAS kernel; at scale
+    swap in `cosine_near_dup_lsh` candidates with this exact path as
+    the verification oracle."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine_near_dup_pairs_numpy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    # embeddings carries its own `label` column (class id) — rename the
+    # component label before joining to avoid the ambiguity.
+    labeled = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "label", "_cc"
+    )
+    return emb.join(labeled, emb.vec_id == labeled.v, "left").select(
+        "vec_id",
+        F.coalesce("_cc", "vec_id").cast("long").alias("canonical_id"),
+        (F.col("vec_id") == F.coalesce("_cc", "vec_id")).alias("keep"),
+    )
+
+
+def _curation_v3_oracle() -> str:
+    """Composed verbatim from the REGISTERED oracles of the round-6
+    components (lexical dedup manifest, quality rules) plus the mixture
+    draw's integer formula — the fused plan is checked against the
+    composition of its parts, the curation_v2 contract."""
+    from ._registry import ORACLE
+
+    mani = ORACLE["dedup_manifest_documents"]
+    rules = ORACLE["quality_rules_documents"]
+    return rf"""
+WITH mani AS (SELECT * FROM ({mani})),
+rules AS (SELECT * FROM ({rules})),
+surv AS (
+  SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d
+  JOIN mani m ON d.doc_id = m.doc_id AND m.keep
+  JOIN rules r ON d.doc_id = r.doc_id AND r.keep = 1
+),
+t(lang, t) AS (VALUES ('en', 600), ('de', 100), ('es', 100),
+                      ('fr', 100), ('zh', 100)),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng FROM surv GROUP BY lang),
+mixed AS (
+  SELECT s.* FROM surv s JOIN t ON s.lang = t.lang JOIN n ON s.lang = n.lang
+  WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        * n.ng * 1000 < 100 * t.t * 4294967296
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mixed GROUP BY lang
+"""
+
+
+@query("curation_pipeline_v3", _curation_v3_oracle())
+def curation_pipeline_v3(spark, sf_dir):
+    """Round-6 capstone: lexical dedup manifest → Gopher-style quality
+    rule gate → deterministic language-mixture sampling (60% en / 10%
+    each other), fused into ONE lazy plan and reported as per-language
+    survivor counts and byte totals.  Every component is individually
+    value-hash checked; this query checks their COMPOSITION, with the
+    oracle assembled from the components' registered SQL so plan and
+    oracle cannot drift (the curation_v2 contract, extended to the
+    round-6 surface).  Scale shape: manifest join (key shuffle) +
+    map-only rules + broadcast mixture draw — the corpus crosses the
+    wire once."""
+    from ..operators.graph import connected_components
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    labeled = connected_components(pairs, "doc_a", "doc_b")
+    kept = docs.join(labeled, docs.doc_id == labeled.v, "left").where(
+        F.coalesce("label", "doc_id") == F.col("doc_id")
+    )
+    stats = doc_stats(kept)
+    ok = (
+        F.col("n_tokens").between(5, 5000)
+        & (F.col("stopword_permille") >= 10)
+        & (F.col("uniq_permille") >= 300)
+        & (F.col("n_punct") * 1000 <= F.col("n_chars") * 150)
+    )
+    surv = kept.join(stats.where(ok).select("doc_id"), "doc_id").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    mixed = mixture_sample(
+        surv,
+        "lang",
+        {"en": 600, "de": 100, "es": 100, "fr": 100, "zh": 100},
+        100,
+        "doc_id",
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -11,10 +11,14 @@ from .merge import apply_changelog, incremental_rollup, scd2_intervals
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
 from .partitioning import range_partition, rebalance_by_rank, sort_within_partitions, total_sort
 from .rank import global_rank, global_rank_scalable
+from .pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
+from .quantize import quantize_embeddings_int8, quantize_stats_int8
 from .sampling import (
     bernoulli_sample,
     equi_depth_borders,
+    mixture_sample,
     order_statistic_bounds,
+    pps_sample,
     winsorized_summary,
 )
 from .zorder import z_value, zorder_by, zorder_by_n
@@ -27,6 +31,14 @@ from .split import hash_sample, hash_split
 
 __all__ = [
     "apply_changelog",
+    "ivf_pq_topk",
+    "mixture_sample",
+    "pps_sample",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_train",
+    "quantize_embeddings_int8",
+    "quantize_stats_int8",
     "bernoulli_sample",
     "bigram_lm_scores",
     "bloom_build",

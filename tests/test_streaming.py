@@ -650,3 +650,66 @@ def test_three_step_funnel_outer_stream_converges_to_batch(spark, sf_small):
         assert t[3] == -1 and horizon(t) >= final_wm  # genuinely unevictable
     evictable = {t for t in expected - full if horizon(t) < final_wm}
     assert evictable <= got
+
+
+def test_watermark_drops_late_row_for_closed_window(spark, tmp_path):
+    """Pins the late-data contract explicitly: once the watermark has
+    passed a window's end and the window has been emitted, a late row
+    for that window is DROPPED (counted in numRowsDroppedByWatermark)
+    and the window is never re-emitted — append output stays exactly-
+    once per window.  Three ordered micro-batches via
+    maxFilesPerTrigger=1: window A gets data, a later batch advances
+    the watermark past A's end (A emits), then a straggler for A
+    arrives.  Note the drop filter lags the progress-reported watermark
+    by one batch (the filter uses the previous batch's commit), so the
+    straggler must arrive after the close, not merely after the
+    watermark passes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.sliding import sliding_event_time_sum
+
+    batches = [
+        [("2024-01-01 09:30:00", 1.0), ("2024-01-01 10:04:00", 1.0)],
+        [("2024-01-01 10:25:00", 1.0)],   # advances wm past A's end; A emits
+        [("2024-01-01 09:31:00", 1.0)],   # straggler for closed window A
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        d = str(src / f"b{i}")
+        spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:  # order the files for the source (oldest first)
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = sliding_event_time_sum(
+        stream, "10 minutes", "10 minutes", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    got = sorted(
+        (str(r.win_start), r.n_events)
+        for r in spark.sql("select * from late_out").collect()
+    )
+    assert dropped == 1  # the straggler was dropped, not re-aggregated
+    # A=[9:30,9:40) emitted exactly once with only its on-time row;
+    # [10:00,10:10) closed with 1 row; [10:20,10:30) still open → withheld.
+    assert got == [("2024-01-01 09:30:00", 1), ("2024-01-01 10:00:00", 1)]

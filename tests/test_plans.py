@@ -106,3 +106,46 @@ def test_schema_drift_classifies_changes(spark):
         "removed": ["a"],
         "type_changed": [("b", "string", "bigint")],
     }
+
+
+def test_mixture_sample_never_reshuffles_the_corpus(spark, sf_small):
+    """The mixture draw is a codegen filter over the scan plus two
+    broadcast joins (targets, group counts): no Exchange may carry the
+    corpus — the only exchanges allowed are the broadcast ones and the
+    group-count aggregate's own (tiny) shuffle."""
+    from uw_mapreduce_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _plan(
+        mixture_sample(
+            docs, "lang", {"en": 600, "de": 100, "es": 100, "fr": 100, "zh": 100},
+            200, "doc_id",
+        )
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_attribution_has_no_cartesian_product(spark, sf_small):
+    """The 24 h interval join must plan as an equi-join on user_id with
+    the time bounds as residual predicates — never a cross product."""
+    plan = _plan(QUERIES["attribution_linear_events"](spark, sf_small))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfadc_broadcasts_all_small_sides(spark, sf_small):
+    """IVF+PQ serving: centroids/LUT/probe-map are all broadcast — the
+    code table itself must never be broadcast-joined as the big side of
+    a nested loop, and no cartesian appears anywhere."""
+    from uw_mapreduce_spark.operators.pq import ivf_pq_topk, pq_train
+    from uw_mapreduce_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cb = pq_train(emb, m=8, k=16, iterations=0)
+    cents = kmeans_centroids(emb, 8, iterations=0)
+    plan = _plan(
+        ivf_pq_topk(emb, emb.where(F.col("vec_id") < 3), cb, cents, k=5, m=8,
+                    n_probes=2, n_assign=1)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

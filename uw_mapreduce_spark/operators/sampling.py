@@ -161,15 +161,21 @@ def pps_sample(
 
     Returns the kept rows plus (w bigint, u32 bigint) for audit.
     """
+    # Internal columns use dunder names: Spark resolves case-insensitively
+    # by default, so a bare "W" would collide with a user column named
+    # "w" (found by the round-6 hypothesis suite).
     w = F.col(weight_col).cast("long")
-    total = df.agg(F.sum(w).alias("W"))
+    total = df.agg(F.sum(w).alias("__pps_total__"))
     u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
     return (
         df.crossJoin(F.broadcast(total))
-        .where(u32 * F.col("W") < F.lit(int(expected_k)) * w * F.lit(1 << 32))
-        .drop("W")
+        .where(
+            u32 * F.col("__pps_total__")
+            < F.lit(int(expected_k)) * w * F.lit(1 << 32)
+        )
+        .drop("__pps_total__")
     )
 
 
@@ -198,15 +204,18 @@ def mixture_sample(
     spark = df.sparkSession
     tdf = spark.createDataFrame(
         [(g, int(p)) for g, p in sorted(targets_permille.items())],
-        f"{group_col} string, _t long",
+        f"{group_col} string, __mix_t__ long",
     )
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__mix_ng__"))
     u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
     return (
         df.join(F.broadcast(tdf), group_col)
         .join(F.broadcast(counts), group_col)
-        .where(u32 * F.col("_ng") * F.lit(1000) < F.lit(int(total)) * F.col("_t") * F.lit(1 << 32))
-        .drop("_t", "_ng")
+        .where(
+            u32 * F.col("__mix_ng__") * F.lit(1000)
+            < F.lit(int(total)) * F.col("__mix_t__") * F.lit(1 << 32)
+        )
+        .drop("__mix_t__", "__mix_ng__")
     )

@@ -1778,3 +1778,36 @@ def curation_pipeline_v3(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+_KNN_FILTERED_SQL = r"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE e.label = 3
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@query("knn_filtered_top5", _KNN_FILTERED_SQL)
+def knn_filtered_top5(spark, sf_dir):
+    """FILTERED vector search (the serving pattern RAG stacks call
+    metadata filtering): top-5 cosine neighbors restricted to corpus
+    vectors with label = 3.  PRE-filter semantics — the predicate
+    prunes the corpus before scoring, so results are exactly the top-k
+    of the eligible subset (post-filtering the unfiltered top-k loses
+    results when the filter is selective).  The filter composes into
+    the scan (predicate pushdown) so the broadcast kernel scores only
+    eligible vectors; the same composition applies in front of the
+    IVF / PQ paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    eligible = emb.where(F.col("label") == 3)
+    return knn_bruteforce(eligible, queries_df, k=5)

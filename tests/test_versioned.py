@@ -48,3 +48,31 @@ def test_versioned_orphan_data_is_invisible(spark, tmp_path):
     # overwritten by the legitimate writer (mode=overwrite).
     v = write_version(spark.range(7), t)
     assert v == 2 and read_version(spark, t).count() == 7
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing one partition must leave
+    the others byte-identical, and a plain static overwrite of the same
+    frame would NOT (it truncates the table) — both directions pinned."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.sinks import overwrite_partitions
+
+    t = str(tmp_path / "events_p")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "d string, v int"
+    )
+    overwrite_partitions(base, t, ["d"])
+    fix = spark.createDataFrame([("2024-01-02", 99)], "d string, v int")
+    overwrite_partitions(fix, t, ["d"])
+    # Partition-dir values infer back as dates — compare as strings.
+    got = sorted((str(r.d), r.v) for r in spark.read.parquet(t).collect())
+    assert got == [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)]
+    # Config restored: a subsequent plain overwrite behaves statically.
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+    )
+    fix.write.mode("overwrite").partitionBy("d").parquet(t)
+    assert sorted((str(r.d), r.v) for r in spark.read.parquet(t).collect()) == [
+        ("2024-01-02", 99)
+    ]

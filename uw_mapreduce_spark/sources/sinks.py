@@ -110,3 +110,29 @@ def compact_small_files(spark, path: str, *, fmt: str = "parquet",
         "files_after": len(_data_files(path)),
         "bytes": total,
     }
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Partition-level upsert: overwrite ONLY the directory partitions
+    present in ``df``, leaving every other partition untouched — the
+    standard backfill/late-correction write (re-land one day of an
+    event table without rewriting the year).
+
+    Implemented with Spark's dynamic partitionOverwriteMode, scoped to
+    this one write and restored afterwards: with the STATIC default,
+    mode('overwrite') would truncate the whole table first — the
+    classic data-loss footgun this helper exists to fence off.  At
+    scale the write moves only the affected partitions' bytes; with
+    concurrent readers the swap is per-partition-directory, not
+    transactional across partitions (a table format is needed for
+    that — see sources/versioned.py for the snapshot alternative)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").format(fmt).partitionBy(*partition_by).save(path)
+    finally:
+        spark.conf.set(key, prev)

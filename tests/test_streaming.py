@@ -713,3 +713,80 @@ def test_watermark_drops_late_row_for_closed_window(spark, tmp_path):
     # A=[9:30,9:40) emitted exactly once with only its on-time row;
     # [10:00,10:10) closed with 1 row; [10:20,10:30) still open → withheld.
     assert got == [("2024-01-01 09:30:00", 1), ("2024-01-01 10:00:00", 1)]
+
+
+def test_cusum_drift_stream_converges_to_batch(spark, sf_small):
+    """CUSUM drift on the custom-stateful API (transformWithState
+    where protobuf exists, applyInPandasWithState fallback here): the
+    drained stream must emit exactly the batch replay's alerts, and
+    the synthetic events must genuinely trigger some alerts."""
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.drift import cusum_drift_alerts
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {tuple(r) for r in cusum_drift_alerts(batch).collect()}
+    assert len(expected) > 0
+
+    out = cusum_drift_alerts(stream_events(spark, sf_small))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from cusum_out").collect()}
+    assert got == expected
+
+
+def test_cusum_state_carries_across_batches(spark, tmp_path):
+    """The ValueState must carry warmup and accumulators across
+    micro-batches: a 2-batch ordered replay equals the 1-batch batch
+    face (same kernel, incremental state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.drift import cusum_drift_alerts
+
+    # 30 warmup-ish points at ~1.0 then a level shift to 2.0.
+    rows = [(1, f"2024-01-01 10:{i:02d}:00", 1.0) for i in range(25)] + [
+        (1, f"2024-01-01 11:{i:02d}:00", 2.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    expected = {tuple(r) for r in cusum_drift_alerts(df).collect()}
+    assert expected  # the shift must alert
+
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        d = str(src / f"b{i}")
+        spark.createDataFrame(
+            chunk, "user_id long, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        cusum_drift_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from cusum2_out").collect()}
+    assert got == expected

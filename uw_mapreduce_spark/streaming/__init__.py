@@ -1,4 +1,5 @@
 from .anomaly import rolling_zscore_stream
+from .drift import cusum_drift_alerts
 from .joins import (
     click_purchase_funnel,
     click_purchase_funnel_full,
@@ -11,6 +12,7 @@ from .sliding import sliding_event_time_sum, stream_events, windowed_distinct_us
 
 __all__ = [
     "RollupMaintainer",
+    "cusum_drift_alerts",
     "click_purchase_funnel",
     "click_purchase_funnel_full",
     "click_purchase_funnel_outer",

@@ -2343,3 +2343,18 @@ def top_parts_per_brand_with_ties(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .drop("rnk")
     )
+
+
+@query("cusum_drift_events")  # sequential per-key kernel: rows-only
+def cusum_drift_events(spark, sf_dir):
+    """Batch face of the per-user CUSUM drift detector
+    (`streaming/drift.cusum_drift_alerts`): integer micro-unit
+    one-sided cumulative deviation sums with a frozen warmup mean.
+    The kernel is an ordered sequential scan per key (data-dependent
+    recursion — no tractable SQL twin), so this takes the rows-only
+    check; the pytest suite pins streaming ≡ batch ≡ pure-Python
+    replay instead."""
+    from ..streaming.drift import cusum_drift_alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_drift_alerts(ev)

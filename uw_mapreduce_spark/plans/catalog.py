@@ -1233,6 +1233,26 @@ def _sql_passthrough(sql: str, tables: list[str]):
 query("sql_api_q1", ORACLE["q1_pricing_summary"])(
     _sql_passthrough(ORACLE["q1_pricing_summary"], ["lineitem"])
 )
+
+# Correlated LATERAL subquery (per-row dependent subquery in FROM): the
+# most-recent order per customer via ORDER BY ... LIMIT 1 inside the
+# lateral — a distinct SQL feature from windowed top-k (Spark plans it
+# as a rewritten DomainJoin/LateralJoin).  Same text runs verbatim on
+# both engines (comma-LATERAL is common SQL), so the oracle IS the query.
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey AS last_orderkey,
+       CAST(floor(t.o_totalprice * 100.0) AS BIGINT) AS last_total_c
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+  LIMIT 1
+) t
+"""
+query("lateral_last_order_per_customer", _LATERAL_SQL)(
+    _sql_passthrough(_LATERAL_SQL, ["customer", "orders"])
+)
 query("sql_api_sliding_16", ORACLE["sliding_sum_16"])(
     _sql_passthrough(ORACLE["sliding_sum_16"], ["events"])
 )

@@ -68,3 +68,34 @@ def test_ivf_pq_composed_recall_and_pruning(spark, sf_small):
     ).select("query_id", "neighbor_id")
     n_hit = truth.join(got, ["query_id", "neighbor_id"], "left_semi").count()
     assert n_hit / truth.count() >= 0.75
+
+
+def test_pq_adc_only_and_codebook_persistence(spark, sf_small, tmp_path):
+    """ADC without re-rank returns exactly k deterministic rows per
+    query; pq_encode infers m from the codebook when not passed; and a
+    persisted codebook (save_ann_index — it is just a small DataFrame)
+    reproduces the in-memory encoding exactly."""
+    from uw_mapreduce_spark.operators.similarity import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cb = pq_train(emb, m=8, k=16, iterations=1)
+    got = pq_adc_topk(emb, queries, cb, k=7, m=8).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(rk for rk, _ in v) == list(range(1, 8)) for v in per_q.values())
+    # Determinism of the full ADC output.
+    again = pq_adc_topk(emb, queries, cb, k=7, m=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    path = str(tmp_path / "pq_codebook")
+    save_ann_index(cb, path)
+    cb2 = load_ann_index(spark, path)
+    enc1 = {r.vec_id: (tuple(r.codes), r.mse_u) for r in pq_encode(emb, cb, m=8).collect()}
+    enc2 = {r.vec_id: (tuple(r.codes), r.mse_u) for r in pq_encode(emb, cb2).collect()}
+    assert enc1 == enc2  # m inferred from the persisted codebook

@@ -149,3 +149,24 @@ def test_ivfadc_broadcasts_all_small_sides(spark, sf_small):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_partitioned_layout_prunes_partitions_at_scan(spark, sf_small, tmp_path):
+    """Directory-partitioned writes + a partition-key filter must prune
+    at the SCAN (PartitionFilters in the plan and only the matching
+    partition's files read) — the single biggest lever on a 100 TB
+    table, asserted end-to-end through write_table."""
+    from uw_mapreduce_spark.sources.sinks import write_table
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    t = str(tmp_path / "events_by_type")
+    write_table(load_table(spark, sf_small, "events"), t, partition_by=["event_type"])
+    q = spark.read.parquet(t).where(F.col("event_type") == "click")
+    plan = _plan(q)
+    pf = plan.split("PartitionFilters", 1)[1][:160]
+    assert "event_type" in pf
+    # And the pruning is real: the filtered scan reads fewer files than
+    # the full-table scan.
+    n_all = spark.read.parquet(t).select(F.input_file_name()).distinct().count()
+    n_clicked = q.select(F.input_file_name()).distinct().count()
+    assert 0 < n_clicked < n_all

@@ -85,3 +85,24 @@ def test_rrf_fuse_prefers_docs_in_both_lists(spark):
     assert rows["d2"]["rrf_micro"] == 1000000 // 62 + 1000000 // 61
     assert rows["d1"]["rrf_micro"] == 1000000 // 61
     assert set(rows) == {"d1", "d2", "d3", "d4"}
+
+
+def test_phrase_search_adjacency_and_overlaps(spark):
+    from uw_mapreduce_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "value table wins"),          # one match
+        (2, "value of the table"),        # terms present, not adjacent
+        (3, "value table value table"),   # two matches
+        (4, "table value"),               # wrong order
+        (5, "table table table"),         # self-phrase overlap below
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_matches for r in phrase_search(df, ["value", "table"]).collect()}
+    assert got == {1: 1, 3: 2}
+    # Overlapping self-phrase counts per start position (token space).
+    got2 = {r.doc_id: r.n_matches for r in phrase_search(df, ["table", "table"]).collect()}
+    assert got2 == {5: 2}
+    # 3-token phrase stitches two adjacency joins.
+    got3 = {r.doc_id: r.n_matches for r in phrase_search(df, ["value", "table", "wins"]).collect()}
+    assert got3 == {1: 1}

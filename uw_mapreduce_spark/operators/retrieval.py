@@ -195,3 +195,44 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *, k: int = 10,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf_micro")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via a POSITIONAL inverted index: emit
+    (doc, n_matches) for documents containing the tokens of ``phrase``
+    consecutively, in order.
+
+    Plan: one posexplode builds (doc, pos, term) postings, FILTERED to
+    the phrase's terms before any shuffle (the pruning that makes a
+    positional index beat a LIKE scan at 100 TB — the join moves only
+    the phrase terms' postings, typically a sliver of the corpus), then
+    len(phrase)−1 equi-joins on (doc, pos+i) stitch adjacency.  Match
+    positions count in TOKEN space, so overlapping self-phrases
+    ('table table' in 'table table table' = 2) count per start
+    position — same contract as the SQL twin's adjacency count."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens (use tf/df search for one)")
+    terms = [t.lower() for t in phrase]
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term").isin(terms))
+    out = (
+        toks.where(F.col("term") == terms[0])
+        .select("doc", F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.where(F.col("term") == t).select(
+            "doc", (F.col("pos") - i).alias("p0")
+        )
+        out = out.join(nxt, ["doc", "p0"])
+    return (
+        out.groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .select(F.col("doc").alias(id_col), "n_matches")
+    )

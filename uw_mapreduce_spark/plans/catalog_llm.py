@@ -1811,3 +1811,30 @@ def knn_filtered_top5(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 10)
     eligible = emb.where(F.col("label") == 3)
     return knn_bruteforce(eligible, queries_df, k=5)
+
+
+_PHRASE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(len(ts) - 1),
+                i -> ts[i + 1] = 'value' AND ts[i + 2] = 'table')) AS BIGINT)
+         AS n_matches
+FROM toks
+WHERE len(list_filter(range(len(ts) - 1),
+          i -> ts[i + 1] = 'value' AND ts[i + 2] = 'table')) > 0
+"""
+
+
+@query("phrase_search_documents", _PHRASE_SQL)
+def phrase_search_documents(spark, sf_dir):
+    """Exact phrase search ('value table') via the positional inverted
+    index (`operators/retrieval.phrase_search`): postings pruned to the
+    phrase terms BEFORE the shuffle, adjacency stitched with equi-joins
+    on (doc, pos+i) — the plan a LIKE scan can't give you at 100 TB.
+    The DuckDB twin counts the identical token-space adjacencies."""
+    from ..operators.retrieval import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["value", "table"])

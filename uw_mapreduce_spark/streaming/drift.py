@@ -28,7 +28,7 @@ running mean — deterministic, no RNG, no floats.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Iterator
+from typing import Iterator
 
 import pandas as pd
 
@@ -36,9 +36,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import LongType, StructField, StructType
-
-if TYPE_CHECKING:  # pragma: no cover
-    pass
 
 _STATE_SCHEMA = StructType(
     [

@@ -374,6 +374,51 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "revenue_share_by_nation",
+    """
+WITH per_nation AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, rev_c,
+       CAST(rev_c * 1000 // SUM(rev_c) OVER () AS BIGINT) AS share_permille
+FROM per_nation
+""",
+)
+def revenue_share_by_nation(spark, sf_dir):
+    """Percent-of-total report: each nation's revenue share via a
+    window total OVER the 25-row AGGREGATE (the unpartitioned window
+    is aggregate-sized, like `mom_revenue_growth` — the fact table
+    never enters a single partition).  Integer permille via cross-
+    multiplied floor division, hash-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy()
+    # Integer DIV, not floor(double /): at large totals the double
+    # rounding could disagree with the oracle's integer floor-division.
+    return per.withColumn("_total", F.sum("rev_c").over(w)).select(
+        "nation",
+        "rev_c",
+        F.expr("rev_c * 1000L div _total").cast("long").alias("share_permille"),
+    )
+
+
+@query(
     "range_window_revenue_orders",
     """
 WITH daily AS (

@@ -374,6 +374,53 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "trailing_active_users",
+    """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grid AS (
+  SELECT CAST(UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM pairs
+)
+SELECT g.day,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+FROM grid g
+JOIN pairs p ON p.d BETWEEN g.day - INTERVAL 6 DAY AND g.day
+GROUP BY g.day
+""",
+)
+def trailing_active_users(spark, sf_dir):
+    """Trailing 7-day active users per calendar day (the WAU metric).
+
+    COUNT(DISTINCT) over a sliding window is not expressible as a
+    window function in either engine; the scalable plan is the
+    CONTRIBUTION EXPLODE: each distinct (user, day) pair contributes to
+    the 7 report days it is visible from (a bounded ×7 fan-out of the
+    deduped PAIRS — tiny next to the event table), then one distinct
+    aggregate per report day.  No day ever holds more than its own
+    window's pairs; nothing is quadratic in the date range.  Days past
+    the data's end are clipped to the observed grid (both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    bounds = pairs.agg(
+        F.min("d").alias("_min_d"), F.max("d").alias("_max_d")
+    )
+    contrib = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.least(F.date_add(F.col("d"), 6), F.col("_max_d")))
+            ).alias("day"),
+        )
+    )
+    return contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+
+
+@query(
     "revenue_share_by_nation",
     """
 WITH per_nation AS (

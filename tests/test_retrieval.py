@@ -106,3 +106,20 @@ def test_phrase_search_adjacency_and_overlaps(spark):
     # 3-token phrase stitches two adjacency joins.
     got3 = {r.doc_id: r.n_matches for r in phrase_search(df, ["value", "table", "wins"]).collect()}
     assert got3 == {1: 1}
+
+
+def test_proximity_search_window_and_distance(spark):
+    from uw_mapreduce_spark.operators.retrieval import proximity_search
+
+    rows = [
+        (1, "scan the big query now"),       # dist 3
+        (2, "scan a b c d e f query"),       # dist 7 > 5 -> out
+        (3, "query then scan then query"),   # dists 2 and 2 -> 2 pairs
+        (4, "scan only here"),               # missing term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pairs, r.min_dist)
+        for r in proximity_search(df, "scan", "query", window=5).collect()
+    }
+    assert got == {1: (1, 3), 3: (2, 2)}

@@ -236,3 +236,38 @@ def phrase_search(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
         .select(F.col("doc").alias(id_col), "n_matches")
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR/w search: documents where ``term_a`` and ``term_b`` occur
+    within ``window`` token positions (either order) — the ranked-
+    retrieval primitive between exact phrase and bag-of-words.
+
+    Same positional-index shape as `phrase_search` (postings pruned to
+    the two terms pre-shuffle), but the stitch is a |Δpos| ≤ w band
+    join on the doc key.  Output (doc, n_pairs, min_dist): pair count
+    and the closest co-occurrence distance, both token-space integers."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term").isin([term_a.lower(), term_b.lower()]))
+    a = toks.where(F.col("term") == term_a.lower()).select("doc", F.col("pos").alias("pa"))
+    b = toks.where(F.col("term") == term_b.lower()).select("doc", F.col("pos").alias("pb"))
+    pairs = a.join(b, "doc").where(
+        F.abs(F.col("pa") - F.col("pb")) <= window
+    )
+    return (
+        pairs.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+        )
+        .select(F.col("doc").alias(id_col), "n_pairs", "min_dist")
+    )

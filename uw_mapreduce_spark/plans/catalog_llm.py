@@ -1838,3 +1838,36 @@ def phrase_search_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, ["value", "table"])
+
+
+_PROXIMITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS p, ts[i] AS term
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(ts) + 1)) AS i)
+  WHERE ts[i] IN ('scan', 'query')
+),
+pairs AS (
+  SELECT a.doc_id, abs(a.p - b.p) AS dist
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = 'scan' AND b.term = 'query' AND abs(a.p - b.p) <= 5
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM pairs GROUP BY doc_id
+"""
+
+
+@query("proximity_search_documents", _PROXIMITY_SQL)
+def proximity_search_documents(spark, sf_dir):
+    """NEAR/5 search ('scan' within 5 tokens of 'query') via the
+    positional index (`operators/retrieval.proximity_search`): the
+    middle ground between exact phrase and bag-of-words, with the same
+    pruned-postings scale shape and a token-space band join."""
+    from ..operators.retrieval import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, "scan", "query", window=5)

@@ -374,6 +374,79 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "daily_type_correlation",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view'
+              THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily
+)
+SELECT n,
+       CAST(floor(1000.0 *
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         AS BIGINT) AS r2_permille
+FROM s
+""",
+)
+def daily_type_correlation(spark, sf_dir):
+    """Pearson r² between the click and view daily-value series, as
+    integer permille.  NOT Spark's `corr()` (its running-moment
+    summation order is engine- and partition-dependent): the moments
+    are EXACT int64 sums of milli-unit daily totals (Σxy ≤ 30·(7e9)²
+    in milli-units… checked: daily sums ~7e6 milli, products ~5e13,
+    well inside int64), and the r² formula is the identical
+    double-arithmetic text on both engines — the quantizer's
+    portability recipe applied to a statistic."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.floor(F.col("value") * F.lit(1000.0)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                F.floor(F.col("value") * F.lit(1000.0)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return s.select(
+        "n",
+        F.expr(
+            f"CAST(floor(1000.0 * {num} * {num} / "
+            "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)"
+        ).alias("r2_permille"),
+    )
+
+
+@query(
     "trailing_active_users",
     """
 WITH pairs AS (

@@ -374,6 +374,63 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "daily_revenue_trend",
+    """
+WITH daily AS (
+  SELECT CAST(floor(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS BIGINT) AS t,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(rev_c) AS BIGINT) AS sr,
+         CAST(SUM(t * rev_c) AS BIGINT) AS str,
+         CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM daily
+)
+SELECT n,
+       CAST(floor(1000.0 *
+            (CAST(n AS DOUBLE) * CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+         AS BIGINT) AS slope_milli_c_per_day
+FROM s
+""",
+)
+def daily_revenue_trend(spark, sf_dir):
+    """OLS trend of daily revenue (slope in milli-cents/day): exact
+    int64 moments over (epoch-day, daily cents) pairs + the identical
+    double formula text both engines — the `daily_type_correlation`
+    portability recipe applied to regression.  The moments aggregate
+    map-side; the fit itself is O(1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("rev_c").cast("long").alias("sr"),
+        F.sum(F.col("t") * F.col("rev_c")).cast("long").alias("str"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CAST(floor(1000.0 * "
+            "(CAST(n AS DOUBLE) * CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+            ") AS BIGINT)"
+        ).alias("slope_milli_c_per_day"),
+    )
+
+
+@query(
     "daily_type_correlation",
     """
 WITH daily AS (

@@ -374,6 +374,63 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "benford_digit_audit_orders",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0
+)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000 // SUM(COUNT(*)) OVER () AS BIGINT) AS observed_permille,
+       CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+                       WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+                       WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT)
+         AS benford_permille
+FROM d GROUP BY digit
+""",
+)
+def benford_digit_audit_orders(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals — the
+    classic fraud/data-quality screen.  The digit is extracted via
+    string head of the integer part (exact on both engines; no log10,
+    which would be transcendental and non-portable), shares via
+    integer DIV, and the Benford expectation ships as the same literal
+    permille table in both texts.  (The synthetic uniform-ish prices
+    should NOT follow Benford — the audit's value is the comparison
+    columns, not conformance.)"""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1.0)
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    w = Window.partitionBy()
+    benford = F.create_map(
+        *[
+            F.lit(x)
+            for pair in zip(
+                range(1, 10), [301, 176, 125, 97, 79, 67, 58, 51, 46]
+            )
+            for x in pair
+        ]
+    )
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("_tot", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000L div _tot").cast("long").alias("observed_permille"),
+            benford[F.col("digit")].cast("long").alias("benford_permille"),
+        )
+    )
+
+
+@query(
     "daily_revenue_trend",
     """
 WITH daily AS (

@@ -374,6 +374,43 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "customers_every_year",
+    """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+  FROM orders
+),
+divisor AS (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) AS n_years FROM pairs)
+SELECT p.o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_years_active
+FROM pairs p, divisor d
+GROUP BY p.o_custkey, d.n_years
+HAVING COUNT(*) = d.n_years
+""",
+)
+def customers_every_year(spark, sf_dir):
+    """RELATIONAL DIVISION (the 'for all' query): customers with at
+    least one order in EVERY year the table covers.  The scalable
+    shape: dedup to (customer, year) pairs first (the division runs on
+    the pair set, never the fact table), one grouped count, and the
+    divisor cardinality as a broadcast scalar — count-equality replaces
+    the classic double-NOT-EXISTS, which the oracle's HAVING form
+    mirrors."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        "o_custkey", F.year(F.col("o_orderdate").cast("date")).cast("long").alias("y")
+    ).distinct()
+    divisor = pairs.agg(F.countDistinct("y").cast("long").alias("n_years"))
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_years_active"))
+        .crossJoin(F.broadcast(divisor))
+        .where(F.col("n_years_active") == F.col("n_years"))
+        .select(F.col("o_custkey").alias("custkey"), "n_years_active")
+    )
+
+
+@query(
     "benford_digit_audit_orders",
     """
 WITH d AS (

@@ -483,9 +483,10 @@ s AS (
   FROM daily
 )
 SELECT n,
-       CAST(floor(1000.0 *
+       CAST(CASE WHEN n * stt - st * st = 0 THEN 0
+            ELSE floor(1000.0 *
             (CAST(n AS DOUBLE) * CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))
-          / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+          / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) END
          AS BIGINT) AS slope_milli_c_per_day
 FROM s
 """,
@@ -516,10 +517,10 @@ def daily_revenue_trend(spark, sf_dir):
     return s.select(
         "n",
         F.expr(
-            "CAST(floor(1000.0 * "
+            "CAST(CASE WHEN n * stt - st * st = 0 THEN 0 ELSE floor(1000.0 * "
             "(CAST(n AS DOUBLE) * CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))"
             " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
-            ") AS BIGINT)"
+            ") END AS BIGINT)"
         ).alias("slope_milli_c_per_day"),
     )
 
@@ -543,11 +544,12 @@ s AS (
   FROM daily
 )
 SELECT n,
-       CAST(floor(1000.0 *
+       CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+            ELSE floor(1000.0 *
             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END
          AS BIGINT) AS r2_permille
 FROM s
 """,
@@ -587,12 +589,15 @@ def daily_type_correlation(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
     num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    # Zero-variance guard: ANSI mode would throw casting the Inf/NaN a
+    # division by a zero denominator produces.
     return s.select(
         "n",
         F.expr(
-            f"CAST(floor(1000.0 * {num} * {num} / "
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0 "
+            f"ELSE floor(1000.0 * {num} * {num} / "
             "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END AS BIGINT)"
         ).alias("r2_permille"),
     )
 

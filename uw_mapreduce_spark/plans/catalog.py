@@ -2699,3 +2699,45 @@ def cusum_drift_events(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return cusum_drift_alerts(ev)
+
+
+@query(
+    "udaf_median_value_by_type",
+    """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS v_u,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN v_u END)
+           + MAX(CASE WHEN rn = (n + 2) // 2 THEN v_u END)) // 2 AS BIGINT)
+         AS median_u
+FROM v GROUP BY event_type
+""",
+)
+def udaf_median_value_by_type(spark, sf_dir):
+    """TRUE custom aggregate (vectorized UDAF): exact per-type median
+    via a series→scalar `pandas_udf` used directly inside
+    `groupBy().agg()` — the Arrow grouped-agg path, distinct from the
+    scalar pandas_udf (`pandas_udf_norm_embeddings`) and the UDTF.
+    Median computed in integer micro-units with floor((m1+m2)/2)
+    even-count semantics, which the oracle reproduces with two
+    positional picks — the exact-integer recipe that makes a Python
+    aggregate hash-checkable.  Scale note: grouped-agg UDAFs
+    materialize each group in one worker — correct for the 5-group
+    type key; percentile/histogram paths cover high-cardinality keys."""
+    from ..functions.udafs import median_micro, n_rows
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_u"),
+    )
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the count rides the same Arrow path.
+    return ev.groupBy("event_type").agg(
+        n_rows(F.col("v_u")).alias("n"),
+        median_micro(F.col("v_u")).alias("median_u"),
+    )

@@ -2271,6 +2271,74 @@ def cooccurring_parts(spark, sf_dir):
 
 
 @query(
+    "part_pair_lift",
+    r"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op),
+cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY l_partkey),
+freq AS (SELECT l_partkey, n FROM cnt WHERE n >= 20),
+fp AS (SELECT op.l_orderkey, op.l_partkey FROM op
+       WHERE op.l_partkey IN (SELECT l_partkey FROM freq)),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM fp a JOIN fp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING COUNT(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.support,
+       CAST(p.support * nb.n_baskets * 1000 // (fa.n * fb.n) AS BIGINT)
+         AS lift_permille
+FROM pairs p
+JOIN freq fa ON p.part_a = fa.l_partkey
+JOIN freq fb ON p.part_b = fb.l_partkey
+CROSS JOIN nb
+""",
+)
+def part_pair_lift(spark, sf_dir):
+    """Association LIFT for the co-occurring pairs: lift(A,B) =
+    P(AB)/(P(A)·P(B)) = support·n_baskets/(n_A·n_B), reported as
+    integer permille via cross-multiplied DIV (no float ratios).
+    Extends `cooccurring_parts` from raw support to the metric basket
+    analysis actually ranks by (lift > 1000‰ = appear together more
+    than independence predicts).  Same A-Priori pruned plan + two
+    broadcast joins against the tiny frequent-part table and the
+    1-row basket count.  int64 bound: support·n_baskets·1000 ≤
+    ~1e4·1e6·1e3 = 1e13 at sf1 — ample headroom."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = op.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    freq = cnt.where(F.col("n") >= 20)
+    fp = op.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    b = fp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        fp.join(b, (fp.l_orderkey == b.ok) & (fp.l_partkey < b.part_b))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("_na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("support * n_baskets * 1000L div (_na * _nb)")
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+
+
+@query(
     "funnel_three_step",
     r"""
 WITH pe AS (

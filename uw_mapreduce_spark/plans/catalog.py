@@ -1347,6 +1347,66 @@ def sessionize_events_batch(spark, sf_dir):
     )
 
 
+@query(
+    "session_conversion_rate",
+    """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+),
+per AS (
+  SELECT user_id, sess_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST(SUM(conv) * 1000 // COUNT(*) AS BIGINT) AS conversion_permille
+FROM per GROUP BY user_id
+""",
+)
+def session_conversion_rate(spark, sf_dir):
+    """Session-level conversion KPI: of each user's 15-min-gap sessions,
+    how many contain a purchase — the metric sessionization exists to
+    feed.  Same gaps-and-islands machinery as
+    `sessionize_events_batch` (both windows pipeline over one user_id
+    exchange), then a per-session MAX flag and a per-user rollup;
+    conversion as integer-DIV permille."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 900_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(w_run))
+    per = sess.groupBy("user_id", "sess_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("conv")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        F.expr("CAST(sum(conv) * 1000 div count(*) AS BIGINT)").alias(
+            "conversion_permille"
+        ),
+    )
+
+
 @query('top_parts_per_brand')
 def top_parts_per_brand(spark, sf_dir):
     """Per-group top-k: rank inside each brand, keep k — the windowed

@@ -2647,6 +2647,75 @@ def scd2_user_event_history(spark, sf_dir):
 
 
 @query(
+    "events_asof_scd2_state",
+    r"""
+WITH dim AS (
+  SELECT user_id, event_id AS state_event_id, event_type AS state_type,
+         epoch_us(ts) AS valid_from,
+         lead(epoch_us(ts)) OVER w AS valid_to
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       d.state_event_id, d.state_type,
+       CAST(epoch_us(p.ts) - d.valid_from AS BIGINT) AS state_age_us
+FROM events p
+JOIN dim d ON p.user_id = d.user_id
+WHERE p.event_type = 'purchase'
+  AND d.valid_from <= epoch_us(p.ts)
+  AND (d.valid_to IS NULL OR epoch_us(p.ts) < d.valid_to)
+""",
+)
+def events_asof_scd2_state(spark, sf_dir):
+    """Temporal fact-to-versioned-dimension join: each purchase looks
+    up the SCD2 state version (built from the user's non-purchase
+    events) valid AT purchase time — the query shape SCD2 dimensions
+    exist to serve.  The join is equi on user_id with the validity
+    interval as a residual predicate (a key-partitioned plan; the
+    bucketized range_join is for interval joins WITHOUT an equi key),
+    and the open current version matches via the NULL valid_to arm."""
+    from ..operators.merge import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.where(F.col("event_type") != "purchase").select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        ),
+        ["user_id"],
+        ["ts_us", "event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_id").alias("state_event_id"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    return (
+        p.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("p_us"))
+            & (F.col("valid_to").isNull() | (F.col("p_us") < F.col("valid_to"))),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "state_event_id",
+            "state_type",
+            (F.col("p_us") - F.col("valid_from")).cast("long").alias("state_age_us"),
+        )
+    )
+
+
+@query(
     "histogram_value_by_type",
     r"""
 WITH v AS (

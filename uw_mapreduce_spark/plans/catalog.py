@@ -374,6 +374,57 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "order_interarrival_distribution",
+    """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+            - lag(CAST(o_orderdate AS DATE))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT CAST(CASE WHEN gap_days < 7 THEN 0 WHEN gap_days < 30 THEN 1
+                 WHEN gap_days < 90 THEN 2 WHEN gap_days < 365 THEN 3
+                 ELSE 4 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+""",
+)
+def order_interarrival_distribution(spark, sf_dir):
+    """Inter-arrival analysis: the distribution of days between a
+    customer's consecutive orders, bucketed into week/month/quarter/
+    year/longer bands — the repeat-purchase-cadence profile behind
+    retention and demand models.  One key-partitioned lag window, then
+    a 5-row aggregate; first orders (NULL gap) drop."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    bucket = (
+        F.when(F.col("gap_days") < 7, 0)
+        .when(F.col("gap_days") < 30, 1)
+        .when(F.col("gap_days") < 90, 2)
+        .when(F.col("gap_days") < 365, 3)
+        .otherwise(4)
+    )
+    return gaps.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("gap_days").cast("long").alias("min_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )
+
+
+@query(
     "customers_every_year",
     """
 WITH pairs AS (

@@ -374,6 +374,37 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "top_balance_customer_per_nation",
+    """
+SELECT c_nationkey,
+       CAST(max_by(c_custkey, CAST(floor(c_acctbal * 100.0) AS BIGINT) * 10000000 + c_custkey)
+            AS BIGINT) AS richest_custkey,
+       CAST(min_by(c_custkey, CAST(floor(c_acctbal * 100.0) AS BIGINT) * 10000000 + c_custkey)
+            AS BIGINT) AS poorest_custkey,
+       CAST(MAX(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS max_bal_c
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def top_balance_customer_per_nation(spark, sf_dir):
+    """Ordered-selection aggregates (`max_by`/`min_by` — argmax as ONE
+    aggregate, no window, no self-join, no lateral): per nation the
+    richest and poorest customer.  Both engines' max_by leave ties
+    implementation-defined, so the ordering key is made UNIQUE by
+    packing the cents balance with the custkey
+    (bal_c·10⁷ + custkey; custkey < 10⁷ up to ~sf1000) — determinism
+    by construction, not by luck.  One map-side-combining aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_c = F.floor(F.col("c_acctbal") * F.lit(100.0)).cast("long")
+    key = bal_c * F.lit(10_000_000) + F.col("c_custkey")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by(F.col("c_custkey"), key).cast("long").alias("richest_custkey"),
+        F.min_by(F.col("c_custkey"), key).cast("long").alias("poorest_custkey"),
+        F.max(bal_c).cast("long").alias("max_bal_c"),
+    )
+
+
+@query(
     "order_interarrival_distribution",
     """
 WITH gaps AS (

@@ -374,6 +374,43 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "event_mix_per_user",
+    """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                  ORDER BY event_type) AS mix,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+""",
+)
+def event_mix_per_user(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): each user's event-type
+    distribution serialized as 'click:3,view:7,…'.  Spark has no
+    ordered string_agg, so the deterministic recipe is
+    collect_list(struct) → array_sort → transform → array_join — the
+    order comes from the DATA (array_sort), never from shuffle arrival,
+    which is what makes a concatenated aggregate hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return c.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+                lambda s: F.concat_ws(":", s["event_type"], s["n"].cast("string")),
+            ),
+            ",",
+        ).alias("mix"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+@query(
     "top_balance_customer_per_nation",
     """
 SELECT c_nationkey,

@@ -31,4 +31,4 @@ def test_registry_consistency():
 
     assert set(ORACLE) <= set(QUERIES)
     assert all(sql and sql.strip() for sql in ORACLE.values())
-    assert len(QUERIES) >= 172  # the round-6 catalog floor
+    assert len(QUERIES) >= 173  # the round-6 catalog floor

@@ -374,6 +374,54 @@ def window_analytics_orders(spark, sf_dir):
 
 
 @query(
+    "events_since_last_purchase",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id, seg ORDER BY ts, event_id)
+          - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+          AS BIGINT) AS n_since_purchase,
+       CAST(seg AS BIGINT) AS n_prior_purchases
+FROM e
+""",
+)
+def events_since_last_purchase(spark, sf_dir):
+    """Feature engineering: for every event, how many events the user
+    has produced since their last purchase (a running counter that
+    RESETS on purchase — the recency feature churn/propensity models
+    feed on), plus the lifetime purchase count.  Reset-on-event is the
+    gaps-and-islands trick again: a running purchase count segments the
+    stream, row_number within (user, segment) is the counter; both
+    windows share one user_id exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = F.sum(
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    e = ev.withColumn("seg", seg)
+    w2 = Window.partitionBy("user_id", "seg").orderBy("ts_us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (
+            F.row_number().over(w2)
+            - F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_since_purchase"),
+        F.col("seg").cast("long").alias("n_prior_purchases"),
+    )
+
+
+@query(
     "event_mix_per_user",
     """
 WITH c AS (

@@ -186,8 +186,13 @@ def pq_adc_topk(
     lut = qsv.join(F.broadcast(codebook), "sub").select(
         "qid", "sub", "code", F.expr(_D2).alias("pd")
     )
+    # Self-pairs excluded to match knn_bruteforce's contract (ADVICE r6):
+    # when queries are drawn from the corpus the query itself would
+    # otherwise always win a slot (ADC distance 0), structurally capping
+    # recall@k at (k-1)/k against the self-excluding brute-force truth.
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("nid") != F.col("qid"))
         .groupBy("qid", "nid")
         .agg(F.sum("pd").alias("adist"))
     )
@@ -281,6 +286,9 @@ def ivf_pq_topk(
     # spill assignments; then the ADC sum runs over candidates only.
     cand = (
         tagged.join(F.broadcast(qcells), "cent_id")
+        # Self-pairs dropped pre-dedup (cheapest point) — matches
+        # knn_bruteforce's self-excluding contract (ADVICE r6).
+        .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
         .distinct()
     )

@@ -153,17 +153,20 @@ def pps_sample(
     fully value-hash oracle-checkable (the keep decision compares
     ``u32 · W < k · w_i · 2³²`` — no division, no floats).
 
-    int64 bounds: requires k·max(w)·2³² < 2⁶³, i.e. k·max(w) < 2³¹ —
-    fine for bounded weights (doc lengths).  At 100 TB-scale totals,
-    widen the comparison to DECIMAL(38) on both engines (same
-    portability, wider lanes); W itself is one map-side-combined
-    aggregate either way.
+    Overflow-safe at any scale: the comparison runs in DECIMAL(38,0) on
+    BOTH sides unconditionally (ADVICE r6 — the previous int64 compare
+    silently wrapped once ΣW ≥ 2³¹·u32⁻¹ territory was reached).  Exact
+    for W < 10²⁸ and k·max(w) < 10²⁷ — far past 100 TB corpora; the
+    matching DuckDB oracle computes the same products in HUGEINT
+    (int128), which agrees exactly on that range.  W itself is one
+    map-side-combined aggregate either way.
 
     Returns the kept rows plus (w bigint, u32 bigint) for audit.
     """
     # Internal columns use dunder names: Spark resolves case-insensitively
     # by default, so a bare "W" would collide with a user column named
     # "w" (found by the round-6 hypothesis suite).
+    dec = "decimal(38,0)"
     w = F.col(weight_col).cast("long")
     total = df.agg(F.sum(w).alias("__pps_total__"))
     u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
@@ -172,8 +175,10 @@ def pps_sample(
     return (
         df.crossJoin(F.broadcast(total))
         .where(
-            u32 * F.col("__pps_total__")
-            < F.lit(int(expected_k)) * w * F.lit(1 << 32)
+            u32.cast(dec) * F.col("__pps_total__").cast(dec)
+            < F.lit(int(expected_k)).cast(dec)
+            * w.cast(dec)
+            * F.lit(1 << 32).cast(dec)
         )
         .drop("__pps_total__")
     )
@@ -194,10 +199,11 @@ def mixture_sample(
     Per group g the keep probability is ``total·t_g / (1000·n_g)``
     (capped at 1 when the group is smaller than its quota); the draw is
     the same portable integer md5 coin as `pps_sample`:
-    ``u32 · n_g · 1000 < total · t_g · 2³²`` — exact int64 at test
-    scale (widen to DECIMAL(38) once n_g approaches 2¹⁹ rows·groups),
-    reproducible by any SQL engine, so the SAMPLING step itself is
-    value-hash oracle-checkable.  Groups absent from the target map are
+    ``u32 · n_g · 1000 < total · t_g · 2³²`` — computed in
+    DECIMAL(38,0) on both sides unconditionally (ADVICE r6), so the
+    compare never wraps however large n_g grows; the DuckDB oracle
+    mirrors it in HUGEINT, exact on the same range, so the SAMPLING
+    step itself is value-hash oracle-checkable.  Groups absent from the target map are
     dropped (weight 0).  Group counts are one map-side-combined
     aggregate broadcast back — no corpus reshuffle; the filter is
     codegen over the scan."""
@@ -214,8 +220,12 @@ def mixture_sample(
         df.join(F.broadcast(tdf), group_col)
         .join(F.broadcast(counts), group_col)
         .where(
-            u32 * F.col("__mix_ng__") * F.lit(1000)
-            < F.lit(int(total)) * F.col("__mix_t__") * F.lit(1 << 32)
+            u32.cast("decimal(38,0)")
+            * F.col("__mix_ng__").cast("decimal(38,0)")
+            * F.lit(1000).cast("decimal(38,0)")
+            < F.lit(int(total)).cast("decimal(38,0)")
+            * F.col("__mix_t__").cast("decimal(38,0)")
+            * F.lit(1 << 32).cast("decimal(38,0)")
         )
         .drop("__mix_t__", "__mix_ng__")
     )

@@ -481,18 +481,26 @@ def cosine_near_dup_pairs_numpy(
     # equi-depth estimate; if any block overshoots the ×4 slack (skewed
     # or duplicate-heavy ids), re-border globally with more blocks (≤2
     # retries) — the check is one B-row aggregate, not a data pass.
+    def _tag(borders: list) -> DataFrame:
+        barr = F.array(*[F.lit(int(b)) for b in borders])
+        return slim.withColumn(
+            "_blk", F.size(F.filter(barr, lambda b: b < F.col(id_col)))
+        )
+
     borders = _deterministic_borders(slim, id_col, num_blocks)
     for _retry in range(2):
-        barr = F.array(*[F.lit(int(b)) for b in borders])
-        blk_expr = F.size(F.filter(barr, lambda b: b < F.col(id_col)))
-        tagged = slim.withColumn("_blk", blk_expr)
         counts = [
-            r["count"] for r in tagged.groupBy("_blk").count().collect()
+            r["count"] for r in _tag(borders).groupBy("_blk").count().collect()
         ]
         if max(counts) <= 4 * block_rows:
             break
         num_blocks = max(num_blocks + 1, math.ceil(n / block_rows * 2))
         borders = _deterministic_borders(slim, id_col, num_blocks)
+    # Tag from the FINAL border list so _blk and nb always agree — if the
+    # last retry reassigned borders, a tagged frame built earlier in the
+    # loop would disagree with nb and rows with _blk >= nb would silently
+    # lose their diagonal (b, b) group (ADVICE r6).
+    tagged = _tag(borders)
     nb = len(borders) + 1  # actual block count after any retry
 
     # Each row joins every block-pair it belongs to: (min(b,k), max(b,k))

@@ -1456,8 +1456,9 @@ SELECT d.doc_id,
        CAST(d.n_chars AS BIGINT) AS w,
        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
 FROM documents d, tot
-WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * tot.W
-      < 50 * CAST(d.n_chars AS BIGINT) * 4294967296
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)::HUGEINT
+      * tot.W
+      < 50::HUGEINT * CAST(d.n_chars AS HUGEINT) * 4294967296::HUGEINT
 """
 
 
@@ -1486,9 +1487,10 @@ def pq_recall_gate(spark, sf_dir):
     the PQ + exact-re-rank serving topology (m=16 subspaces, 32-entry
     codebooks, ADC top-100 candidates, exact-cosine re-rank) against
     exact brute force, as integer permille.  Self-asserting — the row
-    survives only if recall ≥ 800‰ (measured 900‰ on the driver
-    embeddings; PQ training is iterative k-means, so no SQL twin
-    exists — the `knn_ivf_recall` pattern).  Codes compress 64-dim
+    survives only if recall ≥ 900‰ (measured 980‰ on the driver
+    embeddings once self-pairs were excluded to match brute force's
+    contract — ADVICE r6; PQ training is iterative k-means, so no SQL
+    twin exists — the `knn_ivf_recall` pattern).  Codes compress 64-dim
     float32 vectors 16×; the float table is touched only for the q·100
     candidate rows."""
     from ..operators.pq import pq_adc_topk, pq_train
@@ -1511,7 +1513,7 @@ def pq_recall_gate(spark, sf_dir):
         )
         .cast("long")
         .alias("recall_permille"),
-    ).where(F.col("recall_permille") >= 800)
+    ).where(F.col("recall_permille") >= 900)
 
 
 _MIXTURE_SQL = r"""
@@ -1522,8 +1524,8 @@ SELECT d.doc_id, d.lang
 FROM documents d
 JOIN t ON d.lang = t.lang
 JOIN n ON d.lang = n.lang
-WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-      * n.ng * 1000 < 200 * t.t * 4294967296
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)::HUGEINT
+      * n.ng * 1000 < 200::HUGEINT * t.t * 4294967296::HUGEINT
 """
 
 
@@ -1602,8 +1604,10 @@ def ivf_pq_recall_gate(spark, sf_dir):
     COMPOSED index — IVF coarse cells prune which PQ codes are scored,
     ADC prices survivors, exact re-rank on the q·100 candidates — vs
     exact brute force, recall@10 as integer permille.  Self-asserting
-    ≥ 750‰ (measured 840‰ at 6/16 probes, n_assign=2, rerank=100 on
-    the driver embeddings).  This is the 100 TB serving shape: queries
+    ≥ 800‰ (measured 880‰ at 6/16 probes, n_assign=2, rerank=100 on
+    the driver embeddings, after excluding self-pairs to match brute
+    force's contract — ADVICE r6; residual misses are cell-pruning
+    ones the re-rank can't recover).  This is the 100 TB serving shape: queries
     touch n_probes/C of a 16×-compressed code table and floats only for
     the candidate probe."""
     from ..operators.pq import ivf_pq_topk, pq_train
@@ -1630,7 +1634,7 @@ def ivf_pq_recall_gate(spark, sf_dir):
         )
         .cast("long")
         .alias("recall_permille"),
-    ).where(F.col("recall_permille") >= 750)
+    ).where(F.col("recall_permille") >= 800)
 
 
 @query("minhash_lsh_fast_documents")  # production hash family: rows-only

@@ -3078,15 +3078,62 @@ def top_parts_per_brand_with_ties(spark, sf_dir):
     )
 
 
-@query("cusum_drift_events")  # sequential per-key kernel: rows-only
+_CUSUM_SQL = r"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+),
+step AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS acc, CAST(0 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS neg, CAST(NULL AS BIGINT) AS ts_us,
+         CAST(NULL AS BIGINT) AS direction, CAST(NULL AS BIGINT) AS magnitude_u
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT user_id, rn, n, acc,
+         CASE WHEN fired <> 0 THEN CAST(0 AS BIGINT) ELSE pos_raw END AS pos,
+         CASE WHEN fired <> 0 THEN CAST(0 AS BIGINT) ELSE neg_raw END AS neg,
+         ts_us,
+         CASE WHEN fired = 0 THEN NULL ELSE CAST(fired AS BIGINT) END AS direction,
+         CASE WHEN fired = 1 THEN pos_raw WHEN fired = -1 THEN neg_raw
+              ELSE NULL END AS magnitude_u
+  FROM (
+    SELECT s.user_id AS user_id, e.rn AS rn, s.n + 1 AS n,
+           CASE WHEN s.n >= 20 THEN s.acc
+                WHEN s.n + 1 = 20 THEN (s.acc + e.v) // 20
+                ELSE s.acc + e.v END AS acc,
+           CASE WHEN s.n < 20 THEN CAST(0 AS BIGINT)
+                ELSE greatest(CAST(0 AS BIGINT), s.pos + (e.v - s.acc) - 200000)
+                END AS pos_raw,
+           CASE WHEN s.n < 20 THEN CAST(0 AS BIGINT)
+                ELSE greatest(CAST(0 AS BIGINT), s.neg - (e.v - s.acc) - 200000)
+                END AS neg_raw,
+           CASE WHEN pos_raw > 2000000 THEN 1
+                WHEN neg_raw > 2000000 THEN -1 ELSE 0 END AS fired,
+           e.ts_us AS ts_us
+    FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+  )
+)
+SELECT user_id, ts_us, direction, magnitude_u
+FROM step WHERE direction IS NOT NULL
+"""
+
+
+@query("cusum_drift_events", _CUSUM_SQL)
 def cusum_drift_events(spark, sf_dir):
     """Batch face of the per-user CUSUM drift detector
     (`streaming/drift.cusum_drift_alerts`): integer micro-unit
     one-sided cumulative deviation sums with a frozen warmup mean.
-    The kernel is an ordered sequential scan per key (data-dependent
-    recursion — no tractable SQL twin), so this takes the rows-only
-    check; the pytest suite pins streaming ≡ batch ≡ pure-Python
-    replay instead."""
+    The per-key kernel is an ordered sequential fold, but every step is
+    INTEGER arithmetic on O(1) state, so a DuckDB recursive CTE can
+    replay it exactly (the connected-components oracle technique —
+    `plans/oracles.py`): iteration i advances every user to its i-th
+    event via lateral column aliases (pos_raw/neg_raw), and a post-pass
+    zeroes both accumulators on alert rows.  Deterministic because
+    (user_id, ts) is unique in the corpus; the pytest suite additionally
+    pins streaming ≡ batch ≡ pure-Python replay."""
     from ..streaming.drift import cusum_drift_alerts
 
     ev = load_table(spark, sf_dir, "events")

@@ -986,27 +986,64 @@ WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
 def fuzzy_part_name_pairs(spark, sf_dir):
     """Entity-resolution-style fuzzy matching: part-name pairs within
     edit distance 2, BLOCKED by first token + length band so the join
-    input is Σ_block |block|², never |parts|² — the standard scale
-    pattern for fuzzy dedup (levenshtein is the verify step on
-    candidates only, exactly like the LSH families verify exact
-    Jaccard/cosine)."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    input is Σ_block |block|², never |parts|².
+
+    The expensive verify (levenshtein) runs on DISTINCT-NAME pairs, not
+    row pairs: dedupe names, verify D²-per-block name pairs (banded
+    ``levenshtein(a, b, 2)`` — O(len·k) early-exit, not O(len²)), then
+    expand back to row pairs with two equi-joins on name (+ a same-name
+    self-join for the dist-0 pairs, emitted as least/greatest key so
+    each unordered pair appears exactly once).  On duplicate-heavy
+    corpora this collapses the verify from Σ|block|² row pairs to
+    Σ|distinct-names-in-block|² (25M → ~2K at sf0.1, 42 → single-digit
+    seconds); with near-unique names it degrades to exactly the
+    original candidate count, so the plan is never worse.  The matched
+    name-pair table is AQE-sized (no forced broadcast): tiny when
+    duplicates dominate, partitioned when they don't."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = part.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    ).distinct()
+    na, nb = names.alias("na"), names.alias("nb")
+    name_pairs = (
+        na.join(
+            nb,
+            (F.col("na.blk") == F.col("nb.blk"))
+            & (F.col("na.p_name") < F.col("nb.p_name")),
+        )
+        .where(F.abs(F.length("na.p_name") - F.length("nb.p_name")) <= 2)
+        .select(
+            F.col("na.p_name").alias("n_a"),
+            F.col("nb.p_name").alias("n_b"),
+            F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), 2)
+            .cast("long")
+            .alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # banded lev returns -1 above threshold
     )
-    a = part.alias("a")
-    b = part.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).where(
-        F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 2
+    pa = part.select(F.col("p_partkey").alias("k1"), F.col("p_name").alias("n_a"))
+    pb = part.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("n_b"))
+    diff = (
+        pa.join(name_pairs, "n_a")
+        .join(pb, "n_b")
+        .select(
+            F.least("k1", "k2").alias("key_a"),
+            F.greatest("k1", "k2").alias("key_b"),
+            "dist",
+        )
     )
-    return joined.select(
-        F.col("a.p_partkey").alias("key_a"),
-        F.col("b.p_partkey").alias("key_b"),
-        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long").alias("dist"),
-    ).where(F.col("dist") <= 2)
+    sa = part.select("p_name", F.col("p_partkey").alias("k1"))
+    sb = part.select("p_name", F.col("p_partkey").alias("k2"))
+    same = (
+        sa.join(sb, "p_name")
+        .where(F.col("k1") < F.col("k2"))
+        .select(
+            F.col("k1").alias("key_a"),
+            F.col("k2").alias("key_b"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    return diff.unionByName(same)
 
 
 @query(

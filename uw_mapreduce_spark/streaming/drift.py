@@ -132,6 +132,7 @@ def cusum_drift_alerts(
     warmup: int = 20,
     slack_u: int = 200_000,
     threshold_u: int = 2_000_000,
+    stream_api: str | None = None,
 ) -> DataFrame:
     """Per-user CUSUM drift alerts over (ts, value).
 
@@ -139,14 +140,26 @@ def cusum_drift_alerts(
     of four longs per key); batch inputs run the identical kernel via
     `applyInPandas` over the full ordered history.  The convergence
     test pins drained-stream ≡ batch, including across micro-batch
-    boundaries (state carries the warmup and accumulators)."""
+    boundaries (state carries the warmup and accumulators).
+
+    ``stream_api`` forces a streaming path — "transformWithState" or
+    "applyInPandasWithState" — instead of the environment probe; the
+    cross-API pytest uses it to assert both paths run the identical
+    kernel wherever transformWithState's state server exists."""
+    if stream_api not in (None, "transformWithState", "applyInPandasWithState"):
+        raise ValueError(f"unknown stream_api: {stream_api!r}")
     slim = events.select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
     )
     if events.isStreaming:
-        if _tws_available():
+        use_tws = (
+            stream_api == "transformWithState"
+            if stream_api is not None
+            else _tws_available()
+        )
+        if use_tws:
             return slim.groupBy("user_id").transformWithStateInPandas(
                 statefulProcessor=_CusumProcessor(warmup, slack_u, threshold_u),
                 outputStructType=OUT_SCHEMA,

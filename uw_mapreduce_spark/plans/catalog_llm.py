@@ -1708,6 +1708,35 @@ def semantic_dedup_manifest(spark, sf_dir):
     )
 
 
+@query("semantic_dedup_fast_manifest")  # LSH candidates: probabilistic recall, rows-only
+def semantic_dedup_fast_manifest(spark, sf_dir):
+    """PRODUCTION face of semantic dedup: hyperplane-LSH banded
+    candidates with a per-bucket BLAS verify
+    (`similarity.cosine_near_dup_lsh_blas` — deterministic ±1 planes,
+    32-bit signatures → 8-bit/256-bucket bands, one numpy matmul per
+    (band, bucket) group) replace the exact blocked kernel in front of
+    the same CC → manifest tail.  The exact face
+    (`semantic_dedup_manifest`, hash-MATCHed) is the oracle anchor;
+    this is the shape that survives 100 TB — candidate volume follows
+    the LSH S-curve instead of |corpus|², and the verify is a BLAS
+    flop per pair, not an interpreted expression.  Probabilistic
+    recall ⇒ rows-only; `tests/test_dedup_similarity.py` pins
+    cluster-refinement + keep/drop agreement vs the exact kernel."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine_near_dup_lsh_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_lsh_blas(emb, threshold=0.45)
+    labeled = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "label", "_cc"
+    )
+    return emb.join(labeled, emb.vec_id == labeled.v, "left").select(
+        "vec_id",
+        F.coalesce("_cc", "vec_id").cast("long").alias("canonical_id"),
+        (F.col("vec_id") == F.coalesce("_cc", "vec_id")).alias("keep"),
+    )
+
+
 def _curation_v3_oracle() -> str:
     """Composed verbatim from the REGISTERED oracles of the round-6
     components (lexical dedup manifest, quality rules) plus the mixture

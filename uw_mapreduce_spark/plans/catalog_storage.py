@@ -314,3 +314,62 @@ def versioned_snapshot_audit(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "version long, n_rows long, id_hash long")
+
+
+_BUCKET_SQL = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_sum_c,
+       TRUE AS exchange_free
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey < 2000 AND o.o_orderkey < 2000
+"""
+
+
+@query("bucketed_join_audit", _BUCKET_SQL)
+def bucketed_join_audit(spark, sf_dir):
+    """`sources/sinks.write_bucketed` behind a driver row — and a PLAN
+    property behind a value hash: land lineitem and orders slices as
+    8-bucket managed tables keyed on the join column, join them with
+    broadcast disabled, and report (rows, qty sum, exchange_free) where
+    ``exchange_free`` is computed from the executed plan string.  The
+    oracle recomputes the join from the source tables and pins
+    ``exchange_free`` TRUE, so a Spark regression that re-shuffles a
+    bucketed join — the whole point of bucketing at 100 TB — becomes a
+    driver hash MISMATCH, not just a pytest failure."""
+    from ..sources.sinks import write_bucketed
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey")
+    )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        write_bucketed(li, "uwms_bkt_li", ["l_orderkey"], num_buckets=8,
+                       sort_cols=["l_orderkey"])
+        write_bucketed(orders, "uwms_bkt_ord", ["o_orderkey"], num_buckets=8,
+                       sort_cols=["o_orderkey"])
+        a, b = spark.table("uwms_bkt_li"), spark.table("uwms_bkt_ord")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        r = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("s"),
+        ).collect()[0]
+        rows = [(r["n"], r["s"], "Exchange" not in plan)]
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql("DROP TABLE IF EXISTS uwms_bkt_li")
+        spark.sql("DROP TABLE IF EXISTS uwms_bkt_ord")
+    return spark.createDataFrame(
+        rows, "n_rows long, qty_sum_c long, exchange_free boolean"
+    )

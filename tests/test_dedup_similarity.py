@@ -136,6 +136,39 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_small):
         assert len(lsh) / len(exact) >= 0.3   # sane recall floor
 
 
+def test_minhash_index_probe_equals_direct(spark, sf_small, tmp_path):
+    """Persisted-index incremental dedup ≡ direct computation: probing
+    batch B against an index of corpus A must produce exactly the A×B
+    cross pairs that `minhash_lsh_pairs` finds over A ∪ B (same hash
+    family, same threshold) — the index adds persistence, not
+    approximation."""
+    from uw_mapreduce_spark.operators.dedup import (
+        minhash_dedup_against_index,
+        minhash_lsh_pairs,
+        save_minhash_index,
+    )
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    split = 25
+    corpus = docs.where(F.col("doc_id") < split)
+    batch = docs.where(F.col("doc_id") >= split)
+    assert corpus.count() and batch.count()
+
+    direct = {
+        (r.doc_b, r.doc_a, r.jaccard_permille)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r.doc_a < split <= r.doc_b  # cross pairs only (ids ordered a < b)
+    }
+    idx = str(tmp_path / "mh_idx")
+    save_minhash_index(corpus, idx)
+    probed = {
+        (r.new_doc, r.corpus_doc, r.jaccard_permille)
+        for r in minhash_dedup_against_index(batch, idx, threshold=0.5).collect()
+    }
+    assert probed == direct
+
+
 def test_semantic_dedup_fast_manifest_agrees_with_exact(spark, sf_small):
     """The LSH production face must (a) never merge vectors the exact
     kernel keeps apart — LSH pairs are a verified subset, so fast

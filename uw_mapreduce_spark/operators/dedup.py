@@ -247,6 +247,134 @@ def minhash_signatures(
     return _minhash_signatures_from_shingles(sh, num_hashes, hash_family)
 
 
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, hash_family: str
+) -> DataFrame:
+    """(doc, band, bh) band-bucket keys from a signature frame.
+
+    ``portable``: md5 over the comma-joined minhashes — any engine
+    reproduces the bucket key, so the candidate set is
+    oracle-checkable.  ``xxhash64``: one JVM hash per band (production).
+    """
+    r = num_hashes // bands
+    if hash_family == "portable":
+        def _band_hash(b):
+            return F.md5(F.concat_ws(",", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+    else:
+        def _band_hash(b):
+            return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band_hash(b).cast("string").alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col("doc"), F.explode(band_cols).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> None:
+    """Persist a MinHash dedup INDEX: band buckets + shingle table.
+
+    The build-once/probe-many artifact for INCREMENTAL dedup (the
+    `save_ann_index` story applied to text): at 100 TB the corpus's
+    signatures are computed once at ingest; every later shard dedupes
+    against the parquet index without touching corpus text again.
+    Stored: ``buckets/`` (doc, band, bh — the LSH candidate keys),
+    ``shingles/`` (doc, shingle — the exact-Jaccard verify side), and a
+    one-line JSON manifest pinning (n, num_hashes, bands, hash_family)
+    so probes can never mix hash families with the index.
+    """
+    import json
+    import os
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sh = persist_scoped(_shingles(df, text_col, id_col, n), _SCOPE)
+    sh.count()
+    sig = _minhash_signatures_from_shingles(sh, num_hashes, hash_family)
+    _band_buckets(sig, num_hashes, bands, hash_family).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "buckets"))
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {"n": n, "num_hashes": num_hashes, "bands": bands,
+             "hash_family": hash_family},
+            f,
+        )
+
+
+def minhash_dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedupe a NEW batch against a persisted MinHash index:
+    (new_doc, corpus_doc, jaccard_permille) for every batch document
+    near-duplicating an indexed one.
+
+    The batch side computes shingles + signatures for ITS rows only
+    (index parameters come from the manifest — a probe can never use a
+    different hash family than the build); candidates are the
+    (band, bh) equi-join of batch buckets against index buckets — the
+    index never recomputes, the corpus text is never read.  Exact
+    Jaccard verifies candidates over the union shingle table, so
+    precision is exact; recall is the LSH S-curve, as at build time.
+    Batch and corpus ids must be disjoint (standard shard contract).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        params = json.load(f)
+    spark = new_df.sparkSession
+    sh_new = persist_scoped(
+        _shingles(new_df, text_col, id_col, params["n"]), _SCOPE
+    )
+    sh_new.count()
+    sig_new = _minhash_signatures_from_shingles(
+        sh_new, params["num_hashes"], params["hash_family"]
+    )
+    b_new = _band_buckets(
+        sig_new, params["num_hashes"], params["bands"], params["hash_family"]
+    )
+    b_idx = spark.read.parquet(os.path.join(path, "buckets"))
+    cand = (
+        b_new.alias("l")
+        .join(
+            b_idx.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_all = sh_new.unionByName(spark.read.parquet(os.path.join(path, "shingles")))
+    out = (
+        _jaccard_for_pairs(cand, sh_all)
+        .where(F.col("jaccard_permille") >= int(threshold * 1000))
+        .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("corpus_doc"),
+            "jaccard_permille",
+        )
+    )
+    return materialize_and_release(out)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -279,28 +407,10 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     sh = persist_scoped(_shingles(df, text_col, id_col, n), _SCOPE)
     sh.count()
     sig = _minhash_signatures_from_shingles(sh, num_hashes, hash_family)
-    if hash_family == "portable":
-        # md5 over the comma-joined minhashes: any engine reproduces the
-        # bucket key, so the whole candidate set is oracle-checkable.
-        def _band_hash(b):
-            return F.md5(F.concat_ws(",", *[F.col(f"mh{b * r + i}") for i in range(r)]))
-    else:
-        def _band_hash(b):
-            return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), _band_hash(b).cast("string").alias("bh"))
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col("doc"), F.explode(band_cols).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    buckets = _band_buckets(sig, num_hashes, bands, hash_family)
     l, rgt = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(

@@ -1968,6 +1968,100 @@ def funnel_click_purchase_full(spark, sf_dir):
 
 
 @query(
+    "mad_outliers_events",
+    r"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS v_u
+  FROM events WHERE value IS NOT NULL
+),
+c1 AS (SELECT event_type, v_u, count(*) AS c FROM v GROUP BY 1, 2),
+cum1 AS (
+  SELECT event_type, v_u,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v_u) AS cumc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM c1
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN cumc > (n - 1) * 500 // 1000 THEN v_u END) AS med
+  FROM cum1 GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, abs(v.v_u - med.med) AS ad, med.med, med.n
+  FROM v JOIN med USING (event_type)
+),
+c2 AS (SELECT event_type, ad, count(*) AS c FROM d GROUP BY 1, 2),
+cum2 AS (
+  SELECT event_type, ad,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY ad) AS cumc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM c2
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN cumc > (n - 1) * 500 // 1000 THEN ad END) AS mad
+  FROM cum2 GROUP BY event_type
+)
+SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+       CAST(MAX(d.med) AS BIGINT) AS median_u,
+       CAST(MAX(mad.mad) AS BIGINT) AS mad_u,
+       CAST(SUM(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def mad_outliers_events(spark, sf_dir):
+    """Robust outlier detection via Median Absolute Deviation: per
+    event type, the (lower-rank) exact median, the median of absolute
+    deviations from it, and the count of values beyond 3·MAD — the
+    robust-statistics alternative to the z-score family (mean/stddev
+    are themselves dragged by the outliers they're meant to find).
+
+    Both medians are RANK-POSITION order statistics from
+    `operators/sampling.order_statistic_bounds`: computed on the
+    per-(group, value) histogram, so every window partition is
+    value-cardinality-sized, never row-count-sized — unlike a
+    per-group sort (or a grouped-agg UDAF median), group sizes can
+    grow 100× without creating a one-task stage.  Pure integer rank
+    math, no percentile interpolation: both engines pick identical
+    values, so the whole robust pipeline is value-hash checked."""
+    from ..operators.sampling import order_statistic_bounds
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_u"),
+        )
+    )
+    med = order_statistic_bounds(ev, ["event_type"], "v_u", 500, 500).select(
+        "event_type", F.col("lo").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("v_u") - F.col("med"))
+    )
+    mad = order_statistic_bounds(dev, ["event_type"], "ad", 500, 500).select(
+        "event_type", F.col("lo").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").cast("long").alias("median_u"),
+            F.max("mad").cast("long").alias("mad_u"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(3) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
     "winsorize_event_values",
     """
 WITH v AS (

@@ -191,6 +191,56 @@ FROM common JOIN sizes s1 ON doc_a = s1.doc_id JOIN sizes s2 ON doc_b = s2.doc_i
 WHERE floor(1000.0 * c / (s1.n_sh + s2.n_sh - c)) >= 500
 """
 
+# Incremental-dedup twin of _MINHASH_SQL: same signatures/banding, but
+# candidates pair the NEW slice (doc_id >= 400) against the INDEXED
+# corpus slice (doc_id < 400) instead of all intra-corpus pairs.
+_INCR_MINHASH_SQL = _MINHASH_SQL.replace(
+    "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+    "  FROM bandh l JOIN bandh r ON l.band = r.band AND l.bh = r.bh"
+    " AND l.doc_id < r.doc_id",
+    "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+    "  FROM bandh l JOIN bandh r ON l.band = r.band AND l.bh = r.bh"
+    " AND l.doc_id >= 400 AND r.doc_id < 400",
+).replace(
+    "SELECT doc_a, doc_b,",
+    "SELECT doc_a AS new_doc, doc_b AS corpus_doc,",
+)
+assert "new_doc" in _INCR_MINHASH_SQL and ">= 400" in _INCR_MINHASH_SQL
+
+
+@query("incremental_dedup_audit", _INCR_MINHASH_SQL)
+def incremental_dedup_audit(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash index
+    (`operators/dedup.save_minhash_index` / `minhash_dedup_against_index`
+    — the build-once/probe-many story `save_ann_index` tells for ANN,
+    applied to text dedup): index the doc_id<400 corpus slice into a
+    scratch dir, then dedupe the doc_id>=400 batch against it — batch
+    signatures only, corpus text never re-read.  Portable hash family
+    pinned so DuckDB rebuilds the identical banded candidates
+    cross-slice; exact-Jaccard verify makes precision exact, so the
+    whole incremental path is value-hash checked."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_dedup_against_index, save_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    tmp = tempfile.mkdtemp(prefix="uwms_mhidx_")
+    try:
+        save_minhash_index(corpus, tmp, hash_family="portable")
+        rows = [
+            (r["new_doc"], r["corpus_doc"], r["jaccard_permille"])
+            for r in minhash_dedup_against_index(batch, tmp, threshold=0.5).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "new_doc long, corpus_doc long, jaccard_permille long"
+    )
+
+
 @query("minhash_lsh_documents", _MINHASH_SQL)
 def minhash_lsh_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

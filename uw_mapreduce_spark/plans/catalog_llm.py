@@ -1787,6 +1787,58 @@ def semantic_dedup_fast_manifest(spark, sf_dir):
     )
 
 
+@query("semantic_dedup_agreement_gate")  # self-asserting quality gate: rows-only
+def semantic_dedup_agreement_gate(spark, sf_dir):
+    """Driver-visible quality gate for the LSH semantic-dedup
+    production face: keep/drop agreement (integer permille) between
+    `semantic_dedup_fast_manifest` and the exact hash-MATCHed anchor
+    `semantic_dedup_manifest`, plus the refinement invariant violation
+    count (fast may only SPLIT exact clusters — a fast pair whose
+    members sit in different exact clusters would be a precision bug,
+    impossible while the verify is exact cosine).  Self-asserting: the
+    row survives only if agreement ≥ 800‰ AND violations = 0, so an
+    empty result IS the failure signal (the `knn_ivf_recall`
+    pattern)."""
+    from ._registry import QUERIES
+
+    exact = QUERIES["semantic_dedup_manifest"](spark, sf_dir).select(
+        "vec_id",
+        F.col("canonical_id").alias("_exact_canon"),
+        F.col("keep").alias("_exact_keep"),
+    )
+    fast = QUERIES["semantic_dedup_fast_manifest"](spark, sf_dir).select(
+        "vec_id",
+        F.col("canonical_id").alias("_fast_canon"),
+        F.col("keep").alias("_fast_keep"),
+    )
+    j = exact.join(fast, "vec_id")
+    # refinement check: within each fast cluster all members share one
+    # exact canonical — count clusters violating it.
+    viol = (
+        j.groupBy("_fast_canon")
+        .agg(F.countDistinct("_exact_canon").alias("_n_exact"))
+        .agg(F.sum(F.when(F.col("_n_exact") > 1, 1).otherwise(0)).alias("v"))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.floor(
+            F.lit(1000.0)
+            * F.sum((F.col("_fast_keep") == F.col("_exact_keep")).cast("int"))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("agreement_permille"),
+    )
+    out = agg.crossJoin(F.broadcast(viol)).select(
+        "n_vectors",
+        "agreement_permille",
+        F.col("v").cast("long").alias("refinement_violations"),
+    )
+    return out.where(
+        (F.col("agreement_permille") >= 800) & (F.col("refinement_violations") == 0)
+    )
+
+
 def _curation_v3_oracle() -> str:
     """Composed verbatim from the REGISTERED oracles of the round-6
     components (lexical dedup manifest, quality rules) plus the mixture

@@ -37,6 +37,49 @@ def global_rank(
     return df.withColumn(rank_col, (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
+def ntile_scalable(
+    df: DataFrame,
+    order_by: list[str],
+    k: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY ...)`` without the single-partition
+    window — the quartile/decile assignment that survives 100 TB.
+
+    SQL's ntile over n rows gives the first ``n mod k`` buckets
+    ``n div k + 1`` rows and the rest ``n div k``; with a fully
+    tie-broken ``order_by`` (ranks unique) that bucket is a CLOSED FORM
+    of the 0-based global rank j:
+
+        big = n DIV k + 1;  large = n MOD k
+        j <  large·big  ->  j DIV big + 1
+        j >= large·big  ->  large + (j - large·big) DIV (n DIV k) + 1
+
+    so the plan is `global_rank_scalable` (deterministic range borders,
+    P-row offsets, per-partition windows) + a broadcast 1-row count —
+    no stage ever sees more than O(n/P) rows.  Exact int64 arithmetic
+    (SQL DIV), bit-identical to the Window ntile on unique ranks.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = global_rank_scalable(df, order_by, "__nt_rank", num_partitions)
+    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("__nt_n"))
+    tile = F.expr(
+        f"CAST(CASE WHEN __nt_rank < (__nt_n % {k}) * (__nt_n DIV {k} + 1)"
+        f" THEN __nt_rank DIV (__nt_n DIV {k} + 1)"
+        f" ELSE (__nt_n % {k})"
+        f"  + (__nt_rank - (__nt_n % {k}) * (__nt_n DIV {k} + 1))"
+        f"    DIV (__nt_n DIV {k})"
+        f" END + 1 AS BIGINT)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(tile_col, tile)
+        .drop("__nt_rank", "__nt_n")
+    )
+
+
 def global_rank_scalable(
     df: DataFrame,
     order_by: list[str],

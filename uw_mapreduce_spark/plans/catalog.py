@@ -2887,20 +2887,12 @@ def rfm_segmentation_customers(spark, sf_dir):
 
     Scale path: the customer dimension grows linearly with the corpus,
     so an unpartitioned ``ntile`` window (one-task sort) is the wrong
-    plan at 100×.  Each quartile is instead computed from the SCALABLE
-    global rank (`operators/rank.global_rank_scalable` — deterministic
-    range borders + P-row prefix offsets, no single-partition stage;
-    DESC orders rank the negated metric) and the closed-form ntile
-    bucket of a 0-based rank j over n rows:
-
-        big = n DIV 4 + 1;  large = n MOD 4    (first `large` buckets
-        j <  large*big  ->  j DIV big + 1       get one extra row)
-        j >= large*big  ->  large + (j - large*big) DIV (n DIV 4) + 1
-
-    which is exactly ``ntile(4) OVER (ORDER BY ...)`` when ranks are
-    unique — and (metric, custkey) makes them unique.  n arrives as a
-    broadcast 1-row combine."""
-    from ..operators.rank import global_rank_scalable
+    plan at 100×.  Each quartile is `operators/rank.ntile_scalable`
+    (scalable global rank + closed-form ntile bucket — no
+    single-partition stage; DESC orders rank the negated metric),
+    bit-identical to ``ntile(4) OVER (ORDER BY ...)`` because
+    (metric, custkey) makes ranks unique."""
+    from ..operators.rank import ntile_scalable
 
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy("o_custkey").agg(
@@ -2917,28 +2909,12 @@ def rfm_segmentation_customers(spark, sf_dir):
     m = m.withColumn("_neg_f", -F.col("frequency")).withColumn(
         "_neg_m", -F.col("monetary_c")
     )
-    ranked = global_rank_scalable(m, ["recency_days", "o_custkey"], "_r_rank")
-    ranked = global_rank_scalable(ranked, ["_neg_f", "o_custkey"], "_f_rank")
-    ranked = global_rank_scalable(ranked, ["_neg_m", "o_custkey"], "_m_rank")
-    n_row = m.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-
-    def _ntile4(rank_col: str):
-        # Exact int64 arithmetic throughout (SQL DIV), no float rounding.
-        return F.expr(
-            f"CAST(CASE WHEN {rank_col} < (_n % 4) * (_n DIV 4 + 1)"
-            f" THEN {rank_col} DIV (_n DIV 4 + 1)"
-            f" ELSE (_n % 4) + ({rank_col} - (_n % 4) * (_n DIV 4 + 1)) DIV (_n DIV 4)"
-            f" END + 1 AS BIGINT)"
-        )
-
-    return ranked.crossJoin(F.broadcast(n_row)).select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_c",
-        _ntile4("_r_rank").alias("r_quartile"),
-        _ntile4("_f_rank").alias("f_quartile"),
-        _ntile4("_m_rank").alias("m_quartile"),
+    out = ntile_scalable(m, ["recency_days", "o_custkey"], 4, "r_quartile")
+    out = ntile_scalable(out, ["_neg_f", "o_custkey"], 4, "f_quartile")
+    out = ntile_scalable(out, ["_neg_m", "o_custkey"], 4, "m_quartile")
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary_c",
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 

@@ -175,6 +175,18 @@ def ensure_sf1(spark, src_dir: str) -> str | None:
                     c = c.withColumn(
                         "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
                     )
+                if table == "part" and i:
+                    # Same artifact guard as document text, for the fuzzy
+                    # family: unsuffixed names repeat identically across
+                    # shards, so same-name pair output grows quadratically
+                    # in the copy count (round-7 sweep: 232 s entity
+                    # resolution at sf1 from cross-shard pairs alone).
+                    # Per-shard digit-run suffixes are >2 edits apart, so
+                    # the edit-distance-2 query keeps shard-local pairs
+                    # only — engine scaling, not synthesis blowup.
+                    c = c.withColumn(
+                        "p_name", F.concat(F.col("p_name"), F.lit(f" {i}{i}{i}{i}"))
+                    )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:

@@ -124,9 +124,34 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
     )
+    oriented = oriented.localCheckpoint(eager=True)  # reused 2x + od estimate
+
+    # Size the wedge stages from the EXACT wedge count Σ od(lo)² (an
+    # O(V)-row aggregate) instead of trusting Catalyst's join-output
+    # size estimate: the wedge join's fan-out is quadratic per key, AQE
+    # underestimates it and coalesces to a handful of giant partitions,
+    # and the round-7 sf1 sweep OOMed exactly there (dense co-shipping
+    # graph: ~2·10^10 wedges).  ~5M wedge rows per partition keeps each
+    # task's sort spill-friendly; the clamp bounds task-scheduling
+    # overhead on small graphs.
+    est = (
+        oriented.groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.col("od") * F.col("od")).alias("w"))
+        .collect()[0]["w"]
+    ) or 0
+    spark = edges.sparkSession
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = int(min(2048, max(default_p, est // 5_000_000 + 1)))
+
     o1 = oriented.select(F.col("lo"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
-    wedges = o1.join(o2, "lo").where(F.col("x") < F.col("y"))
+    wedges = (
+        o1.repartition(parts, "lo")
+        .join(o2.repartition(parts, "lo"), "lo")
+        .where(F.col("x") < F.col("y"))
+        .repartition(parts, "x", "y")
+    )
     closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tris = wedges.join(closing, ["x", "y"], "left_semi")
     per_vertex = (

@@ -505,10 +505,17 @@ def cosine_near_dup_pairs_q(spark, sf_dir):
 
 @query("cosine_near_dup_lsh")  # probabilistic recall: rows-only
 def cosine_near_dup_lsh_q(spark, sf_dir):
-    from ..operators.similarity import cosine_near_dup_lsh
+    """Hyperplane-LSH embedding near-dup pairs — the BLAS-bucketed
+    variant (`similarity.cosine_near_dup_lsh_blas`: matmul signatures,
+    256-bucket bands, per-bucket matmul verify).  The narrow
+    interpreted variant (`cosine_near_dup_lsh`) stays as the
+    pytest-checked semantic spec, but cost 453 s at sf1 vs seconds
+    here (round-7 sweep) — interpreted per-pair cosines over 16-bucket
+    bands are not the plan to ship."""
+    from ..operators.similarity import cosine_near_dup_lsh_blas
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_lsh(emb, threshold=0.45)
+    return cosine_near_dup_lsh_blas(emb, threshold=0.45)
 
 @query('array_functions_embeddings')
 def array_functions_embeddings(spark, sf_dir):

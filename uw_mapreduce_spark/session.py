@@ -77,7 +77,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the driver heap IS the executor heap for every
+        # concurrent task; 8g split 32 ways OOMed the sf1 triangle-count
+        # wedge join (round-7 sweep).  The test box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -3288,3 +3288,78 @@ def udaf_median_value_by_type(spark, sf_dir):
         n_rows(F.col("v_u")).alias("n"),
         median_micro(F.col("v_u")).alias("median_u"),
     )
+
+
+_EXPECT_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_custkey_not_null,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_orderkey_unique,
+         SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v_totalprice_positive,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+                  THEN 1 ELSE 0 END) AS v_status_in_set,
+         SUM(CASE WHEN o_orderdate IS NULL
+                    OR year(o_orderdate) NOT BETWEEN 1992 AND 1998
+                  THEN 1 ELSE 0 END) AS v_orderdate_in_range,
+         SUM(CASE WHEN o_orderpriority IS NULL
+                    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END) AS v_priority_format
+  FROM orders
+)
+SELECT e.expectation, CAST(m.n_rows AS BIGINT) AS n_rows,
+       CAST(CASE e.expectation
+         WHEN 'custkey_not_null'    THEN m.v_custkey_not_null
+         WHEN 'orderkey_unique'     THEN m.v_orderkey_unique
+         WHEN 'totalprice_positive' THEN m.v_totalprice_positive
+         WHEN 'status_in_set'       THEN m.v_status_in_set
+         WHEN 'orderdate_in_range'  THEN m.v_orderdate_in_range
+         WHEN 'priority_format'     THEN m.v_priority_format
+       END AS BIGINT) AS violations,
+       CASE e.expectation
+         WHEN 'custkey_not_null'    THEN m.v_custkey_not_null
+         WHEN 'orderkey_unique'     THEN m.v_orderkey_unique
+         WHEN 'totalprice_positive' THEN m.v_totalprice_positive
+         WHEN 'status_in_set'       THEN m.v_status_in_set
+         WHEN 'orderdate_in_range'  THEN m.v_orderdate_in_range
+         WHEN 'priority_format'     THEN m.v_priority_format
+       END = 0 AS passed
+FROM m, (VALUES ('custkey_not_null'), ('orderkey_unique'),
+                ('totalprice_positive'), ('status_in_set'),
+                ('orderdate_in_range'), ('priority_format')) AS e(expectation)
+"""
+
+
+@query("expectations_audit_orders", _EXPECT_SQL)
+def expectations_audit_orders(spark, sf_dir):
+    """Declarative data-quality contract (Deequ-style) over orders: six
+    named expectations — null checks, key uniqueness, range, category
+    set, format regex — evaluated by `operators/expectations.py` in ONE
+    aggregation pass (conditional counts + a same-pass distinct count;
+    the table crosses the wire once regardless of suite size).  The
+    per-delivery gate a 100 TB ingest runs before data is admitted."""
+    from ..operators.expectations import Expectation, evaluate_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    suite = [
+        Expectation("custkey_not_null", violation=F.col("o_custkey").isNull()),
+        Expectation("orderkey_unique", unique_key="o_orderkey"),
+        Expectation(
+            "totalprice_positive", violation=~(F.col("o_totalprice") > F.lit(0))
+        ),
+        Expectation(
+            "status_in_set",
+            violation=~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+        ),
+        Expectation(
+            "orderdate_in_range",
+            violation=F.col("o_orderdate").isNull()
+            | ~F.year("o_orderdate").between(1992, 1998),
+        ),
+        Expectation(
+            "priority_format",
+            violation=F.col("o_orderpriority").isNull()
+            | ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        ),
+    ]
+    return evaluate_expectations(orders, suite)

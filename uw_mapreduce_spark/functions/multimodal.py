@@ -421,3 +421,118 @@ def sample_frames(media: DataFrame, k: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=SAMPLED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — image DEDUP, the multimodal twin of MinHash.  A
+# training corpus carries the same photo re-encoded/resized thousands of
+# times; byte-level fingerprints miss every one of them.  aHash works on
+# the decoded pixels: downsample to 8×8, one bit per pixel = "brighter
+# than the image mean".  Near-duplicate images agree on almost every bit,
+# so dedup = small-Hamming-distance pairs over a 60-bit integer — which
+# the banded-join machinery already built for MinHash handles at scale.
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def ahash_images(media: DataFrame) -> DataFrame:
+    """REAL decode → 60-bit perceptual average-hash per image.
+
+    Kernel (integer-exact, engine-portable): resize to 8×8
+    (nearest-neighbor integer index math), gray_j = r+g+b per pixel in
+    row-major order, bit_j = (64·gray_j > Σ_all gray) for j < 60 —
+    cross-multiplied against the mean, no division, no floats.  60 bits
+    (not 64) keeps the hash inside a signed int64 and splits evenly
+    into 4×15-bit LSH bands.
+
+    Arrow ``mapInPandas``: map-only, zero shuffle; a corpus-scale run
+    is one decode pass.  Undecodable payloads yield NULL (one-row cost,
+    filtered by callers), same policy as ``extract_decoded_features``.
+    """
+    import numpy as np
+
+    weights = 1 << np.arange(60, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = decode_image(payload)
+                    if arr.shape[0] != 8 or arr.shape[1] != 8:
+                        arr = resize_nearest(arr, 8, 8)
+                    gray = arr.astype(np.int64).sum(axis=2).reshape(-1)
+                    bits = (64 * gray[:60]) > int(gray.sum())
+                    h = int((weights[bits]).sum())
+                except (NotImplementedError, ValueError):
+                    h = None
+                ids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, radius: int = 3, bands: int = 4, band_bits: int = 15
+) -> DataFrame:
+    """All image pairs within Hamming distance ``radius`` of each other,
+    LOSSLESSLY, via banded candidate generation.
+
+    Pigeonhole: ≤ ``radius`` differing bits spread over ``bands`` bands
+    means at least one band is bit-identical whenever
+    radius < bands — so the equi-join on (band index, band value)
+    generates a superset of the true pairs and the exact
+    ``bit_count(xor)`` verify prunes it.  Never all-pairs: candidate
+    cost is Σ (bucket size)² over 2^band_bits buckets per band, and
+    constant-border real-world images that pile into hot buckets are
+    exactly what AQE skew-split handles.  Defaults (radius 3, 4×15-bit
+    bands on the 60-bit aHash) satisfy the losslessness condition.
+    """
+    if radius >= bands:
+        raise ValueError(
+            f"banding is lossy for radius {radius} >= bands {bands}"
+        )
+    mask = (1 << band_bits) - 1
+    banded = hashes.where(F.col("ahash").isNotNull()).select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bv.band") == F.col("b.bv.band"))
+        & (F.col("a.bv.val") == F.col("b.bv.val"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+        .cast("long")
+        .alias("hamming"),
+    )
+    # A pair can surface from several agreeing bands: collapse via one
+    # group-by (hamming is pair-determined, min is just a tie-silencer).
+    return (
+        cand.where(F.col("hamming") <= F.lit(radius))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

@@ -2013,3 +2013,94 @@ def proximity_search_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return proximity_search(docs, "scan", "query", window=5)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup (aHash) — fully value-hash-oracled multimodal
+# near-dup.  The image corpus is synthesized from md5 digests exactly like
+# multimodal_decode_real, so DuckDB can rebuild every pixel and recompute
+# the SAME 60-bit hash in pure SQL; the oracle then finds pairs with the
+# brute-force quadratic predicate, proving the Spark side's 4×15-bit
+# banded join lossless at radius 3 (pigeonhole: ≤3 flipped bits leave at
+# least one of 4 bands intact).
+
+_AHASH_DIGESTS = " || ".join(f"md5(text || '{i}')" for i in range(12))
+# Twin = pixels 3 and 7 swapped (hex chars 19-24 <-> 43-48, 1-indexed):
+# Σgray is unchanged, so only bits 3 and 7 can flip => Hamming <= 2.
+_AHASH_TWIN = (
+    "substr(bh, 1, 18) || substr(bh, 43, 6) || substr(bh, 25, 18) "
+    "|| substr(bh, 19, 6) || substr(bh, 49)"
+)
+
+_AHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_AHASH_DIGESTS} AS bh FROM documents
+),
+img AS (
+  SELECT doc_id AS media_id, bh FROM base
+  UNION ALL
+  SELECT doc_id + 10000000 AS media_id, {_AHASH_TWIN} AS bh
+  FROM base WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT media_id, t.j,
+         ('0x' || substr(bh, 6 * t.j + 1, 2))::BIGINT
+       + ('0x' || substr(bh, 6 * t.j + 3, 2))::BIGINT
+       + ('0x' || substr(bh, 6 * t.j + 5, 2))::BIGINT AS gray
+  FROM img, range(0, 64) AS t(j)
+),
+s AS (SELECT media_id, SUM(gray) AS tot FROM px GROUP BY media_id),
+h AS (
+  SELECT px.media_id,
+         SUM(CASE WHEN px.j < 60 AND 64 * px.gray > s.tot
+                  THEN (1::BIGINT << px.j) ELSE 0 END) AS ahash
+  FROM px JOIN s USING (media_id) GROUP BY px.media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM h a JOIN h b
+  ON a.media_id < b.media_id
+ AND bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+@query("image_ahash_neardup", _AHASH_SQL)
+def image_ahash_neardup(spark, sf_dir):
+    """Perceptual image dedup end-to-end: synthesize a deterministic
+    8×8 PPM per document (12 chained md5 digests as raw RGB — pure
+    Catalyst expressions) plus, for every 5th document, a near-dup twin
+    with two pixels swapped (Σgray invariant, so the twin's aHash is
+    within Hamming 2); decode through the REAL PPM reader, compute the
+    integer-exact 60-bit average-hash in one Arrow pass, and join pairs
+    at Hamming ≤ 3 via the lossless 4×15-bit banded candidate join —
+    never all-pairs.  The oracle rebuilds the same pixels and hash in
+    SQL and uses the brute-force quadratic predicate, so a hash-MATCH
+    certifies both the decode→hash kernel and the banding's
+    losslessness.  The multimodal twin of MinHash dedup: at 100 TB the
+    decode pass is map-only and the pair join touches only band-bucket
+    collisions."""
+    from ..functions.multimodal import ahash_images, ahash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(12)]
+    )
+    base = docs.select("doc_id", digests.alias("bh"))
+    twin_hex = F.concat(
+        F.substring("bh", 1, 18),
+        F.substring("bh", 43, 6),
+        F.substring("bh", 25, 18),
+        F.substring("bh", 19, 6),
+        F.expr("substring(bh, 49)"),
+    )
+    header = F.encode(F.lit("P6\n8 8\n255\n"), "utf-8")
+    side_a = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.unhex("bh")).alias("payload"),
+    )
+    side_b = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("media_id"),
+        F.concat(header, F.unhex(twin_hex)).alias("payload"),
+    )
+    media = attach_media(side_a.unionByName(side_b), "media_id", "payload")
+    return ahash_near_dup_pairs(ahash_images(media), radius=3)

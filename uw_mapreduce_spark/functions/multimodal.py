@@ -536,3 +536,42 @@ def ahash_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def energy_hash_audio(media: DataFrame, frame: int = 4, frames: int = 60) -> DataFrame:
+    """REAL WAV decode → 60-bit energy-envelope fingerprint per clip —
+    the audio twin of ``ahash_images`` (same (media_id, ahash) output
+    contract, so ``ahash_near_dup_pairs`` provides the pair join).
+
+    Kernel: first ``frames·frame`` samples of channel 0, integer frame
+    energies e_f = Σ v² (the decoder's /32768 normalization is a
+    power-of-two scale, so v = x·32768 recovers the PCM integers
+    exactly), bit_f = (frames·e_f > Σe) — cross-multiplied against the
+    mean energy, no division.  Re-encoded or slightly edited clips keep
+    their loudness envelope, so near-dups land within small Hamming
+    distance.  Map-only Arrow pass; clips too short or undecodable
+    yield NULL."""
+    import numpy as np
+
+    weights = 1 << np.arange(frames, dtype=np.int64)
+    need = frames * frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x, _sr = decode_audio(payload)
+                    if x.shape[0] < need:
+                        raise ValueError("clip shorter than fingerprint window")
+                    v = np.rint(x[:need, 0] * 32768.0).astype(np.int64)
+                    e = (v * v).reshape(frames, frame).sum(axis=1)
+                    bits = frames * e > int(e.sum())
+                    h = int(weights[bits].sum())
+                except (NotImplementedError, ValueError):
+                    h = None
+                ids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -2104,3 +2104,103 @@ def image_ahash_neardup(spark, sf_dir):
     )
     media = attach_media(side_a.unionByName(side_b), "media_id", "payload")
     return ahash_near_dup_pairs(ahash_images(media), radius=3)
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup — the WAV counterpart of image_ahash_neardup.
+# Clips are synthesized from md5 digests (240 PCM16 samples = 30 digests),
+# so DuckDB rebuilds every sample from hex pairs (little-endian signed
+# int16), recomputes the SAME 60-frame energy-envelope hash, and verifies
+# pairs with the brute-force quadratic predicate against Spark's banded
+# join over the REAL decoder's output.
+
+_AUDIO_DIGESTS = " || ".join(f"md5(text || 'a{i}')" for i in range(30))
+# Twin = frames 3 and 7 swapped (16 hex chars per 4-sample frame:
+# chars 49-64 <-> 113-128).  Σenergy unchanged => Hamming <= 2.
+_AUDIO_TWIN = (
+    "substr(bh, 1, 48) || substr(bh, 113, 16) || substr(bh, 65, 48) "
+    "|| substr(bh, 49, 16) || substr(bh, 129)"
+)
+
+_AUDIO_AHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_AUDIO_DIGESTS} AS bh FROM documents
+),
+clip AS (
+  SELECT doc_id AS media_id, bh FROM base
+  UNION ALL
+  SELECT doc_id + 10000000 AS media_id, {_AUDIO_TWIN} AS bh
+  FROM base WHERE doc_id % 5 = 0
+),
+sm AS (
+  SELECT media_id, j // 4 AS f,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT media_id, t.j AS j,
+           ('0x' || substr(bh, 4 * t.j + 1, 2))::BIGINT
+         + 256 * ('0x' || substr(bh, 4 * t.j + 3, 2))::BIGINT AS v
+    FROM clip, range(0, 240) AS t(j)
+  )
+),
+fr AS (SELECT media_id, f, SUM(s * s) AS e FROM sm GROUP BY media_id, f),
+tot AS (SELECT media_id, SUM(e) AS te FROM fr GROUP BY media_id),
+h AS (
+  SELECT fr.media_id,
+         SUM(CASE WHEN 60 * fr.e > tot.te THEN (1::BIGINT << fr.f) ELSE 0 END)
+           AS ahash
+  FROM fr JOIN tot USING (media_id) GROUP BY fr.media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM h a JOIN h b
+  ON a.media_id < b.media_id
+ AND bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+@query("audio_energy_neardup", _AUDIO_AHASH_SQL)
+def audio_energy_neardup(spark, sf_dir):
+    """Audio near-dup dedup end-to-end: synthesize a deterministic PCM16
+    mono WAV per document (44-byte RIFF header + 30 md5 digests as 240
+    little-endian samples) plus, for every 5th document, a twin with two
+    4-sample frames swapped (Σenergy invariant — Hamming ≤ 2); decode
+    through the REAL WAV reader, compute the integer-exact 60-frame
+    energy-envelope hash in one Arrow pass, and find Hamming ≤ 3 pairs
+    with the same lossless 4×15-bit banded join the image face uses.
+    The oracle rebuilds samples from hex pairs and the identical hash in
+    SQL with a brute-force pair predicate — multimodal dedup for audio
+    with a full value-hash oracle."""
+    import struct
+
+    from ..functions.multimodal import ahash_near_dup_pairs, energy_hash_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(f"a{i}"))) for i in range(30)]
+    )
+    base = docs.select("doc_id", digests.alias("bh"))
+    twin_hex = F.concat(
+        F.substring("bh", 1, 48),
+        F.substring("bh", 113, 16),
+        F.substring("bh", 65, 48),
+        F.substring("bh", 49, 16),
+        F.expr("substring(bh, 129)"),
+    )
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 480) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 480)
+    )
+    side_a = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(header)), F.unhex("bh")).alias("payload"),
+    )
+    side_b = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("media_id"),
+        F.concat(F.lit(bytearray(header)), F.unhex(twin_hex)).alias("payload"),
+    )
+    media = attach_media(
+        side_a.unionByName(side_b), "media_id", "payload", kind="audio"
+    )
+    return ahash_near_dup_pairs(energy_hash_audio(media), radius=3)

@@ -59,3 +59,63 @@ def coalesce_intervals(df: DataFrame, key_cols: list[str], start_col: str,
         F.max(end_col).alias("island_end"),
         F.count(F.lit(1)).alias("n_merged"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    start_col: str = "t0_us",
+    end_col: str = "t1_us",
+    bucket_us: int = 3_600_000_000,
+    extra_pred=None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join, bucketized — never cartesian.
+
+    ``range_join`` handles point-in-interval; this is the two-sided
+    case (concurrent sessions, conflicting reservations, co-occurring
+    incidents): every (left, right) pair whose [start, end] spans
+    intersect.  Catalyst would execute the raw inequality predicate as
+    BroadcastNestedLoopJoin — quadratic and undistributable.  Instead
+    both sides explode to the time buckets their interval covers and
+    equi-join on the bucket, so shuffle + candidate cost is governed by
+    per-bucket occupancy (pick ``bucket_us`` near the typical interval
+    length; concurrency itself, not corpus size, bounds the output).
+
+    De-dup without a distinct shuffle: a pair whose intervals overlap
+    shares every bucket in the overlap region; it is emitted ONLY in
+    the bucket containing max(start_l, start_r) — the first overlap
+    bucket, which both sides provably cover — so each true pair
+    surfaces exactly once and no post-join dedup pass exists.
+
+    Bounds must be integral epoch micros (cross-engine exactness).
+    Columns from both sides survive prefixed ``l_`` / ``r_``; the
+    output adds ``overlap_us`` = min(end)−max(start) ≥ 0.
+    """
+    w = int(bucket_us)
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        renamed = df.select([F.col(c).alias(f"{p}{c}") for c in df.columns])
+        s, e = F.col(f"{p}{start_col}"), F.col(f"{p}{end_col}")
+        return renamed.withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.floor(s / w).cast("long"),
+                                 F.floor(e / w).cast("long"))),
+        )
+
+    a, b = prep(left, "l_"), prep(right, "r_")
+    ls, le = F.col(f"l_{start_col}"), F.col(f"l_{end_col}")
+    rs, re_ = F.col(f"r_{start_col}"), F.col(f"r_{end_col}")
+    first_overlap_bucket = F.floor(F.greatest(ls, rs) / w).cast("long")
+    cond = (
+        (a["__bucket"] == b["__bucket"])
+        & (ls <= re_)
+        & (rs <= le)
+        & (a["__bucket"] == first_overlap_bucket)
+    )
+    out = a.join(b, cond).drop("__bucket")
+    if extra_pred is not None:
+        out = out.where(extra_pred)
+    return out.withColumn(
+        "overlap_us", (F.least(le, re_) - F.greatest(ls, rs)).cast("long")
+    )

@@ -3363,3 +3363,78 @@ def expectations_audit_orders(spark, sf_dir):
         ),
     ]
     return evaluate_expectations(orders, suite)
+
+
+_CONCUR_SQL = r"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 900000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+         min(ts_us) AS t0_us, max(ts_us) AS t1_us
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT a.user_id AS user_a, a.sess_id AS sess_a,
+       b.user_id AS user_b, b.sess_id AS sess_b,
+       CAST(least(a.t1_us, b.t1_us) - greatest(a.t0_us, b.t0_us) AS BIGINT)
+         AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id < b.user_id AND a.t0_us <= b.t1_us AND b.t0_us <= a.t1_us
+"""
+
+
+@query("concurrent_sessions_events", _CONCUR_SQL)
+def concurrent_sessions_events(spark, sf_dir):
+    """Interval × interval OVERLAP join: which user sessions were on the
+    system at the same time (concurrency/contention analysis).  Sessions
+    come from the same gaps-and-islands construction as
+    `sessionize_events_batch`; the pair search runs through
+    `operators/intervals.interval_overlap_join` — both sides explode to
+    covered 1-hour buckets and equi-join, with each true pair emitted
+    exactly once in its first overlap bucket (no distinct pass).  The
+    oracle states the quadratic inequality join directly, so a
+    hash-MATCH proves the bucketization + emit-once dedup lossless.
+    Catalyst alone would run this as BroadcastNestedLoopJoin — the
+    operator is what makes it distributable at 100 TB."""
+    from ..operators.intervals import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 900_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        marked.withColumn("sess_id", F.sum("new_sess").over(w_run).cast("long"))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts_us").alias("t0_us"), F.max("ts_us").alias("t1_us"))
+    )
+    pairs = interval_overlap_join(
+        iv,
+        iv,
+        bucket_us=3_600_000_000,
+        extra_pred=F.col("l_user_id") < F.col("r_user_id"),
+    )
+    return pairs.select(
+        F.col("l_user_id").alias("user_a"),
+        F.col("l_sess_id").alias("sess_a"),
+        F.col("r_user_id").alias("user_b"),
+        F.col("r_sess_id").alias("sess_b"),
+        "overlap_us",
+    )

@@ -3438,3 +3438,134 @@ def concurrent_sessions_events(spark, sf_dir):
         F.col("r_sess_id").alias("sess_b"),
         "overlap_us",
     )
+
+
+_ROLLMED_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(floor(2 * quantile_cont(value_u, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS BIGINT) AS med2_u
+FROM e
+"""
+
+
+@query("rolling_median_events", _ROLLMED_SQL)
+def rolling_median_events(spark, sf_dir):
+    """Exact rolling median (trailing 15 events per user) — the robust
+    running level estimate that a mean-based rolling feature can't give.
+    Built on `percentile(…) OVER`, i.e. an exact order statistic as a
+    WINDOW aggregate: one shuffle + one sort per user key, O(W) state
+    per row, no self-join.  Reported as floor(2·median) so the even-
+    count midpoint (a+b)/2 stays in exact integer space — both engines
+    interpolate at p·(n−1) and agree bit-for-bit on integer inputs."""
+    ev = events_u(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value_u"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST(floor(2 * percentile(value_u, 0.5) OVER ("
+            "PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS BIGINT)"
+        ).alias("med2_u"),
+    )
+
+
+_TREND_SQL = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - 1704067200 AS x,
+         CAST(floor(value * 1000.0) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor(1000000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_nano
+FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+"""
+
+
+@query("user_value_trend_events", _TREND_SQL)
+def user_value_trend_events(spark, sf_dir):
+    """Per-key OLS regression slopes (is each user's event value
+    drifting up or down?) — `daily_revenue_trend` generalized from one
+    global fit to a grouped ML feature.  Exact int64 moments per user
+    (x = seconds since 2024-01-01 keeps n·Σxy inside int64 at these
+    magnitudes; y in milli-units), then ONE double division with
+    identical formula text in both engines — the only float op, applied
+    identically, so the hash matches.  Map-side partial aggregation;
+    the fit costs one shuffle of five moments per key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000)) - F.lit(1_704_067_200))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("y"),
+    )
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.where((F.col("n") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.lit(1e9) * num.cast("double") / den.cast("double"))
+            .cast("long")
+            .alias("slope_nano"),
+        )
+    )
+
+
+_SKEW_SQL = """
+WITH g AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT SUM(n) AS total FROM g),
+k AS (SELECT user_id, n FROM g ORDER BY n DESC, user_id LIMIT 10)
+SELECT k.user_id, CAST(k.n AS BIGINT) AS n,
+       CAST(k.n * 1000 // t.total AS BIGINT) AS share_pm,
+       CAST(row_number() OVER (ORDER BY k.n DESC, k.user_id) AS BIGINT) AS rnk
+FROM k, t
+"""
+
+
+@query("key_skew_audit_events", _SKEW_SQL)
+def key_skew_audit_events(spark, sf_dir):
+    """Hot-key skew audit: the 10 heaviest shuffle keys with their
+    per-mille share of all rows — the profile you read BEFORE sizing a
+    join salt or trusting AQE's skew split.  Plan shape: per-key counts
+    (map-side partials), 1-row total broadcast, TakeOrderedAndProject
+    top-10; the rank window runs AFTER the limit, over exactly 10 rows
+    — bounded by k, not by key cardinality, so no grows-with-data
+    single-partition stage."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = g.agg(F.sum("n").alias("total"))
+    top = (
+        g.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return top.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        ((F.col("n") * F.lit(1000)) / F.col("total")).cast("long").alias("share_pm"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

@@ -2204,3 +2204,99 @@ def audio_energy_neardup(spark, sf_dir):
         side_a.unionByName(side_b), "media_id", "payload", kind="audio"
     )
     return ahash_near_dup_pairs(energy_hash_audio(media), radius=3)
+
+
+_CENTROID_SCORED_SQL = r"""
+WITH flat0 AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+flat AS (
+  -- CAST x to DOUBLE first: DuckDB binds FLOAT * DECIMAL-literal as a
+  -- FLOAT multiply, which rounds differently from Spark's float ->
+  -- double promotion on grid-edge values (observed: 0.1365559995...).
+  SELECT vec_id, label, pos,
+         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM flat0
+),
+cent AS (SELECT label AS c_label, pos, SUM(c) AS s FROM flat GROUP BY label, pos),
+n2 AS (SELECT c_label, SUM(s * s) AS n2 FROM cent GROUP BY c_label),
+dots AS (
+  SELECT f.vec_id, f.label, c.c_label, SUM(f.c * c.s) AS d
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, f.label, c.c_label
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.c_label,
+         CAST(d.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS score
+  FROM dots d JOIN n2 n ON d.c_label = n.c_label
+),
+best AS (
+  SELECT vec_id, label, c_label, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label ASC) AS rn
+  FROM scored
+)
+"""
+
+_CENTROID_CLASSIFY_SQL = _CENTROID_SCORED_SQL + r"""
+SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+       CAST(c_label AS BIGINT) AS pred_label, score
+FROM best WHERE rn = 1
+"""
+
+
+@query("centroid_classifier_embeddings", _CENTROID_CLASSIFY_SQL)
+def centroid_classifier_embeddings(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against per-label centroids learned from the corpus itself
+    (`operators/classify.nearest_centroid_classify`) — the cheapest
+    probe of embedding quality, and the label-propagation primitive of
+    curation pipelines.  Integer-grid quantization before aggregation
+    makes the per-label sums exact and the cosine argmax engine-
+    independent, so this is a fully value-hash-oracled classifier
+    (score included).  Scale: one L·dim-bounded shuffle to learn the
+    sums, then a MAP-ONLY scoring pass against literal centroid arrays
+    — the corpus is never shuffled.  Extends the reference's numeric
+    surface (SlidingAggregation.java:433-536) with a classifier it
+    lacks."""
+    from ..operators.classify import nearest_centroid_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = nearest_centroid_classify(emb)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("true_label"),
+        "pred_label",
+        "score",
+    )
+
+
+_CENTROID_CONFUSION_SQL = _CENTROID_SCORED_SQL + r"""
+SELECT CAST(label AS BIGINT) AS true_label,
+       CAST(c_label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@query("centroid_confusion_embeddings", _CENTROID_CONFUSION_SQL)
+def centroid_confusion_embeddings(spark, sf_dir):
+    """Confusion matrix of the nearest-centroid classifier: (true,
+    predicted, count).  The aggregate face of
+    `centroid_classifier_embeddings` — L² rows regardless of corpus
+    size, the dashboard artifact a labeling pipeline actually
+    monitors."""
+    from ..operators.classify import nearest_centroid_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = nearest_centroid_classify(emb)
+    return (
+        out.groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

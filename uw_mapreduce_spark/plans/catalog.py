@@ -3569,3 +3569,52 @@ def key_skew_audit_events(spark, sf_dir):
         ((F.col("n") * F.lit(1000)) / F.col("total")).cast("long").alias("share_pm"),
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+_DEBOUNCE_SQL = r"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+chain AS (
+  SELECT user_id, event_type, event_id, ts_us, rn,
+         ts_us AS last_kept, TRUE AS kept
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_type, s.event_id, s.ts_us, s.rn,
+         CASE WHEN s.ts_us - c.last_kept >= 172800000000
+              THEN s.ts_us ELSE c.last_kept END,
+         s.ts_us - c.last_kept >= 172800000000
+  FROM seq s JOIN chain c
+    ON s.user_id = c.user_id AND s.event_type = c.event_type
+   AND s.rn = c.rn + 1
+)
+SELECT user_id, event_type, event_id, ts_us, kept FROM chain
+"""
+
+
+@query("debounce_events", _DEBOUNCE_SQL)
+def debounce_events(spark, sf_dir):
+    """Min-gap event suppression (`operators/debounce.debounce`): per
+    (user, event_type), keep a row only if >=48 h elapsed since the
+    last KEPT row — "at most one notification per user per two days".
+    A greedy chain, NOT a window function (row i's fate depends on
+    which earlier rows survived), so the kernel is an Arrow-batched
+    per-key O(n) pass after one hash shuffle; every step is integer
+    micro-second arithmetic on O(1) state, which is why the DuckDB
+    recursive CTE replays it exactly and this sequential operator is
+    fully value-hash oracled (the CUSUM technique,
+    `catalog.py:_CUSUM_SQL`)."""
+    from ..operators.debounce import debounce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return debounce(
+        ev, ["user_id", "event_type"], "ts_us",
+        gap=48 * 3600 * 1_000_000, tiebreak=["event_id"],
+    )

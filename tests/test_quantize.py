@@ -43,3 +43,43 @@ def test_quantizer_plan_is_shuffle_free(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     plan = quantize_stats_int8(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_standardize_matches_python_model(spark):
+    import math
+    import struct
+
+    import random
+
+    from uw_mapreduce_spark.operators.quantize import standardize_embeddings
+
+    rng = random.Random(3)
+    rows = [
+        (i, [struct.unpack("f", struct.pack("f", rng.uniform(-1, 1)))[0] for _ in range(5)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["z"]) for r in standardize_embeddings(df).collect()}
+
+    qs = {i: [math.floor(x * 1e6) for x in v] for i, v in rows}
+    n = len(rows)
+    dim = 5
+    for d in range(dim):
+        s = sum(qs[i][d] for i, _ in rows)
+        ss = sum(qs[i][d] ** 2 for i, _ in rows)
+        den = math.sqrt(float(n * ss - s * s))
+        for i, _ in rows:
+            want = 0.0 if den == 0.0 else float(n * qs[i][d] - s) / den
+            assert got[i][d] == want, (i, d)
+
+
+def test_standardize_zero_variance_dim_is_zero(spark):
+    from uw_mapreduce_spark.operators.quantize import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.5, 1.0]), (1, [0.5, 2.0]), (2, [0.5, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: list(r["z"]) for r in standardize_embeddings(df).collect()}
+    assert all(v[0] == 0.0 for v in out.values())      # constant dim -> 0
+    assert out[0][1] < 0.0 < out[2][1]                  # varying dim ordered

@@ -23,6 +23,8 @@ this is part of the LLM-pipeline extension the driver brief demands.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +95,61 @@ def quantize_stats_int8(
             f"cast(floor(array_max(transform({e}, v -> {err})) * 1000000000.0D) AS bigint) END"
         ).alias("max_err_u"),
     )
+
+
+def standardize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization (feature scaling) on the
+    integer grid — the preprocessing step before distance-based ops
+    when dimensions carry different variances.
+
+    Determinism: components quantize to ``floor(x·scale)`` int64 FIRST,
+    so the per-dimension moments S_d = Σq and SS_d = Σq² are exact
+    integers in any reduction order (SS accumulates in decimal(38,0) so
+    it cannot wrap at corpus scale), and
+
+        z = (N·q − S_d) / sqrt(N·SS_d − S_d²)
+          = (q − μ_d) / σ_d   exactly (the N's cancel),
+
+    with one correctly-rounded int→double conversion on each side of
+    the divide — bit-identical across engines.  Zero-variance
+    dimensions standardize to 0.0 by contract.
+
+    Scale shape: ONE posexplode + groupBy(pos) whose shuffle is bounded
+    by dim rows per map task (map-side partials); the dim-row stats are
+    the legitimate tiny collect, and the apply pass is MAP-ONLY against
+    literal arrays — the corpus never shuffles.
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
+    )
+    flat = emb.select(F.posexplode(q).alias("pos", "q"))
+    stats = flat.groupBy("pos").agg(
+        F.sum("q").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = {int(r["pos"]): (int(r["s"]), int(r["ss"]), int(r["n"])) for r in stats.collect()}
+    dim = 1 + max(rows)
+    n = rows[0][2]
+    sums = [rows[p][0] for p in range(dim)]
+    # Exact integer radicand (Python ints), ONE conversion to double,
+    # one IEEE sqrt — mirrors DuckDB's sqrt(CAST(hugeint AS DOUBLE)).
+    dens = [
+        math.sqrt(float(n * ss - s * s)) for (s, ss, _n) in (rows[p] for p in range(dim))
+    ]
+    s_arr = F.array(*[F.lit(s) for s in sums])
+    d_arr = F.array(*[F.lit(d) for d in dens])
+    z = F.transform(
+        q,
+        lambda x, i: F.when(F.element_at(d_arr, i + 1) == F.lit(0.0), F.lit(0.0)).otherwise(
+            (F.lit(n) * x - F.element_at(s_arr, i + 1)).cast("double")
+            / F.element_at(d_arr, i + 1)
+        ),
+    )
+    return emb.withColumn(out_col, z)

@@ -2300,3 +2300,44 @@ def centroid_confusion_embeddings(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_STANDARDIZE_SQL = r"""
+WITH flat0 AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q
+  FROM flat0
+),
+stats AS (
+  SELECT pos, SUM(q) AS s, SUM(q * q) AS ss, COUNT(*) AS n
+  FROM flat GROUP BY pos
+)
+SELECT f.vec_id, f.pos,
+       CASE WHEN st.n * st.ss - st.s * st.s = 0 THEN 0.0
+            ELSE CAST(st.n * f.q - st.s AS DOUBLE)
+                 / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)) END AS z
+FROM flat f JOIN stats st ON f.pos = st.pos
+"""
+
+
+@query("standardize_embeddings", _STANDARDIZE_SQL)
+def standardize_embeddings_face(spark, sf_dir):
+    """Per-dimension z-score feature scaling
+    (`operators/quantize.standardize_embeddings`): exact integer-grid
+    moments (one dim-bounded shuffle + dim-row collect), then a
+    MAP-ONLY apply of (N·q − S)/sqrt(N·SS − S²) against literal stat
+    arrays — a fully value-hash-oracled standardizer, z doubles
+    included.  Emitted long-format (vec_id, pos, z) so the hash
+    compares scalars, not array renderings."""
+    from ..operators.quantize import standardize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb)
+    return out.select("vec_id", F.posexplode("z").alias("pos", "z")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "z"
+    )

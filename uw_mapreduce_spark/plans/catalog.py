@@ -3618,3 +3618,84 @@ def debounce_events(spark, sf_dir):
         ev, ["user_id", "event_type"], "ts_us",
         gap=48 * 3600 * 1_000_000, tiebreak=["event_id"],
     )
+
+
+_TABLE_DIFF_SQL = r"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c,
+         o_orderstatus AS st
+  FROM orders
+),
+rightt AS (
+  SELECT k,
+         price_c + CASE WHEN k % 89 = 0 THEN 7 ELSE 0 END AS price_c,
+         CASE WHEN k % 83 = 0 THEN 'X' ELSE st END AS st
+  FROM base WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 600000000, price_c, st FROM base WHERE k % 101 = 0
+),
+j AS (
+  SELECT l.k IS NOT NULL AS in_l, r.k IS NOT NULL AS in_r,
+         l.price_c AS lp, r.price_c AS rp, l.st AS ls, r.st AS rs
+  FROM base l FULL OUTER JOIN rightt r ON l.k = r.k
+),
+st AS (
+  SELECT CASE WHEN NOT in_l THEN 'added'
+              WHEN NOT in_r THEN 'removed'
+              WHEN lp IS DISTINCT FROM rp OR ls IS DISTINCT FROM rs THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         in_l AND in_r AND lp IS DISTINCT FROM rp AS ch_p,
+         in_l AND in_r AND ls IS DISTINCT FROM rs AS ch_s
+  FROM j
+)
+SELECT status AS bucket, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY status
+UNION ALL
+SELECT 'col:price_c', CAST(count(*) AS BIGINT) FROM st WHERE status = 'changed' AND ch_p
+UNION ALL
+SELECT 'col:o_orderstatus', CAST(count(*) AS BIGINT) FROM st WHERE status = 'changed' AND ch_s
+"""
+
+
+@query("table_diff_orders", _TABLE_DIFF_SQL)
+def table_diff_orders(spark, sf_dir):
+    """Snapshot reconciliation (`operators/diff.table_diff` +
+    `diff_summary`): orders vs a deterministically-perturbed second
+    snapshot (keys %97 removed, %101 re-landed under new keys, price
+    +7 c at %89, status flipped at %83) — the migration-sign-off /
+    CDC-validation audit.  Plan: ONE full-outer sort-merge join (both
+    sides shuffle once on the key — the minimum motion a full
+    reconciliation admits), null-safe per-column flags as a map
+    projection, fixed-size summary via map-side partials."""
+    from ..operators.diff import diff_summary, table_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    right = (
+        base.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            (F.col("price_c")
+             + F.when(F.col("k") % 89 == 0, F.lit(7)).otherwise(F.lit(0))).alias("price_c"),
+            F.when(F.col("k") % 83 == 0, F.lit("X")).otherwise(F.col("st")).alias("st"),
+        )
+        .unionByName(
+            base.where(F.col("k") % 101 == 0).select(
+                (F.col("k") + F.lit(600000000)).alias("k"), "price_c", "st"
+            )
+        )
+    )
+    d = table_diff(base, right, ["k"], ["price_c", "st"])
+    out = diff_summary(d, ["price_c", "st"])
+    # summary bucket labels carry the operator's column names; map the
+    # generic ones onto the oracle's business names
+    return out.select(
+        F.when(F.col("bucket") == "col:price_c", F.lit("col:price_c"))
+        .when(F.col("bucket") == "col:st", F.lit("col:o_orderstatus"))
+        .otherwise(F.col("bucket"))
+        .alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -449,3 +449,27 @@ def test_scd2_intervals_chain(spark):
         ("k", "c"): (30, None, True),
         ("q", "z"): (5, None, True),
     }
+
+
+def test_bfs_hops_settles_min_distance(spark):
+    from uw_mapreduce_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5 plus shortcut 1-4; seed {1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    got = {r["v"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=5).collect()}
+    # 4 is reachable in 1 via the shortcut, NOT 3 via the chain
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_hops_respects_max_and_disconnected(spark):
+    from uw_mapreduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    got = {r["v"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond max_hops, 10/11 disconnected

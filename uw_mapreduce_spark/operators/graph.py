@@ -217,3 +217,50 @@ def pagerank(edges: DataFrame, *, iterations: int = 5, damping_milli: int = 850,
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a seed set, breadth-first.
+
+    Returns (v, hop) for every vertex within ``max_hops`` undirected
+    hops of any seed (seeds themselves at hop 0) — the blast-radius /
+    influence-frontier query (fraud rings around flagged accounts,
+    affected-asset sets around an incident).
+
+    Level-synchronous BFS: each round expands the CURRENT frontier by
+    one join against the checkpointed edge list, dedups, and anti-joins
+    the already-settled set — so every vertex is settled exactly once,
+    at its true minimum hop, and the per-round shuffle is bounded by
+    the frontier's edge neighborhood, never the whole graph re-walked.
+    O(1) driver data per round (the emptiness check), the
+    `connected_components` orchestration discipline.
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("v").distinct().withColumn("hop", F.lit(0).cast("long"))
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("v")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(both, frontier["v"] == both["a"])
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+        ).localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("v")
+    return dist

@@ -3699,3 +3699,51 @@ def table_diff_orders(spark, sf_dir):
         .alias("bucket"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+_BFS_SQL = r"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+),
+seeds AS (SELECT DISTINCT src AS v FROM e0 WHERE src % 100 = 0),
+reach AS (
+  SELECT v, 0 AS hop FROM seeds
+  UNION
+  SELECT e.b AS v, r.hop + 1 AS hop
+  FROM reach r JOIN edges e ON e.a = r.v
+  WHERE r.hop < 3
+)
+SELECT v, CAST(MIN(hop) AS BIGINT) AS hop FROM reach GROUP BY v
+"""
+
+
+@query("bfs_hops_purchase_graph", _BFS_SQL)
+def bfs_hops_purchase_graph(spark, sf_dir):
+    """Blast-radius BFS (`operators/graph.bfs_hops`): minimum hop
+    distance from the %100-sampled seed customers across the
+    undirected customer↔supplier purchase graph, 3 levels.  Level-
+    synchronous frontier expansion — each vertex settles exactly once
+    at its true minimum hop; per-round work bounded by the frontier's
+    edge neighborhood.  Oracle: DuckDB recursive CTE with UNION
+    (set) semantics so each (v, hop) materializes once, min-hop
+    grouped at the end."""
+    from ..operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = edges.where(F.col("src") % 100 == 0).select(F.col("src").alias("v"))
+    return bfs_hops(edges, seeds, max_hops=3)

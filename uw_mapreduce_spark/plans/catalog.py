@@ -3747,3 +3747,49 @@ def bfs_hops_purchase_graph(spark, sf_dir):
     )
     seeds = edges.where(F.col("src") % 100 == 0).select(F.col("src").alias("v"))
     return bfs_hops(edges, seeds, max_hops=3)
+
+
+_FUNNEL_N_SQL = r"""
+WITH pe AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (SELECT user_id, MIN(ts_us) AS t_1 FROM pe
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT pe.user_id, MIN(ts_us) AS t_2 FROM pe JOIN s1 ON pe.user_id = s1.user_id
+       WHERE event_type = 'view' AND ts_us > t_1
+         AND ts_us <= t_1 + 604800000000 GROUP BY pe.user_id),
+s3 AS (SELECT pe.user_id, MIN(ts_us) AS t_3 FROM pe JOIN s2 ON pe.user_id = s2.user_id
+       WHERE event_type = 'click' AND ts_us > t_2
+         AND ts_us <= t_2 + 604800000000 GROUP BY pe.user_id),
+s4 AS (SELECT pe.user_id, MIN(ts_us) AS t_4 FROM pe JOIN s3 ON pe.user_id = s3.user_id
+       WHERE event_type = 'purchase' AND ts_us > t_3
+         AND ts_us <= t_3 + 604800000000 GROUP BY pe.user_id)
+SELECT s1.user_id, t_1, t_2, t_3, t_4,
+       CAST(1 + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+LEFT JOIN s4 ON s1.user_id = s4.user_id
+"""
+
+
+@query("funnel_four_step_windowed", _FUNNEL_N_SQL)
+def funnel_four_step_windowed(spark, sf_dir):
+    """Parameterized N-step funnel (`operators/funnel.funnel_steps`):
+    signup → view → click → purchase, each step within 7 days of the
+    previous — ClickHouse-windowFunnel semantics for an arbitrary step
+    list.  N-1 prune-join-aggregate rounds: each round joins only the
+    next step's event slice against the shrinking survivor set, all
+    hashed on user_id; no per-user array materialization, no window."""
+    from ..operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return funnel_steps(
+        ev,
+        ["signup", "view", "click", "purchase"],
+        within=7 * 24 * 3600 * 1_000_000,
+    )

@@ -840,3 +840,86 @@ def test_cusum_state_carries_across_batches(spark, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("select * from cusum2_out").collect()}
     assert got == expected
+
+
+def test_throttle_stream_converges_to_batch(spark, sf_small):
+    """Streaming debounce (one-long ValueState per key) must emit
+    exactly the batch operator's kept rows when drained, and the 48 h
+    gap must genuinely drop some events."""
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+    from uw_mapreduce_spark.streaming.throttle import throttled_events
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {tuple(r) for r in throttled_events(batch).collect()}
+    assert 0 < len(expected) < batch.count()  # some kept, some dropped
+
+    out = throttled_events(stream_events(spark, sf_small))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("throttle_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from throttle_out").collect()}
+    assert got == expected
+
+
+def test_throttle_state_carries_across_batches(spark, tmp_path):
+    """last_kept must survive micro-batch boundaries: an event early in
+    batch 2 that is within gap of a KEPT event late in batch 1 must be
+    dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.streaming.throttle import throttled_events
+
+    gap = 3600 * 1_000_000  # 1 hour
+    rows = [
+        (1, "click", 1, "2024-01-01 10:00:00"),
+        (1, "click", 2, "2024-01-01 10:30:00"),   # dropped (30 min)
+        # --- batch boundary ---
+        (1, "click", 3, "2024-01-01 10:45:00"),   # dropped only if state carried
+        (1, "click", 4, "2024-01-01 11:30:00"),   # kept (90 min after #1)
+    ]
+
+    def frame(chunk):
+        return spark.createDataFrame(
+            chunk, "user_id long, event_type string, event_id long, ts_s string"
+        ).select(
+            "user_id", "event_type", "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        )
+
+    expected = {tuple(r) for r in throttled_events(frame(rows), gap=gap).collect()}
+    assert {r[2] for r in expected} == {1, 4}
+
+    src = tmp_path / "throttle_src"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:2], rows[2:]]):
+        d = str(src / f"b{i}")
+        frame(chunk).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, event_id long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        throttled_events(stream, gap=gap)
+        .writeStream.format("memory")
+        .queryName("throttle2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from throttle2_out").collect()}
+    assert got == expected

@@ -59,3 +59,26 @@ def test_mixture_sample_hits_target_proportions(spark, sf_small):
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
         r.doc_id for r in again.select("doc_id").collect()
     )
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    """α=0.5 smoothing must upsample the rare group RELATIVE to its
+    natural share: kept-share(rare)/corpus-share(rare) > 1 >
+    kept-share(big)/corpus-share(big)."""
+    from uw_mapreduce_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [(i + 10_000, "rare") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    kept = temperature_mixture_sample(df, "g", 300, "doc_id")
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # targets: r_big=30, r_rare=10, S=40 -> quota big ~225, rare ~75.
+    # Natural shares are 90%/10%; smoothed draw must lift rare's share
+    # well above 10% of the sample.
+    share_rare = counts["rare"] / (counts["big"] + counts["rare"])
+    assert share_rare > 0.15
+    # determinism: same call twice -> identical kept set
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in temperature_mixture_sample(df, "g", 300, "doc_id").collect()}
+    assert a == b

@@ -229,3 +229,52 @@ def mixture_sample(
         )
         .drop("__mix_t__", "__mix_ng__")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    id_col: str,
+) -> DataFrame:
+    """Exponent-smoothed (α = 0.5, "temperature") mixture sampling —
+    the multilingual-corpus rebalancing rule of mBERT/XLM-R: group g's
+    target share is proportional to ``n_g^0.5`` instead of ``n_g``, so
+    rare languages are upsampled RELATIVE to their natural share
+    without hand-written targets (contrast `mixture_sample`, which
+    takes explicit permille targets).
+
+    Fully deterministic and value-hash oracle-able despite the
+    fractional exponent: ``r_g = floor(sqrt(n_g))`` is one
+    correctly-rounded IEEE sqrt + floor (bit-identical across
+    engines), and the keep decision is then the same portable integer
+    md5 coin as the other samplers —
+
+        u32 · n_g · S  <  total · r_g · 2³²,   S = Σ_h r_h
+
+    computed in DECIMAL(38,0) on both sides so it never wraps; keep
+    probability per row = total·r_g/(S·n_g), i.e. group g receives
+    ~total·r_g/S rows (capped at n_g when the quota exceeds the
+    group).  Group counts are one map-side-combined aggregate joined
+    back via broadcast — no corpus reshuffle; the filter is codegen
+    over the scan."""
+    dec = "decimal(38,0)"
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__tm_ng__"))
+    counts = counts.withColumn(
+        "__tm_rg__", F.floor(F.sqrt(F.col("__tm_ng__"))).cast("long")
+    )
+    s = counts.agg(F.sum("__tm_rg__").alias("__tm_s__"))
+    u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(s))
+        .where(
+            u32.cast(dec) * F.col("__tm_ng__").cast(dec) * F.col("__tm_s__").cast(dec)
+            < F.lit(int(total)).cast(dec)
+            * F.col("__tm_rg__").cast(dec)
+            * F.lit(1 << 32).cast(dec)
+        )
+        .drop("__tm_ng__", "__tm_rg__", "__tm_s__")
+    )

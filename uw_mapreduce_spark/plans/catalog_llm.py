@@ -2341,3 +2341,36 @@ def standardize_embeddings_face(spark, sf_dir):
     return out.select("vec_id", F.posexplode("z").alias("pos", "z")).select(
         "vec_id", F.col("pos").cast("long").alias("pos"), "z"
     )
+
+
+_TEMPERATURE_SQL = r"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS rg
+  FROM documents GROUP BY lang
+),
+s AS (SELECT CAST(SUM(rg) AS BIGINT) AS s FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN c ON d.lang = c.lang
+CROSS JOIN s
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)::HUGEINT
+      * c.ng * s.s < 200::HUGEINT * c.rg * 4294967296::HUGEINT
+"""
+
+
+@query("temperature_mixture_documents", _TEMPERATURE_SQL)
+def temperature_mixture_documents(spark, sf_dir):
+    """α = 0.5 exponent-smoothed corpus mixing
+    (`operators/sampling.temperature_mixture_sample`): group targets
+    ∝ √n_g — the mBERT/XLM-R multilingual rebalancing rule, needing no
+    hand-written target table (contrast `mixture_sample_documents`).
+    floor(sqrt(n)) is the single correctly-rounded IEEE step, the rest
+    is the portable integer md5 coin in DECIMAL(38,0)/HUGEINT — a
+    temperature SAMPLER with a full value-hash oracle."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(docs, "lang", 200, "doc_id").select(
+        "doc_id", "lang"
+    )

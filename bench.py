@@ -131,6 +131,17 @@ SF1_QUERIES = [
     "semantic_dedup_manifest",
     "semantic_dedup_fast_manifest",
     "ivf_pq_recall_gate",
+    # round-7 second half: 10x datapoints for the session's new operator
+    # families — sequential keyed kernels (debounce), full-outer
+    # reconciliation, iterative BFS, integer-exact vector preprocessing
+    # (classifier + standardizer), N-step funnel, sqrt-share mixing.
+    "debounce_events",
+    "table_diff_orders",
+    "bfs_hops_purchase_graph",
+    "centroid_classifier_embeddings",
+    "standardize_embeddings",
+    "funnel_four_step_windowed",
+    "temperature_mixture_documents",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -473,3 +473,25 @@ def test_bfs_hops_respects_max_and_disconnected(spark):
     seeds = spark.createDataFrame([(1,)], "v long")
     got = {r["v"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond max_hops, 10/11 disconnected
+
+
+def test_grouped_weighted_median_exact(spark):
+    from uw_mapreduce_spark.operators.rank import grouped_weighted_median
+
+    # group A: values 1(w1), 2(w1), 3(w10) -> W=12, half=6 -> median 3
+    # group B: values 1(w5), 2(w5)        -> W=10, 2*cw(1)=10 >= 10 -> lower median 1
+    rows = [("A", 1, 1), ("A", 2, 1), ("A", 3, 10), ("B", 1, 5), ("B", 2, 5)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r["g"]: r["wmedian"] for r in grouped_weighted_median(df, ["g"], "v", "w").collect()}
+    assert got == {"A": 3, "B": 1}
+
+
+def test_grouped_weighted_median_matches_unweighted_when_w1(spark):
+    import statistics
+
+    from uw_mapreduce_spark.operators.rank import grouped_weighted_median
+
+    vals = [7, 1, 9, 3, 5]
+    df = spark.createDataFrame([("g", v, 1) for v in vals], "g string, v long, w long")
+    got = grouped_weighted_median(df, ["g"], "v", "w").collect()[0]["wmedian"]
+    assert got == statistics.median_low(vals)

@@ -104,3 +104,41 @@ def global_rank_scalable(
     if rank_col != "rank":
         out = out.withColumnRenamed("rank", rank_col)
     return out
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value v whose
+    cumulative weight reaches half the group's total —
+    min{v : 2·Σ_{u≤v} w(u) ≥ W}.  Deterministic for integer weights
+    (no interpolation, no tie ambiguity: weights aggregate per
+    DISTINCT value before the scan).
+
+    Scale shape: the cumulative scan runs over the per-group VALUE
+    HISTOGRAM (one hash aggregate on (group, value) with map-side
+    partials), not the raw rows — the same "shuffle the vocabulary,
+    not the corpus" argument as the token histogram.  The per-group
+    window is bounded by the value domain's cardinality, so it stays
+    a histogram-sized sort even at 100 TB; for unbounded-domain
+    values, quantize first (the repo-wide integer-grid discipline).
+    """
+    from pyspark.sql import Window
+
+    h = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col)).alias("_w")
+    )
+    wc = Window.partitionBy(*group_cols).orderBy(value_col)
+    wt = Window.partitionBy(*group_cols)
+    c = h.withColumn("_cw", F.sum("_w").over(wc)).withColumn(
+        "_tw", F.sum("_w").over(wt)
+    )
+    return (
+        c.where(F.lit(2) * F.col("_cw") >= F.col("_tw"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_col))
+    )

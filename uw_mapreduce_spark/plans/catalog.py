@@ -3793,3 +3793,45 @@ def funnel_four_step_windowed(spark, sf_dir):
         ["signup", "view", "click", "purchase"],
         within=7 * 24 * 3600 * 1_000_000,
     )
+
+
+_WMEDIAN_SQL = r"""
+WITH h AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity) AS BIGINT) AS qty,
+         SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT l_returnflag, l_linestatus, qty, w,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY qty) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tw
+  FROM h
+)
+SELECT l_returnflag, l_linestatus, CAST(MIN(qty) AS BIGINT) AS wmedian_qty
+FROM c WHERE 2 * cw >= tw GROUP BY 1, 2
+"""
+
+
+@query("weighted_median_qty_lineitem", _WMEDIAN_SQL)
+def weighted_median_qty_lineitem(spark, sf_dir):
+    """Revenue-weighted median order quantity per (returnflag,
+    linestatus) — "the quantity level at which half the revenue sits",
+    the robust center a pricing analyst actually wants
+    (`operators/rank.grouped_weighted_median`).  The cumulative scan
+    runs over the ~50-row quantity HISTOGRAM per group (map-side
+    partial aggregate), never the corpus — histogram-bounded windows,
+    scale-safe at 100×."""
+    from ..operators.rank import grouped_weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("price_c"),
+    )
+    out = grouped_weighted_median(
+        li, ["l_returnflag", "l_linestatus"], "qty", "price_c", out_col="wmedian_qty"
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", F.col("wmedian_qty").cast("long").alias("wmedian_qty")
+    )

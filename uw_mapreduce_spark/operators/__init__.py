@@ -1,6 +1,6 @@
 from .anomaly import rolling_zscore_anomalies
 from .bpe import bpe_encode, bpe_train
-from .diff import table_diff
+from .diff import diff_summary, table_diff, table_diff_columns
 from .intervals import coalesce_intervals
 from .lm import bigram_lm_scores
 from .graph import triangle_counts, pagerank
@@ -72,6 +72,8 @@ __all__ = [
     "sliding_aggregate",
     "sliding_aggregate_scalable",
     "table_diff",
+    "table_diff_columns",
+    "diff_summary",
     "triangle_counts",
     "sort_within_partitions",
     "total_sort",

@@ -1,22 +1,23 @@
-"""Table diff / reconciliation: compare two keyed snapshots.
+"""Keyed table diff / reconciliation.
 
-The data-reconciliation primitive behind migration sign-off ("does the
-new pipeline produce the same table?"), CDC validation, and vendor-feed
-audits: a key-aligned comparison of two frames classifying every key as
-``added`` (right only), ``removed`` (left only), ``changed`` (present
-in both, at least one compared column differs) or ``unchanged``, with
-null-safe per-column change flags.
+The migration-validation primitive: given two snapshots of a keyed
+table (old pipeline vs new pipeline, yesterday vs today, source vs
+replicated), classify every key as added / removed / changed /
+unchanged.  This engine uses it on itself — rewrite a 100 TB table
+with a new layout, then diff against the source to prove content
+identity before the swap.
 
-Scale shape (100 TB): ONE full-outer sort-merge join on the key
-columns — both sides shuffle exactly once on the same key, which is the
-minimum possible data motion for a full reconciliation; the per-column
-comparison is a map-side projection over the joined rows and the
-summary is a map-side partial aggregate over a handful of status
-strings.  No collects, no windows.
+Two tiers, same ONE-full-outer-join plan (both sides shuffle once on
+the key — the minimum data motion a full reconciliation admits; zero
+times if both are bucketed on the key):
 
-Reference parity: the reference engine has no multi-table surface;
-this extends its join/aggregation categories (SURVEY.md §2.2) with the
-reconciliation workload an operational lakehouse needs.
+* `table_diff` — value comparison rides the join as an md5 digest
+  over the canonicalized compare columns, so wide rows compare by ONE
+  string instead of column-by-column: the cheap screening pass.
+* `table_diff_columns` — null-safe per-column change flags
+  (`changed_<col>`) for the drill-down pass: WHICH column drifted;
+  `diff_summary` rolls it into the fixed-size status + per-column
+  artifact a reconciliation dashboard stores.
 """
 
 from __future__ import annotations
@@ -24,21 +25,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_diff", "diff_summary"]
+__all__ = ["table_diff", "table_diff_columns", "diff_summary"]
 
 
-def table_diff(
+def _row_digest(cols: list[str]):
+    """Order-stable digest of the compare columns.  NULL is encoded
+    distinctly from the string 'NULL' and from empty (field markers
+    survive concat), so NULL vs '' vs absent all differ."""
+    parts = []
+    for c in cols:
+        parts.append(F.lit(f"\x01{c}\x02"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+    return F.md5(F.concat(*parts))
+
+
+def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+               compare_cols: list[str] | None = None,
+               status_col: str = "diff_status") -> DataFrame:
+    """Classify keys across two snapshots.
+
+    Returns one row per key present in either side: key columns +
+    ``status_col`` in {'added', 'removed', 'changed', 'unchanged'}.
+    ``compare_cols`` defaults to all shared non-key columns."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(*key_cols, _row_digest(compare_cols).alias("_od"))
+    n = new.select(*key_cols, _row_digest(compare_cols).alias("_nd"))
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias(status_col))
+
+
+def table_diff_columns(
     left: DataFrame,
     right: DataFrame,
     keys: list[str],
     compare_cols: list[str],
 ) -> DataFrame:
-    """Row-level diff: (keys..., status, changed_<col>... , l_<col>/r_<col>...).
+    """Column-attributed diff: (keys..., diff_status, changed_<col>...,
+    l_<col>/r_<col>...).
 
-    ``status`` ∈ added / removed / changed / unchanged.  Column
-    comparison is null-safe (`eqNullSafe`): NULL == NULL counts as
-    unchanged, NULL vs value counts as changed.  Key columns must be
-    unique per side (snapshot semantics)."""
+    Column comparison is null-safe (`eqNullSafe`): NULL == NULL counts
+    as unchanged, NULL vs value counts as changed.  Key columns must
+    be unique per side (snapshot semantics).  Use `table_diff` when
+    only the classification is needed — its digest compare moves one
+    string per row instead of every compared column."""
     l = left.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"l_{c}") for c in compare_cols],
@@ -50,10 +87,6 @@ def table_diff(
         F.lit(True).alias("_in_r"),
     )
     j = l.join(r, on=keys, how="full_outer")
-    changed_flags = [
-        (~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}"))).alias(f"changed_{c}")
-        for c in compare_cols
-    ]
     any_changed = None
     for c in compare_cols:
         flag = ~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}"))
@@ -64,22 +97,22 @@ def table_diff(
         .when(any_changed, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    out = j.withColumn("status", status)
+    out = j.withColumn("diff_status", status)
     for c in compare_cols:
         out = out.withColumn(
             f"changed_{c}",
-            F.when(F.col("status") == "changed",
+            F.when(F.col("diff_status") == "changed",
                    ~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}"))).otherwise(F.lit(False)),
         )
     return out.drop("_in_l", "_in_r")
 
 
 def diff_summary(diff: DataFrame, compare_cols: list[str]) -> DataFrame:
-    """Audit rollup of a `table_diff` frame: one row per status plus
-    one ``col:<name>`` row per compared column counting keys where that
-    specific column changed — the fixed-size artifact a reconciliation
-    dashboard stores, independent of table size."""
-    by_status = diff.groupBy(F.col("status").alias("bucket")).agg(
+    """Audit rollup of a `table_diff_columns` frame: one row per status
+    plus one ``col:<name>`` row per compared column counting keys where
+    that specific column changed — the fixed-size artifact a
+    reconciliation dashboard stores, independent of table size."""
+    by_status = diff.groupBy(F.col("diff_status").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
     per_col = [

@@ -3659,15 +3659,17 @@ SELECT 'col:o_orderstatus', CAST(count(*) AS BIGINT) FROM st WHERE status = 'cha
 
 @query("table_diff_orders", _TABLE_DIFF_SQL)
 def table_diff_orders(spark, sf_dir):
-    """Snapshot reconciliation (`operators/diff.table_diff` +
-    `diff_summary`): orders vs a deterministically-perturbed second
-    snapshot (keys %97 removed, %101 re-landed under new keys, price
-    +7 c at %89, status flipped at %83) — the migration-sign-off /
-    CDC-validation audit.  Plan: ONE full-outer sort-merge join (both
-    sides shuffle once on the key — the minimum motion a full
-    reconciliation admits), null-safe per-column flags as a map
-    projection, fixed-size summary via map-side partials."""
-    from ..operators.diff import diff_summary, table_diff
+    """Column-attributed snapshot reconciliation
+    (`operators/diff.table_diff_columns` + `diff_summary`): orders vs
+    a deterministically-perturbed second snapshot (keys %97 removed,
+    %101 re-landed under new keys, price +7 c at %89, status flipped
+    at %83) — the migration-sign-off drill-down that names WHICH
+    column drifted, complementing `table_diff_events`'s digest
+    screening pass.  Plan: ONE full-outer sort-merge join (both sides
+    shuffle once on the key — the minimum motion a full reconciliation
+    admits), null-safe per-column flags as a map projection,
+    fixed-size summary via map-side partials."""
+    from ..operators.diff import diff_summary, table_diff_columns
 
     base = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
@@ -3688,7 +3690,7 @@ def table_diff_orders(spark, sf_dir):
             )
         )
     )
-    d = table_diff(base, right, ["k"], ["price_c", "st"])
+    d = table_diff_columns(base, right, ["k"], ["price_c", "st"])
     out = diff_summary(d, ["price_c", "st"])
     # summary bucket labels carry the operator's column names; map the
     # generic ones onto the oracle's business names
@@ -3834,4 +3836,53 @@ def weighted_median_qty_lineitem(spark, sf_dir):
     )
     return out.select(
         "l_returnflag", "l_linestatus", F.col("wmedian_qty").cast("long").alias("wmedian_qty")
+    )
+
+
+_SESSION_CAP_SQL = r"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+chain AS (
+  SELECT user_id, event_id, ts_us, rn,
+         ts_us AS anchor, ts_us AS prev_ts, CAST(1 AS BIGINT) AS session_seq
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.ts_us, s.rn,
+         CASE WHEN s.ts_us - c.prev_ts > 86400000000
+                OR s.ts_us - c.anchor > 259200000000
+              THEN s.ts_us ELSE c.anchor END,
+         s.ts_us,
+         c.session_seq + CASE WHEN s.ts_us - c.prev_ts > 86400000000
+                                OR s.ts_us - c.anchor > 259200000000
+                              THEN 1 ELSE 0 END
+  FROM seq s JOIN chain c ON s.user_id = c.user_id AND s.rn = c.rn + 1
+)
+SELECT user_id, event_id, ts_us, session_seq FROM chain
+"""
+
+
+@query("sessionize_capped_events", _SESSION_CAP_SQL)
+def sessionize_capped_events(spark, sf_dir):
+    """Gap + duration-cap sessionization
+    (`operators/sessions.sessionize_capped`): 24 h inactivity gap AND
+    a 72 h maximum session duration — the cap rule real stacks add so
+    never-pausing streams can't grow unbounded sessions.  The cap
+    makes the split greedy-sequential (anchor resets depend on earlier
+    splits), so it runs as the debounce-style Arrow per-key pass and
+    is value-hash oracled by a recursive-CTE replay of the two-long
+    state machine."""
+    from ..operators.sessions import sessionize_capped
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return sessionize_capped(
+        ev, ["user_id"], "ts_us",
+        gap=24 * 3600 * 1_000_000, max_dur=72 * 3600 * 1_000_000,
+        tiebreak=["event_id"],
     )

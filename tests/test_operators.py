@@ -495,3 +495,28 @@ def test_grouped_weighted_median_matches_unweighted_when_w1(spark):
     df = spark.createDataFrame([("g", v, 1) for v in vals], "g string, v long, w long")
     got = grouped_weighted_median(df, ["g"], "v", "w").collect()[0]["wmedian"]
     assert got == statistics.median_low(vals)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from uw_mapreduce_spark.operators.graph import pagerank, personalized_pagerank
+
+    # two disconnected stars; seeds only in the first
+    edges = [(1, 10), (1, 11), (2, 20), (2, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "v long")
+    ppr = {r["v"]: r["rank_micro"] for r in personalized_pagerank(df, seeds).collect()}
+    # the un-seeded component receives ZERO mass (teleport never lands there)
+    assert ppr[2] == 0 and ppr[20] == 0 and ppr[21] == 0
+    assert ppr[1] > 0 and ppr[10] > 0
+    # global pagerank by contrast gives the second star mass too
+    gpr = {r["v"]: r["rank_micro"] for r in pagerank(df).collect()}
+    assert gpr[2] > 0
+
+
+def test_personalized_pagerank_empty_seeds_all_zero(spark):
+    from uw_mapreduce_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([], "v long")
+    out = {r["v"]: r["rank_micro"] for r in personalized_pagerank(df, seeds).collect()}
+    assert out == {1: 0, 2: 0}

@@ -3886,3 +3886,67 @@ def sessionize_capped_events(spark, sf_dir):
         gap=24 * 3600 * 1_000_000, max_dur=72 * 3600 * 1_000_000,
         tiebreak=["event_id"],
     )
+
+
+def _ppr_oracle(iterations: int = 5) -> str:
+    """Unrolled-CTE twin of `operators/graph.personalized_pagerank`
+    over the purchase graph with the %100-sampled seed customers (the
+    `bfs_hops_purchase_graph` seed set) — same technique as
+    `_pagerank_oracle`, with the uniform base replaced by the seed
+    indicator column."""
+    parts = [
+        r"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + 10000000 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+verts AS (SELECT u AS v FROM e UNION SELECT v FROM e),
+od AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+ed AS (SELECT e.u, e.v, outdeg FROM e JOIN od USING (u)),
+seeds AS (SELECT DISTINCT u AS v FROM e WHERE u % 100 = 0),
+bconst AS (SELECT 1000000 // count(*) AS b FROM seeds),
+base AS (
+  SELECT verts.v,
+         CAST(CASE WHEN s.v IS NOT NULL THEN b ELSE 0 END AS BIGINT) AS bs
+  FROM verts CROSS JOIN bconst LEFT JOIN seeds s ON s.v = verts.v
+),
+r0 AS (SELECT v, bs AS rank_micro FROM base)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT base.v,
+         CAST((150 * bs + 850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank_micro
+  FROM base
+  LEFT JOIN (SELECT ed.v, SUM(rank_micro // outdeg) AS s
+             FROM ed JOIN r{i - 1} r ON r.v = ed.u GROUP BY ed.v) c
+    ON c.v = base.v
+)"""
+        )
+    return "".join(parts) + f"\nSELECT v, rank_micro FROM r{iterations}"
+
+
+@query("personalized_pagerank_purchases", _ppr_oracle(5))
+def personalized_pagerank_purchases(spark, sf_dir):
+    """Personalized PageRank (`operators/graph.personalized_pagerank`,
+    5 rounds, d=0.85) from the %100-sampled seed customers — influence
+    scores relative to the same seed set whose blast radius
+    `bfs_hops_purchase_graph` maps; together they are the
+    hops-vs-weighted-exposure pair a fraud team actually runs.  Exact
+    integer micro-units; oracle unrolls the identical update rule per
+    iteration."""
+    from ..operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = edges.where(F.col("src") % 100 == 0).select(F.col("src").alias("v"))
+    return personalized_pagerank(edges, seeds, iterations=5)

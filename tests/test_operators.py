@@ -520,3 +520,16 @@ def test_personalized_pagerank_empty_seeds_all_zero(spark):
     seeds = spark.createDataFrame([], "v long")
     out = {r["v"]: r["rank_micro"] for r in personalized_pagerank(df, seeds).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def test_ab_ztest_degenerate_guard_and_sign(spark, sf_small):
+    """The z-test face must return a finite z (degenerate pooled
+    variance -> 0.0 by contract), with counts consistent."""
+    from uw_mapreduce_spark.plans.catalog import QUERIES
+
+    r = QUERIES["ab_test_ztest_events"](spark, sf_small).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0 <= r["conv_a"] <= r["n_a"] and 0 <= r["conv_b"] <= r["n_b"]
+    import math
+
+    assert math.isfinite(r["z"])

@@ -3950,3 +3950,106 @@ def personalized_pagerank_purchases(spark, sf_dir):
     )
     seeds = edges.where(F.col("src") % 100 == 0).select(F.col("src").alias("v"))
     return personalized_pagerank(edges, seeds, iterations=5)
+
+
+def _ab_test_oracle() -> str:
+    from ..operators.split import hash_split_sql
+
+    arm = hash_split_sql("user_id", [("A", 500), ("B", 500)], salt="exp1")
+    return f"""
+WITH users AS (
+  SELECT user_id, {arm} AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS conv_a,
+    SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS conv_b
+  FROM users
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+       ELSE
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(
+           (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+         ) END AS z
+FROM agg
+"""
+
+
+@query("ab_test_ztest_events", _ab_test_oracle())
+def ab_test_ztest_events(spark, sf_dir):
+    """Experimentation analytics: users deterministically assigned to
+    arms A/B by the portable md5 permille (`operators/split.hash_split`
+    — the assignment a real experiment platform needs: stable under
+    reruns and resharding), conversion = heavy purchaser (>=14
+    purchases — binary on the count so both arms carry
+    non-converters), then the
+    two-proportion pooled z-test computed from exact integer counts
+    with one fixed IEEE expression tree (divisions, one sqrt — every
+    step correctly rounded, so even the z statistic value-hash
+    matches).  Plan: one user-keyed aggregate, one 1-row summary —
+    map-side partials end to end; the oracle's CASE is GENERATED from
+    the same split list so the engines cannot drift."""
+    from ..operators.split import hash_split
+
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        hash_split(
+            ev.select("user_id", "event_type"), "user_id",
+            [("A", 500), ("B", 500)], salt="exp1", split_col="arm",
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+                )
+                >= 14,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("converted")
+        )
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        (pa - pb)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        z.alias("z"),
+    )

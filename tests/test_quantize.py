@@ -83,3 +83,20 @@ def test_standardize_zero_variance_dim_is_zero(spark):
     out = {r["vec_id"]: list(r["z"]) for r in standardize_embeddings(df).collect()}
     assert all(v[0] == 0.0 for v in out.values())      # constant dim -> 0
     assert out[0][1] < 0.0 < out[2][1]                  # varying dim ordered
+
+
+def test_percentile_rank_face_properties(spark, sf_small):
+    """Per dimension: permille ranks are a permutation-invariant
+    rescaling — min 0, max = 1000*(N-1)//N, monotone in the value."""
+    from uw_mapreduce_spark.plans.catalog import QUERIES
+
+    out = QUERIES["percentile_rank_embeddings"](spark, sf_small)
+    rows = out.collect()
+    n = len({r["vec_id"] for r in rows})
+    per_pos = {}
+    for r in rows:
+        per_pos.setdefault(r["pos"], []).append(r["pr_permille"])
+    for pos, prs in per_pos.items():
+        assert min(prs) == 0
+        assert max(prs) == (1000 * (n - 1)) // n
+        assert len(prs) == n

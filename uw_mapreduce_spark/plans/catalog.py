@@ -4053,3 +4053,63 @@ def ab_test_ztest_events(spark, sf_dir):
         F.col("conv_b").cast("long").alias("conv_b"),
         z.alias("z"),
     )
+
+
+_TWAP_SQL = r"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_u,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS t_next
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         SUM(CAST(v_u AS HUGEINT) * (t_next - t)) AS num,
+         SUM(t_next - t) AS dur
+  FROM seq WHERE t_next IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(dur AS BIGINT) AS span_us,
+       CAST(num // dur AS BIGINT) AS twap_u
+FROM agg
+"""
+
+
+@query("twap_value_per_user", _TWAP_SQL)
+def twap_value_per_user(spark, sf_dir):
+    """Time-weighted average (TWAP) of each user's value series — the
+    finance/IoT mean for IRREGULARLY sampled observations, where the
+    arithmetic mean over-weights bursts: each value is held until the
+    next observation and weighted by its holding time, Σv_i·Δt_i / ΣΔt_i.
+
+    Exactness at scale: value quantizes to micro-units BEFORE the
+    products; v_u·Δt reaches ~10²¹ on month-long holds, past int64, so
+    the numerator accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) and
+    the final division is integer DIV — no float ever enters.  One
+    key-partitioned lead window + one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_u"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    agg = seq.groupBy("user_id").agg(
+        F.sum(
+            F.col("v_u").cast("decimal(38,0)")
+            * (F.col("t_next") - F.col("t")).cast("decimal(38,0)")
+        ).alias("num"),
+        F.sum(F.col("t_next") - F.col("t")).alias("dur"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("dur").cast("long").alias("span_us"),
+        F.expr("CAST(num DIV dur AS BIGINT)").alias("twap_u"),
+    )

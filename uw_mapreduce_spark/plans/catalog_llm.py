@@ -2374,3 +2374,59 @@ def temperature_mixture_documents(spark, sf_dir):
     return temperature_mixture_sample(docs, "lang", 200, "doc_id").select(
         "doc_id", "lang"
     )
+
+
+_PCTRANK_SQL = r"""
+WITH flat0 AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q
+  FROM flat0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT vec_id, pos,
+       CAST(((row_number() OVER (PARTITION BY pos ORDER BY q, vec_id) - 1) * 1000)
+            // n AS BIGINT) AS pr_permille
+FROM flat CROSS JOIN n
+"""
+
+
+@query("percentile_rank_embeddings", _PCTRANK_SQL)
+def percentile_rank_embeddings(spark, sf_dir):
+    """Rank-based (quantile) feature normalization: each embedding
+    component mapped to its within-dimension percentile rank in
+    permille — the robust, outlier-immune alternative to the z-score
+    face (`standardize_embeddings`), and the transform behind quantile
+    sketch features.
+
+    Scale path: NOT 64 unpartitioned windows.  The (pos, q, vec_id)
+    composite order is ranked once by `rank.global_rank_scalable`
+    (range exchange + P-row offsets — O(n/P) per task), and the
+    within-dimension rank falls out arithmetically: every vector has
+    exactly one row per dimension, so rank_within(pos) =
+    global_rank − pos·N with a 1-row broadcast N.  The oracle computes
+    the same integer with a plain partitioned row_number."""
+    from ..operators.rank import global_rank_scalable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long")
+    )
+    flat = emb.select("vec_id", F.posexplode(q).alias("pos", "q")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "q"
+    )
+    ranked = global_rank_scalable(flat, ["pos", "q", "vec_id"], "_r")
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "vec_id", "pos",
+            F.expr("CAST(((_r - pos * _n) * 1000) DIV _n AS BIGINT)").alias(
+                "pr_permille"
+            ),
+        )
+    )

@@ -61,6 +61,15 @@ HEADLINE = [
     "attribution_linear_events",
     "funnel_triples_events",
     "quality_rules_documents",
+    # round-7 additions: one representative per new family — the
+    # sequential-kernel Arrow pass (debounce), the full-outer
+    # reconciliation, the iterative frontier walk (BFS), the map-only
+    # vector classifier, and the N-step funnel.
+    "debounce_events",
+    "table_diff_orders",
+    "bfs_hops_purchase_graph",
+    "centroid_classifier_embeddings",
+    "funnel_four_step_windowed",
 ]
 
 
@@ -142,6 +151,12 @@ SF1_QUERIES = [
     "standardize_embeddings",
     "funnel_four_step_windowed",
     "temperature_mixture_documents",
+    "sessionize_capped_events",
+    "personalized_pagerank_purchases",
+    "ab_test_ztest_events",
+    "twap_value_per_user",
+    "percentile_rank_embeddings",
+    "weighted_median_qty_lineitem",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

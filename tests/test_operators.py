@@ -533,3 +533,27 @@ def test_ab_ztest_degenerate_guard_and_sign(spark, sf_small):
     import math
 
     assert math.isfinite(r["z"])
+
+
+def test_pareto_frontier_matches_quadratic_model(spark):
+    import random
+
+    from uw_mapreduce_spark.operators.skyline import pareto_frontier
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(100), rng.randrange(100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"] for r in pareto_frontier(df, "x", "y").collect()}
+    want = {
+        i for i, x, y in rows
+        if all(not (x2 < x and y2 >= y) for _, x2, y2 in rows)
+    }
+    assert got == want
+
+
+def test_pareto_frontier_min_x_rows_always_survive(spark):
+    from uw_mapreduce_spark.operators.skyline import pareto_frontier
+
+    df = spark.createDataFrame([(1, 5, 0), (2, 5, 99), (3, 9, 100)], "id long, x long, y long")
+    got = {r["id"] for r in pareto_frontier(df, "x", "y").collect()}
+    assert got == {1, 2, 3}  # both min-x rows vacuously survive; y=100 beats best_below=99

@@ -1,0 +1,52 @@
+"""2-D Pareto frontier (skyline): rows not dominated on a
+(minimize x, maximize y) trade-off — "cheapest part at every size
+level", the product-search / portfolio primitive.
+
+Semantics (fixed, mirrored by the oracle): a row survives iff
+
+    y  >  max{ y' : x' < x }        (vacuously true for the min-x rows)
+
+i.e. strictly cheaper rows must all be strictly worse on y.  This is
+the standard sort-scan skyline for two dimensions.
+
+Scale shape: the classic formulation is a running max over the global
+x order — an unpartitioned window, one task at 100 TB.  Instead the
+prefix max runs over the X VALUE HISTOGRAM: max(y) per distinct x
+(one hash aggregate with map-side partials), cumulative max over the
+histogram (bounded by the value domain — prices on a cent grid, sizes
+on an integer grid — not by corpus size), then a broadcast-join back
+and a map-side filter.  The same "shuffle the vocabulary, not the
+corpus" argument as `grouped_weighted_median`; for genuinely
+continuous x, quantize first (the repo-wide integer-grid discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pareto_frontier"]
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Rows with ``y > max(y)`` over all strictly-smaller ``x``.
+
+    Both columns must be integer-comparable (quantize doubles first).
+    Returns the input rows unchanged (the survivors)."""
+    h = df.groupBy(x_col).agg(F.max(y_col).alias("_ymax"))
+    w = (
+        Window.orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = h.withColumn("_best_below", F.max("_ymax").over(w)).select(
+        x_col, "_best_below"
+    )
+    return (
+        df.join(F.broadcast(cum), x_col)
+        .where(F.col("_best_below").isNull() | (F.col(y_col) > F.col("_best_below")))
+        .drop("_best_below")
+    )

@@ -4113,3 +4113,42 @@ def twap_value_per_user(spark, sf_dir):
         F.col("dur").cast("long").alias("span_us"),
         F.expr("CAST(num DIV dur AS BIGINT)").alias("twap_u"),
     )
+
+
+_SKYLINE_SQL = r"""
+WITH p AS (
+  SELECT p_partkey, CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS sz
+  FROM part
+),
+h AS (SELECT price_c, MAX(sz) AS ymax FROM p GROUP BY price_c),
+c AS (
+  SELECT price_c,
+         MAX(ymax) OVER (ORDER BY price_c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_below
+  FROM h
+)
+SELECT p.p_partkey, p.price_c, p.sz
+FROM p JOIN c ON p.price_c = c.price_c
+WHERE best_below IS NULL OR p.sz > best_below
+"""
+
+
+@query("pareto_parts_price_size", _SKYLINE_SQL)
+def pareto_parts_price_size(spark, sf_dir):
+    """2-D skyline (`operators/skyline.pareto_frontier`): parts not
+    dominated on (cheaper price, larger size) — every strictly cheaper
+    part is strictly smaller.  The running max runs over the PRICE
+    HISTOGRAM (cent-grid bounded), not the part table: one hash
+    aggregate, a domain-bounded cumulative window, broadcast-join
+    back, map-side filter — the scalable form of the classic
+    sort-scan skyline."""
+    from ..operators.skyline import pareto_frontier
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    return pareto_frontier(p, "price_c", "sz")

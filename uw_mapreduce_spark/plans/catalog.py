@@ -4152,3 +4152,65 @@ def pareto_parts_price_size(spark, sf_dir):
         F.col("p_size").cast("long").alias("sz"),
     )
     return pareto_frontier(p, "price_c", "sz")
+
+
+_NESTED_SQL = r"""
+WITH x AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(floor(l_quantity) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, floor(l_quantity), floor(l_extendedprice * 100.0)
+         ) AS rn
+  FROM lineitem
+),
+agg AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(SUM(price_c) AS BIGINT) AS revenue_c,
+         CAST(MAX(price_c) AS BIGINT) AS max_price_c
+  FROM x GROUP BY l_orderkey
+)
+SELECT agg.l_orderkey, n_lines, revenue_c, f.qty AS first_qty, max_price_c
+FROM agg JOIN x f ON f.l_orderkey = agg.l_orderkey AND f.rn = 1
+"""
+
+
+@query("nested_order_lines", _NESTED_SQL)
+def nested_order_lines(spark, sf_dir):
+    """Nested-type competency: orders denormalized to an
+    array<struct> of their lines (collect_list + array_sort on the
+    line number), then EVERY output metric computed INSIDE the array
+    domain with Catalyst higher-order functions — size, an
+    F.aggregate fold for revenue, element_at(...).field for the first
+    line, array_max over a transform — the document-model processing
+    shape (one JSON order document per row); the first line is
+    defined on the FULLY tie-broken (ln, qty, price) struct order
+    because the synthetic line numbers repeat — exactly the order
+    array_sort imposes on the struct executed JVM-side with no
+    explode round-trip and no Python.  The oracle pins the same
+    numbers via flat SQL aggregation, proving the nested pipeline
+    loses nothing.  One shuffle (the groupBy); every metric after it
+    is map-only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        ).alias("line"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("line")).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.aggregate(
+            F.col("lines"), F.lit(0).cast("long"), lambda acc, x: acc + x["price_c"]
+        ).alias("revenue_c"),
+        F.element_at(F.col("lines"), 1)["qty"].alias("first_qty"),
+        F.array_max(F.transform(F.col("lines"), lambda x: x["price_c"])).alias(
+            "max_price_c"
+        ),
+    )

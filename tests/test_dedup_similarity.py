@@ -371,3 +371,31 @@ def test_ann_index_save_load_round_trip(spark, sf_small, tmp_path):
     # Deterministic training -> the persisted index reproduces the
     # in-place build's results exactly.
     assert reused == fresh and len(fresh) > 0
+
+
+def test_snm_candidates_are_exactly_n_times_w_minus_tail(spark):
+    """SNM candidate count is linear by construction: each rank pairs
+    with its next w neighbors, so total = n*w - (w + ... + 1) tail."""
+    from uw_mapreduce_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"name{i:03d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    w = 3
+    cand = sorted_neighborhood_pairs(df, "k", "id", window=w)
+    assert cand.count() == 20 * w - (1 + 2 + 3)
+    # adjacency in sort order: name000 pairs with 001,002,003 only
+    nbrs = {r["key_b"] for r in cand.collect() if r["key_a"] == "name000"}
+    assert nbrs == {"name001", "name002", "name003"}
+
+
+def test_snm_catches_cross_block_typo(spark):
+    """The case token blocking misses: a typo in the FIRST token.
+    'aqua zircon' vs 'aqha zircon' share no first token but sort
+    adjacently."""
+    from uw_mapreduce_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(1, "aqha zircon"), (2, "aqua zircon"), (3, "zzz other")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    cand = sorted_neighborhood_pairs(df, "k", "id", window=1)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs  # adjacent despite different first tokens

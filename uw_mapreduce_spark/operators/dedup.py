@@ -674,3 +674,52 @@ def ppjoin_pairs(
         "doc_a", "doc_b", "jaccard_permille"
     )
     return materialize_and_release(out)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted Neighborhood Method (SNM) candidate generation: rank all
+    rows by the sort key and pair every row with its next ``window``
+    neighbors in that order — the THIRD classic dedup blocking family
+    beside token blocking (`fuzzy_part_name_pairs`) and LSH banding
+    (`minhash_lsh_pairs`).  SNM's strength is typo-tolerant locality:
+    near-duplicates with different first tokens (which token blocking
+    separates) usually still sort adjacently.
+
+    Candidate count is EXACTLY n·window — linear by construction, no
+    skew possible (contrast Σ|block|² blocking, which degrades on hot
+    blocks).
+
+    Scale shape: the rank is `rank.global_rank_scalable` (range
+    exchange + P-row offsets — no single-partition sort), and each of
+    the ``window`` neighbor joins is a 1:1 shifted-rank equi-join —
+    the reference's own O12 bounded-replication idiom
+    (SlidingAggregation.java:433-536) reused for record linkage.
+
+    Returns (id_a, key_a, id_b, key_b, delta) candidates; callers
+    append their verify predicate (edit distance etc.)."""
+    from .rank import global_rank_scalable
+
+    ranked = global_rank_scalable(
+        df.select(F.col(id_col), F.col(key_col)), [key_col, id_col], "_snm_rank"
+    ).localCheckpoint(eager=True)
+    out = None
+    for delta in range(1, window + 1):
+        shifted = ranked.select(
+            (F.col("_snm_rank") - F.lit(delta)).alias("_snm_rank"),
+            F.col(id_col).alias("_id_b"),
+            F.col(key_col).alias("_key_b"),
+        )
+        p = ranked.join(shifted, "_snm_rank").select(
+            F.col(id_col).alias("id_a"),
+            F.col(key_col).alias("key_a"),
+            F.col("_id_b").alias("id_b"),
+            F.col("_key_b").alias("key_b"),
+            F.lit(delta).cast("long").alias("delta"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out

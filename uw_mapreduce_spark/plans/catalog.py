@@ -4214,3 +4214,40 @@ def nested_order_lines(spark, sf_dir):
             "max_price_c"
         ),
     )
+
+
+_SNM_SQL = r"""
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("snm_part_name_pairs", _SNM_SQL)
+def snm_part_name_pairs(spark, sf_dir):
+    """Sorted-Neighborhood dedup
+    (`operators/dedup.sorted_neighborhood_pairs`, w=3): part-name
+    pairs adjacent in the global name sort within edit distance 2 —
+    the linear-candidate (exactly n·w, skew-proof) blocking family
+    beside token blocks and LSH bands.  Rank via the scalable
+    two-pass path; neighbors via w shifted-rank 1:1 equi-joins; the
+    banded levenshtein(·,·,2) verify early-exits."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = sorted_neighborhood_pairs(part, "p_name", "p_partkey", window=3)
+    return (
+        cand.withColumn("dist", F.expr("levenshtein(key_a, key_b, 2)").cast("long"))
+        .where(F.col("dist") >= 0)
+        .select(
+            F.col("id_a").alias("key_a"),
+            F.col("id_b").alias("key_b"),
+            "dist",
+        )
+    )

@@ -4251,3 +4251,81 @@ def snm_part_name_pairs(spark, sf_dir):
             "dist",
         )
     )
+
+
+_BASKET_SQL = r"""
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+),
+nb AS (SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n FROM b),
+supp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY event_type),
+pair AS (
+  SELECT x.event_type AS item_a, y.event_type AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS s_ab
+  FROM b x JOIN b y
+    ON x.user_id = y.user_id AND x.day = y.day AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, sa.s AS supp_a, sb.s AS supp_b, s_ab AS supp_ab,
+       CAST((s_ab::HUGEINT * nb.n * 1000) // (sa.s::HUGEINT * sb.s) AS BIGINT)
+         AS lift_permille
+FROM pair
+JOIN supp sa ON sa.event_type = item_a
+JOIN supp sb ON sb.event_type = item_b
+CROSS JOIN nb
+"""
+
+
+@query("basket_lift_event_types", _BASKET_SQL)
+def basket_lift_event_types(spark, sf_dir):
+    """Market-basket association rules over (user, day) baskets:
+    support per event type, pair support, and lift in permille —
+    lift = P(ab)/(P(a)·P(b)) as the integer cross-multiply
+    (s_ab·N·1000) DIV (s_a·s_b), computed in DECIMAL(38,0)/HUGEINT so
+    basket counts at corpus scale cannot wrap.  Plan: one distinct
+    (the basket-item table, map-side partial), a self-join keyed on
+    the basket id for pair support — items-per-basket is bounded by
+    the type vocabulary so the fan-out is |basket|·k², never
+    quadratic in baskets — and two broadcast joins of the
+    vocabulary-sized support table."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    supp = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    x, y = b.alias("x"), b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("item_a"),
+            F.col("y.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
+    )
+    sa = supp.select(F.col("event_type").alias("item_a"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("event_type").alias("item_b"), F.col("s").alias("supp_b"))
+    dec = "decimal(38,0)"
+    return (
+        pair.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a", "item_b", "supp_a", "supp_b",
+            F.col("s_ab").alias("supp_ab"),
+            F.floor(
+                (F.col("s_ab").cast(dec) * F.col("n").cast(dec) * F.lit(1000).cast(dec))
+                / (F.col("supp_a").cast(dec) * F.col("supp_b").cast(dec))
+            )
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )

@@ -557,3 +557,26 @@ def test_pareto_frontier_min_x_rows_always_survive(spark):
     df = spark.createDataFrame([(1, 5, 0), (2, 5, 99), (3, 9, 100)], "id long, x long, y long")
     got = {r["id"] for r in pareto_frontier(df, "x", "y").collect()}
     assert got == {1, 2, 3}  # both min-x rows vacuously survive; y=100 beats best_below=99
+
+
+def test_gap_fill_interpolate_exact_lerp(spark):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.operators.resample import gap_fill_interpolate
+
+    # key 1: obs at hour 0 (v=100) and hour 4 (v=500) -> hours 1..3
+    # interpolate 200/300/400; descending key 2: 1000 -> 400 over 3 hours.
+    rows = [
+        (1, 0, 100), (1, 4 * 3600_000_000, 500),
+        (2, 0, 1000), (2, 3 * 3600_000_000, 400),
+    ]
+    df = spark.createDataFrame(rows, "k long, t_us long, v long").select(
+        "k", F.timestamp_micros(F.col("t_us")).alias("ts"), "v"
+    )
+    out = {
+        (r["k"], r["bucket"]): r["filled"]
+        for r in gap_fill_interpolate(df, ["k"], "ts", "v").collect()
+    }
+    assert out[(1, 1)] == 200 and out[(1, 2)] == 300 and out[(1, 3)] == 400
+    assert out[(2, 1)] == 800 and out[(2, 2)] == 600  # negative slope
+    assert out[(1, 0)] == 100 and out[(1, 4)] == 500  # observed kept

@@ -67,3 +67,71 @@ def gap_fill_locf(
     return joined.withColumn(
         "carried", F.last(F.col("_last_v"), ignorenulls=True).over(w_carry)
     ).drop("_last_v")
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_us: int = 3_600_000_000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Gap filling by LINEAR INTERPOLATION — the sibling of
+    `gap_fill_locf` for continuous signals (sensor readings, prices),
+    where carrying the last value forward biases downstream features:
+
+        v(b) = v_prev + (v_next − v_prev)·(b − b_prev) DIV (b_next − b_prev)
+
+    on empty buckets (observed buckets keep their own last-observation
+    value).  All integer arithmetic — both engines truncate integer
+    division toward zero, so negative slopes stay bit-identical.
+    Buckets interior to the series always have both anchors (the grid
+    spans first..last observation); the formula's anchors come from
+    two per-key ordered windows (last-non-null preceding /
+    first-non-null following) — key-partitioned, parallel, no global
+    sort.  Output: key_cols + [bucket_col, n_obs, filled]."""
+    keys = [F.col(c) for c in key_cols]
+    bucket = F.expr(f"unix_micros({ts_col}) DIV {int(step_us)}")
+    src = df.withColumn(bucket_col, bucket)
+    w_in = Window.partitionBy(*keys, bucket_col).orderBy(
+        F.col(ts_col).desc(), F.col(value_col).desc()
+    )
+    obs = (
+        src.withColumn("_rn", F.row_number().over(w_in))
+        .groupBy(*keys, bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(F.when(F.col("_rn") == 1, F.col(value_col))).alias("_v"),
+        )
+    )
+    bounds = src.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    grid = bounds.select(
+        *keys, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(bucket_col)
+    )
+    joined = grid.join(obs, [*key_cols, bucket_col], "left").withColumn(
+        "n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+    )
+    w_prev = Window.partitionBy(*keys).orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy(*keys).orderBy(bucket_col).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    tagged = (
+        joined
+        .withColumn("_vb", F.when(F.col("n_obs") > 0, F.col(bucket_col)))
+        .withColumn("_pv", F.last("_v", ignorenulls=True).over(w_prev))
+        .withColumn("_pb", F.last("_vb", ignorenulls=True).over(w_prev))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(w_next))
+        .withColumn("_nb", F.first("_vb", ignorenulls=True).over(w_next))
+    )
+    filled = F.when(F.col("n_obs") > 0, F.col("_v")).otherwise(
+        F.col("_pv")
+        + F.expr(f"((_nv - _pv) * ({bucket_col} - _pb)) DIV (_nb - _pb)")
+    )
+    return tagged.withColumn("filled", filled.cast("long")).drop(
+        "_v", "_vb", "_pv", "_pb", "_nv", "_nb"
+    )

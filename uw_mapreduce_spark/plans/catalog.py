@@ -4329,3 +4329,60 @@ def basket_lift_event_types(spark, sf_dir):
             .alias("lift_permille"),
         )
     )
+
+
+_INTERP_SQL = r"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, ts,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events WHERE user_id < 50
+),
+obs AS (
+  SELECT user_id, bucket, count(*) AS n_obs,
+         max(CASE WHEN rn = 1 THEN value_u END) AS v
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY ts DESC, value_u DESC) AS rn
+        FROM src)
+  GROUP BY user_id, bucket
+),
+bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM src GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+j AS (SELECT g.user_id, g.bucket, COALESCE(o.n_obs, 0) AS n_obs, o.v,
+             CASE WHEN o.n_obs > 0 THEN g.bucket END AS vb
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket),
+a AS (
+  SELECT user_id, bucket, n_obs, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(vb IGNORE NULLS) OVER wp AS pb,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(vb IGNORE NULLS) OVER wn AS nb
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket, n_obs,
+       CAST(CASE WHEN n_obs > 0 THEN v
+                 ELSE pv + ((nv - pv) * (bucket - pb)) // (nb - pb) END
+            AS BIGINT) AS filled
+FROM a
+"""
+
+
+@query("gap_fill_interp_user_hours", _INTERP_SQL)
+def gap_fill_interp_user_hours(spark, sf_dir):
+    """Gap filling by linear interpolation
+    (`operators/resample.gap_fill_interpolate`): per user, one row per
+    hour from first to last observation; empty hours take the integer
+    lerp between the surrounding observations — the continuous-signal
+    sibling of `gap_fill_user_hours`' LOCF.  Both engines truncate
+    integer division toward zero, so negative slopes hash identically.
+    Same by-key three-stage plan; the two anchor windows are
+    key-partitioned."""
+    from ..operators.resample import gap_fill_interpolate
+
+    ev = events_u(spark, sf_dir).where(F.col("user_id") < 50)
+    return gap_fill_interpolate(ev, ["user_id"], "ts", "value_u").select(
+        "user_id", "bucket", "n_obs", "filled"
+    )

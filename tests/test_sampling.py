@@ -82,3 +82,17 @@ def test_temperature_mixture_flattens_shares(spark):
     a = {r["doc_id"] for r in kept.collect()}
     b = {r["doc_id"] for r in temperature_mixture_sample(df, "g", 300, "doc_id").collect()}
     assert a == b
+
+
+def test_systematic_sample_even_spread_and_determinism(spark):
+    from uw_mapreduce_spark.operators.sampling import systematic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    kept = sorted(r["v"] for r in systematic_sample(df, ["v"], 10).collect())
+    assert kept == list(range(0, 100, 10))
+    off = sorted(r["v"] for r in systematic_sample(df, ["v"], 10, offset=3).collect())
+    assert off == list(range(3, 100, 10))
+    again = sorted(
+        r["v"] for r in systematic_sample(df.repartition(7), ["v"], 10).collect()
+    )
+    assert again == kept  # partitioning-invariant

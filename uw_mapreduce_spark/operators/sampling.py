@@ -278,3 +278,31 @@ def temperature_mixture_sample(
         )
         .drop("__tm_ng__", "__tm_rg__", "__tm_s__")
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_by: list[str],
+    every_k: int,
+    offset: int = 0,
+) -> DataFrame:
+    """Systematic (every k-th) sampling over a total order — the
+    survey-methodology sampler: deterministic, evenly spread across
+    the ordered population (a time-ordered corpus yields a sample
+    uniform IN TIME, which Bernoulli draws only approximate), and
+    fully value-hash oracle-able since membership is a pure function
+    of rank.
+
+    Keeps rows whose 0-based global rank ≡ offset (mod every_k).  The
+    rank is `rank.global_rank_scalable` — range exchange + P-row
+    offsets, no single-partition sort — and the modulo keep is a
+    map-side filter, so the plan is one range exchange end to end."""
+    from .rank import global_rank_scalable
+
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    ranked = global_rank_scalable(df, order_by, "__sys_rank")
+    return (
+        ranked.where(F.col("__sys_rank") % every_k == offset % every_k)
+        .drop("__sys_rank")
+    )

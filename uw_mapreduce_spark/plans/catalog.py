@@ -4386,3 +4386,31 @@ def gap_fill_interp_user_hours(spark, sf_dir):
     return gap_fill_interpolate(ev, ["user_id"], "ts", "value_u").select(
         "user_id", "bucket", "n_obs", "filled"
     )
+
+
+_SYSTEMATIC_SQL = r"""
+SELECT event_id, user_id
+FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rnk
+  FROM events
+)
+WHERE rnk % 200 = 0
+"""
+
+
+@query("systematic_sample_events", _SYSTEMATIC_SQL)
+def systematic_sample_events(spark, sf_dir):
+    """Systematic every-200th sampling over the time order
+    (`operators/sampling.systematic_sample`) — deterministic,
+    uniform-in-time, and value-hash oracled, unlike the RNG Bernoulli
+    face (O4).  Scalable rank + map-side modulo filter: one range
+    exchange total."""
+    from ..operators.sampling import systematic_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return systematic_sample(ev, ["ts_us", "event_id"], every_k=200).select(
+        "event_id", "user_id"
+    )

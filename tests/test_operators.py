@@ -580,3 +580,31 @@ def test_gap_fill_interpolate_exact_lerp(spark):
     assert out[(1, 1)] == 200 and out[(1, 2)] == 300 and out[(1, 3)] == 400
     assert out[(2, 1)] == 800 and out[(2, 2)] == 600  # negative slope
     assert out[(1, 0)] == 100 and out[(1, 4)] == 500  # observed kept
+
+
+def test_grouped_quantiles_exact_order_statistics(spark):
+    import math
+
+    from uw_mapreduce_spark.operators.rank import grouped_quantiles
+
+    vals = [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]  # 1..10
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    got = {
+        r["q_permille"]: r["value"]
+        for r in grouped_quantiles(df, ["g"], "v", [100, 500, 900, 1000]).collect()
+    }
+    # lower quantile = sorted[ceil(q*n/1000)] 1-indexed
+    s = sorted(vals)
+    for q in (100, 500, 900, 1000):
+        assert got[q] == s[math.ceil(q * len(s) / 1000) - 1], q
+
+
+def test_grouped_quantiles_duplicate_heavy(spark):
+    from uw_mapreduce_spark.operators.rank import grouped_quantiles
+
+    df = spark.createDataFrame([("g", 1)] * 9 + [("g", 100)], "g string, v long")
+    got = {
+        r["q_permille"]: r["value"]
+        for r in grouped_quantiles(df, ["g"], "v", [500, 950]).collect()
+    }
+    assert got[500] == 1 and got[950] == 100

@@ -142,3 +142,43 @@ def grouped_weighted_median(
         .groupBy(*group_cols)
         .agg(F.min(value_col).alias(out_col))
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles_permille: list[int],
+) -> DataFrame:
+    """Exact lower quantiles per group, several at once: for each q in
+    ``quantiles_permille``, the smallest value whose cumulative count
+    reaches ⌈q·n/1000⌉ — the P25/P50/P75/P90 summary block of every
+    monitoring dashboard, computed EXACTLY (no interpolation, so
+    integer in → integer out and engines agree bit-for-bit).
+
+    Same scale shape as `grouped_weighted_median`: one hash aggregate
+    to the per-group VALUE HISTOGRAM (map-side partials), a
+    histogram-bounded cumulative window, then one min per (group, q) —
+    the corpus shuffles once into vocabulary-sized buckets, never
+    sorts globally.  Output: group_cols + [q_permille, value]."""
+    h = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wc = Window.partitionBy(*group_cols).orderBy(value_col)
+    wt = Window.partitionBy(*group_cols)
+    c = h.withColumn("_cum", F.sum("_c").over(wc)).withColumn(
+        "_n", F.sum("_c").over(wt)
+    )
+    qdf = None
+    for q in quantiles_permille:
+        # ⌈n·q/1000⌉ in pure int64: (n·q + 999) DIV 1000 — no double
+        # division whose rounding could flip the ceiling at scale.
+        need = F.expr(f"(_n * {int(q)} + 999) DIV 1000")
+        hit = (
+            c.where(F.col("_cum") >= need)
+            .groupBy(*group_cols)
+            .agg(F.min(value_col).alias("value"))
+            .withColumn("q_permille", F.lit(int(q)).cast("long"))
+        )
+        qdf = hit if qdf is None else qdf.unionByName(hit)
+    return qdf.select(*group_cols, "q_permille", "value")

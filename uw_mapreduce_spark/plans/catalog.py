@@ -4414,3 +4414,42 @@ def systematic_sample_events(spark, sf_dir):
     return systematic_sample(ev, ["ts_us", "event_id"], every_k=200).select(
         "event_id", "user_id"
     )
+
+
+_GROUPED_Q_SQL = r"""
+WITH h AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS v_u,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v_u, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v_u) AS cu,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+qs AS (SELECT unnest([250, 500, 750, 900]) AS q)
+SELECT event_type, CAST(q AS BIGINT) AS q_permille,
+       CAST(MIN(v_u) AS BIGINT) AS value
+FROM cum CROSS JOIN qs
+WHERE cu >= (n * q + 999) // 1000
+GROUP BY event_type, q
+"""
+
+
+@query("grouped_quantiles_events", _GROUPED_Q_SQL)
+def grouped_quantiles_events(spark, sf_dir):
+    """Exact P25/P50/P75/P90 of the value distribution per event type
+    (`operators/rank.grouped_quantiles`): the dashboard quantile block
+    with EXACT lower-quantile semantics — ⌈n·q/1000⌉ computed in pure
+    int64, the cumulative scan over the per-group value HISTOGRAM
+    (micro-unit grid), never a per-group sort of the corpus."""
+    from ..operators.rank import grouped_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_u"),
+    )
+    return grouped_quantiles(ev, ["event_type"], "v_u", [250, 500, 750, 900]).select(
+        "event_type", "q_permille", F.col("value").cast("long").alias("value")
+    )

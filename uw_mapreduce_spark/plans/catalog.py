@@ -4453,3 +4453,67 @@ def grouped_quantiles_events(spark, sf_dir):
     return grouped_quantiles(ev, ["event_type"], "v_u", [250, 500, 750, 900]).select(
         "event_type", "q_permille", F.col("value").cast("long").alias("value")
     )
+
+
+_CHI2_SQL = r"""
+WITH o AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+ct AS (SELECT dow, SUM(obs) AS c FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS n FROM o)
+SELECT o.event_type, o.dow, obs,
+       CAST(floor(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS expected_micro,
+       CAST(floor(
+         (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+       ) AS BIGINT) AS contrib_micro
+FROM o
+JOIN rt ON rt.event_type = o.event_type
+JOIN ct ON ct.dow = o.dow
+CROSS JOIN n
+"""
+
+
+@query("chi2_type_dow_events", _CHI2_SQL)
+def chi2_type_dow_events(spark, sf_dir):
+    """χ² independence audit of event type vs day-of-week: per-cell
+    observed count, expected count and (o−e)²/e contribution — the
+    contingency-table screen behind "is traffic mix stable across the
+    week".  Day-of-week is pure integer (epoch-days mod 7 — immune to
+    engine dow-numbering conventions); per-cell doubles come from ONE
+    fixed IEEE expression tree and land as floor(x·10⁶) integers, so
+    the total χ² is an ORDER-INDEPENDENT integer sum downstream (a
+    global double sum would be reduction-order-sensitive — the reason
+    this face emits cells, not the scalar).  Vocabulary-sized
+    everything after one count aggregate; the margins broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        ev.select(
+            "event_type",
+            (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+             % 7).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    d = F.col("obs").cast("double") - e
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type", "dow", "obs",
+            F.floor(e * F.lit(1_000_000.0)).cast("long").alias("expected_micro"),
+            F.floor(d * d / e * F.lit(1_000_000.0)).cast("long").alias("contrib_micro"),
+        )
+    )

@@ -14,10 +14,14 @@ arithmetic on O(1) state per key, so the whole fold is deterministic
 and a DuckDB recursive CTE can replay it exactly — this operator has a
 full value-hash oracle despite being sequential.
 
-Scale shape (100 TB): one hash shuffle on the key columns, then an
-Arrow-batched `applyInPandas` whose per-group work is a single O(n)
-pass over a numpy int64 array.  Per-key event counts are bounded (a
-user's events, a sensor's readings), so no group outgrows a task; the
+Scale shape (100 TB): ONE hash repartition on the key columns + an
+in-partition secondary sort (keys, ts, tiebreak), then a partition-
+level Arrow `mapInPandas` pass — one Python invocation per PARTITION,
+not per key (a per-group `applyInPandas` pays ~1 ms of Arrow/pandas
+overhead per key — measured 11 s for 7.5 k keys at sf0.1, vs a single
+O(rows) scan per partition here).  Group boundaries and the
+last-kept state carry across Arrow record batches, so batch splitting
+inside a group is transparent.  Per-key event counts are bounded, the
 output adds one boolean column and never reshuffles.
 
 Reference parity: extends the reference's per-partition sequential
@@ -26,6 +30,8 @@ greedy state, which its fixed-window model cannot express.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 
@@ -53,20 +59,29 @@ def debounce(
     schema = input schema + ``out_col`` boolean; row set unchanged, so
     downstream can either filter kept rows or audit the drop rate.
     """
-    order = [ts_col] + list(tiebreak or [])
+    order = list(keys) + [ts_col] + list(tiebreak or [])
     schema = StructType(df.schema.fields + [StructField(out_col, BooleanType())])
+    parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(c) for c in order]
+    )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        ts = pdf[ts_col].to_numpy()
-        kept = [False] * len(ts)
-        last = None
-        for i, t in enumerate(ts):
-            t = int(t)
-            if last is None or t - last >= gap:
-                kept[i] = True
-                last = t
-        pdf[out_col] = kept
-        return pdf
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_key = None
+        last: int | None = None
+        for pdf in batches:
+            ts = pdf[ts_col].to_numpy()
+            key_cols = [pdf[k].to_numpy() for k in keys]
+            kept = [False] * len(ts)
+            for i in range(len(ts)):
+                kt = tuple(c[i] for c in key_cols)
+                if kt != prev_key:
+                    prev_key = kt
+                    last = None
+                t = int(ts[i])
+                if last is None or t - last >= gap:
+                    kept[i] = True
+                    last = t
+            pdf[out_col] = kept
+            yield pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(kernel, schema)
+    return parted.mapInPandas(scan, schema)

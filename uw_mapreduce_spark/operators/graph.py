@@ -332,3 +332,50 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal induced
+    subgraph in which every vertex keeps degree ≥ k — the standard
+    "dense cohesive cluster" extractor (fraud rings, community
+    nuclei), computed by iterative peeling: drop every vertex whose
+    degree within the CURRENT survivor set is < k, recompute, repeat
+    to fixpoint.
+
+    Returns (v, core_deg) for surviving vertices, core_deg = degree
+    inside the k-core.  Raises if not converged in ``max_iter`` peels
+    (each peel strictly shrinks the vertex set, so convergence is
+    certain; the bound guards runaway SQL-twin drift).
+
+    Plan per round: induced-degree = the checkpointed edge list
+    semi-joined to the survivor set on BOTH endpoints, one aggregate,
+    one filter — all keyed shuffles; O(1) driver data per round (the
+    convergence count), the `connected_components` discipline."""
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = both.select(F.col("a").alias("v")).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            both.join(cur.withColumnRenamed("v", "a"), "a")
+            .join(cur.withColumnRenamed("v", "b"), "b")
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        nxt = deg.where(F.col("core_deg") >= k).localCheckpoint(eager=True)
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt.select("v").localCheckpoint(eager=True)
+        if n_nxt == n_cur:
+            return nxt.select("v", F.col("core_deg").cast("long").alias("core_deg"))
+        if n_nxt == 0:
+            return nxt.select("v", F.col("core_deg").cast("long").alias("core_deg"))
+    raise RuntimeError(f"k_core did not converge within {max_iter} peels")

@@ -18,11 +18,16 @@ The cap is what real analytics stacks add on top of gap sessions
 (bot/kiosk streams that never pause would otherwise produce unbounded
 sessions — memory poison for any downstream per-session aggregate).
 
-Scale: one hash shuffle on the key, Arrow-batched per-key O(n) pass,
-bounded per-key cardinality — the debounce scale argument verbatim.
+Scale: one hash repartition on the key + in-partition secondary sort,
+then a partition-level Arrow `mapInPandas` scan — one Python call per
+PARTITION (the per-group `applyInPandas` alternative pays ~1 ms of
+Arrow overhead per key; see `operators/debounce.py`).  Group and
+session state carry across Arrow record batches.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 
@@ -46,23 +51,33 @@ def sessionize_capped(
 
     ``ts_col`` integer event time; ``gap`` and ``max_dur`` in the same
     unit.  Output schema = input + ``out_col`` (long)."""
-    order = [ts_col] + list(tiebreak or [])
+    order = list(keys) + [ts_col] + list(tiebreak or [])
     schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+    parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(c) for c in order]
+    )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        ts = pdf[ts_col].to_numpy()
-        seq = [0] * len(ts)
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_key = None
         sid = 0
         prev = anchor = None
-        for i, t in enumerate(ts):
-            t = int(t)
-            if prev is None or t - prev > gap or t - anchor > max_dur:
-                sid += 1
-                anchor = t
-            prev = t
-            seq[i] = sid
-        pdf[out_col] = seq
-        return pdf
+        for pdf in batches:
+            ts = pdf[ts_col].to_numpy()
+            key_cols = [pdf[k].to_numpy() for k in keys]
+            seq = [0] * len(ts)
+            for i in range(len(ts)):
+                kt = tuple(c[i] for c in key_cols)
+                if kt != prev_key:
+                    prev_key = kt
+                    sid = 0
+                    prev = anchor = None
+                t = int(ts[i])
+                if prev is None or t - prev > gap or t - anchor > max_dur:
+                    sid += 1
+                    anchor = t
+                prev = t
+                seq[i] = sid
+            pdf[out_col] = seq
+            yield pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(kernel, schema)
+    return parted.mapInPandas(scan, schema)

@@ -4517,3 +4517,59 @@ def chi2_type_dow_events(spark, sf_dir):
             F.floor(d * d / e * F.lit(1_000_000.0)).cast("long").alias("contrib_micro"),
         )
     )
+
+
+def _kcore_oracle(k: int, rounds: int = 12) -> str:
+    """Unrolled peeling twin of `operators/graph.k_core` (the
+    `_pagerank_oracle` technique): each CTE keeps vertices with
+    induced degree >= k in the previous round's set (MATERIALIZED — each round references its predecessor twice, so DuckDB's default inlining would expand 2^rounds copies of the scan).  Peeling is
+    idempotent at the fixpoint, so over-unrolling past convergence is
+    a no-op and the last CTE IS the k-core."""
+    parts = [
+        r"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+),
+v0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+v{i} AS MATERIALIZED (
+  SELECT e.a AS v, CAST(count(*) AS BIGINT) AS d
+  FROM edges e
+  JOIN v{i - 1} x ON x.v = e.a
+  JOIN v{i - 1} y ON y.v = e.b
+  GROUP BY e.a HAVING count(*) >= {k}
+)"""
+        )
+    return "".join(parts) + f"\nSELECT v, d AS core_deg FROM v{rounds}"
+
+
+@query("kcore_purchase_graph", _kcore_oracle(46))
+def kcore_purchase_graph(spark, sf_dir):
+    """46-core of the customer↔supplier purchase graph
+    (`operators/graph.k_core`): the dense nucleus where every member
+    keeps ≥46 in-core neighbors — the cohesion extractor completing
+    the graph family (CC, triangles, PageRank ×2, BFS).  Iterative
+    peel, keyed shuffles only, O(1) driver data per round; oracle
+    unrolls 12 idempotent peel CTEs."""
+    from ..operators.graph import k_core
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=46, max_iter=12)

@@ -608,3 +608,37 @@ def test_grouped_quantiles_duplicate_heavy(spark):
         for r in grouped_quantiles(df, ["g"], "v", [500, 950]).collect()
     }
     assert got[500] == 1 and got[950] == 100
+
+
+def test_k_core_matches_python_peeling(spark):
+    import random
+    from collections import Counter
+
+    from uw_mapreduce_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(30), 30 + rng.randrange(30)) for _ in range(300)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    k = 5
+    got = {(r["v"], r["core_deg"]) for r in k_core(df, k=k).collect()}
+
+    und = edges + [(b, a) for a, b in edges]
+    cur = {a for a, _ in und}
+    while True:
+        deg = Counter()
+        for a, b in und:
+            if a in cur and b in cur:
+                deg[a] += 1
+        nxt = {v for v in cur if deg[v] >= k}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {(v, deg[v]) for v in cur}
+    assert got == want
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    from uw_mapreduce_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_core(df, k=10).count() == 0

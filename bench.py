@@ -157,6 +157,10 @@ SF1_QUERIES = [
     "twap_value_per_user",
     "percentile_rank_embeddings",
     "weighted_median_qty_lineitem",
+    "snm_part_name_pairs",
+    "kcore_purchase_graph",
+    "nested_order_lines",
+    "gap_fill_interp_user_hours",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

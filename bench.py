@@ -180,7 +180,11 @@ BENCH_NOTES = (
     "2.54->1.58 s, bloom_semi_join 3.06->2.96 s. fuzzy_part_name_pairs "
     "42->5.8 s via distinct-name verify. semantic_dedup sf1 32 s is the "
     "EXACT quadratic anchor (semantic_dedup_fast_manifest is the LSH "
-    "scale path); ivf_pq_recall_gate sf1 includes its brute-force truth."
+    "scale path); ivf_pq_recall_gate sf1 includes its brute-force truth. "
+    "Second half: 17 new faces benched (13 with sf1 datapoints, all "
+    "~linear); debounce/sessionize kernels moved from per-group "
+    "applyInPandas (~1 ms Arrow overhead per key; 11.2 s at sf0.1) to "
+    "partition-level mapInPandas with cross-batch state carry (~1 s warm)."
 )
 
 

@@ -4573,3 +4573,68 @@ def kcore_purchase_graph(spark, sf_dir):
         .distinct()
     )
     return k_core(edges, k=46, max_iter=12)
+
+
+_SEASONAL_SQL = r"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_u
+  FROM events
+),
+m AS (
+  SELECT event_type, hr, COUNT(*) AS n, SUM(v_u) AS s, SUM(v_u * v_u) AS ss
+  FROM v GROUP BY 1, 2
+)
+SELECT v.event_id, v.event_type, v.hr, v.v_u,
+       CAST(s // n AS BIGINT) AS baseline_u
+FROM v JOIN m ON v.event_type = m.event_type AND v.hr = m.hr
+WHERE n * ss - s * s > 0
+  AND CAST(ABS(v.v_u * n - s) AS DOUBLE)
+      > 3.0 * sqrt(CAST(n * ss - s * s AS DOUBLE))
+"""
+
+
+@query("seasonal_anomaly_events", _SEASONAL_SQL)
+def seasonal_anomaly_events(spark, sf_dir):
+    """Seasonal-baseline anomaly screen: events whose value deviates
+    more than 3σ from their OWN (event_type, hour-of-day) baseline —
+    the residual-vs-seasonal-profile test that catches "normal for 3am,
+    wild for 3pm" cases a global z-score misses.  Exact integer
+    moments per bucket (n, Σv, Σv² — map-side partials over a
+    24·|types| bucket table), the 3σ test as the cross-multiplied
+    integer-to-double compare |v·n − S| > 3·sqrt(n·SS − S²) — one
+    conversion and one sqrt per side, no mean/σ division, so both
+    engines agree bit-for-bit.  Baseline emitted as the exact integer
+    DIV mean.  Buckets broadcast back; the screen is a map-side
+    filter."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", "event_type",
+        F.hour(F.col("ts")).cast("long").alias("hr"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_u"),
+    )
+    dec = "decimal(38,0)"
+    m = v.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_u").alias("s"),
+        # v_u^2 ~ 2.4e17 and bucket sums of it (and s^2) blow past
+        # int64 — the moments accumulate in decimal(38,0) (DuckDB:
+        # HUGEINT), exactly like standardize_embeddings' SS.
+        F.sum(F.col("v_u").cast(dec) * F.col("v_u")).alias("ss"),
+    )
+    j = v.join(F.broadcast(m), ["event_type", "hr"])
+    rad = F.col("n").cast(dec) * F.col("ss") - F.col("s").cast(dec) * F.col("s").cast(dec)
+    return (
+        j.where(
+            (rad > 0)
+            & (
+                F.abs(F.col("v_u") * F.col("n") - F.col("s")).cast("double")
+                > F.lit(3.0) * F.sqrt(rad.cast("double"))
+            )
+        )
+        .select(
+            "event_id", "event_type", "hr", "v_u",
+            F.expr("CAST(s DIV n AS BIGINT)").alias("baseline_u"),
+        )
+    )

@@ -1,24 +1,31 @@
 from .anomaly import rolling_zscore_anomalies
+from .classify import label_centroid_sums, nearest_centroid_classify
+from .debounce import debounce
+from .funnel import funnel_steps
+from .sessions import sessionize_capped
+from .skyline import pareto_frontier
 from .bpe import bpe_encode, bpe_train
 from .diff import diff_summary, table_diff, table_diff_columns
 from .intervals import coalesce_intervals
 from .lm import bigram_lm_scores
-from .graph import triangle_counts, pagerank
-from .dedup import ppjoin_pairs
+from .graph import bfs_hops, k_core, pagerank, personalized_pagerank, triangle_counts
+from .dedup import ppjoin_pairs, sorted_neighborhood_pairs
 from .profile import profile_columns
 from .bloomjoin import bloom_build, bloom_prune, bloom_semi_join
 from .merge import apply_changelog, incremental_rollup, scd2_intervals
 from .packing import chunk_documents, deterministic_shuffle, pack_documents
 from .partitioning import range_partition, rebalance_by_rank, sort_within_partitions, total_sort
-from .rank import global_rank, global_rank_scalable
+from .rank import global_rank, global_rank_scalable, grouped_quantiles, grouped_weighted_median, ntile_scalable
 from .pq import ivf_pq_topk, pq_adc_topk, pq_encode, pq_train
-from .quantize import quantize_embeddings_int8, quantize_stats_int8
+from .quantize import quantize_embeddings_int8, quantize_stats_int8, standardize_embeddings
 from .sampling import (
     bernoulli_sample,
     equi_depth_borders,
     mixture_sample,
     order_statistic_bounds,
     pps_sample,
+    systematic_sample,
+    temperature_mixture_sample,
     winsorized_summary,
 )
 from .zorder import z_value, zorder_by, zorder_by_n
@@ -28,8 +35,26 @@ from .scale import sliding_aggregate_scalable
 from .similarity import load_ann_index, save_ann_index
 from .sketch import count_min_estimates
 from .split import hash_sample, hash_split
+from .resample import gap_fill_interpolate, gap_fill_locf
 
 __all__ = [
+    "bfs_hops",
+    "debounce",
+    "funnel_steps",
+    "gap_fill_interpolate",
+    "grouped_quantiles",
+    "grouped_weighted_median",
+    "k_core",
+    "label_centroid_sums",
+    "nearest_centroid_classify",
+    "ntile_scalable",
+    "pareto_frontier",
+    "personalized_pagerank",
+    "sessionize_capped",
+    "sorted_neighborhood_pairs",
+    "standardize_embeddings",
+    "systematic_sample",
+    "temperature_mixture_sample",
     "apply_changelog",
     "ivf_pq_topk",
     "mixture_sample",

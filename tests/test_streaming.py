@@ -923,3 +923,29 @@ def test_throttle_state_carries_across_batches(spark, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("select * from throttle2_out").collect()}
     assert got == expected
+
+
+def test_capped_sessionize_stream_converges_to_batch(spark, sf_small):
+    """Streaming capped sessionization (three longs of state) drained
+    over the full corpus must assign exactly the batch operator's
+    session numbers."""
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+    from uw_mapreduce_spark.streaming.throttle import sessionized_events
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {tuple(r) for r in sessionized_events(batch).collect()}
+    assert len(expected) == batch.count()
+    assert max(r[3] for r in expected) > 1  # the corpus really splits sessions
+
+    out = sessionized_events(stream_events(spark, sf_small))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from sess_out").collect()}
+    assert got == expected

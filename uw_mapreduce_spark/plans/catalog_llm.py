@@ -2430,3 +2430,73 @@ def percentile_rank_embeddings(spark, sf_dir):
             ),
         )
     )
+
+
+def _holdout_oracle() -> str:
+    from ..operators.split import hash_split_sql
+
+    arm = hash_split_sql("vec_id", [("train", 800), ("test", 200)], salt="cv")
+    return f"""
+WITH armed AS (SELECT *, {arm} AS arm FROM embeddings),
+flat0 AS (
+  SELECT vec_id, label, arm,
+         unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM armed
+),
+flat AS (
+  SELECT vec_id, label, arm, pos,
+         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM flat0
+),
+cent AS (SELECT label AS c_label, pos, SUM(c) AS s
+         FROM flat WHERE arm = 'train' GROUP BY label, pos),
+n2 AS (SELECT c_label, SUM(s * s) AS n2 FROM cent GROUP BY c_label),
+dots AS (
+  SELECT f.vec_id, f.label, c.c_label, SUM(f.c * c.s) AS d
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  WHERE f.arm = 'test'
+  GROUP BY f.vec_id, f.label, c.c_label
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.c_label,
+         CAST(d.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS score
+  FROM dots d JOIN n2 n ON d.c_label = n.c_label
+),
+best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+       CAST(c_label AS BIGINT) AS pred_label
+FROM best WHERE rn = 1
+"""
+
+
+@query("centroid_holdout_embeddings", _holdout_oracle())
+def centroid_holdout_embeddings(spark, sf_dir):
+    """HOLDOUT evaluation of the nearest-centroid classifier: the
+    80/20 split comes from the deterministic md5-permille
+    (`operators/split.hash_split` — rerun/reshard-stable, oracle CASE
+    generated from the same split list), centroids learn on the train
+    arm ONLY, and the test arm classifies against them
+    (`nearest_centroid_classify(centroids=...)`) — real generalization
+    accuracy, not resubstitution.  Same integer-grid exactness; same
+    L·dim-bounded learn shuffle + map-only scoring."""
+    from ..operators.classify import label_centroid_sums, nearest_centroid_classify
+    from ..operators.split import hash_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    armed = hash_split(
+        emb, "vec_id", [("train", 800), ("test", 200)], salt="cv", split_col="arm"
+    )
+    cents = label_centroid_sums(armed.where(F.col("arm") == "train"))
+    out = nearest_centroid_classify(
+        armed.where(F.col("arm") == "test"), centroids=cents
+    )
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("true_label"),
+        "pred_label",
+    )

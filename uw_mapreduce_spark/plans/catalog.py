@@ -4638,3 +4638,58 @@ def seasonal_anomaly_events(spark, sf_dir):
             F.expr("CAST(s DIV n AS BIGINT)").alias("baseline_u"),
         )
     )
+
+
+_RLE_SQL = r"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+runs AS (
+  SELECT user_id, event_type, t, event_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id) AS run_id
+  FROM seq
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       CAST(MIN(t) AS BIGINT) AS run_start_us,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM runs GROUP BY user_id, run_id, event_type
+"""
+
+
+@query("event_type_runs_events", _RLE_SQL)
+def event_type_runs_events(spark, sf_dir):
+    """Gaps-and-islands run-length encoding of each user's event-type
+    stream: consecutive identical types collapse to (run_id, type,
+    start, length) — the sequence-compression view behind "5 errors in
+    a row" alerting and session-behavior mining.  The change-flag +
+    running-sum island idiom entirely in keyed windows (one user
+    shuffle); distinct from `coalesce_intervals_events`, which islands
+    on TIME OVERLAP rather than value change."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t"), "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(1)
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = seq.withColumn("run_id", F.sum("brk").over(w2))
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("t").alias("run_start_us"),
+        F.count(F.lit(1)).alias("run_len"),
+    ).select(
+        "user_id", F.col("run_id").cast("long").alias("run_id"), "event_type",
+        F.col("run_start_us").cast("long").alias("run_start_us"),
+        F.col("run_len").cast("long").alias("run_len"),
+    )

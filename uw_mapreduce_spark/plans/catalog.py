@@ -4693,3 +4693,36 @@ def event_type_runs_events(spark, sf_dir):
         F.col("run_start_us").cast("long").alias("run_start_us"),
         F.col("run_len").cast("long").alias("run_len"),
     )
+
+
+_WINDOW_CD_SQL = r"""
+SELECT event_id, event_type,
+       CAST(COUNT(DISTINCT user_id) OVER (PARTITION BY event_type) AS BIGINT)
+         AS distinct_users_in_type
+FROM events
+"""
+
+
+@query("window_count_distinct_events", _WINDOW_CD_SQL)
+def window_count_distinct_events(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a partition — a window SQL surface Spark
+    does not support natively (ANALYSIS error: DISTINCT is not
+    implemented for window functions).  The engine supplies the
+    standard dense_rank identity instead:
+
+        count_distinct_over(p) = max(dense_rank) over p
+        (ranked by the counted column within the partition)
+
+    two stacked windows over ONE (event_type) shuffle — same
+    partitioning reused, no extra exchange — proving the engine covers
+    the semantics even where the built-in is missing.  DuckDB runs the
+    literal COUNT(DISTINCT ...) OVER as the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("user_id")
+    w_all = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id", "event_type",
+        F.max(F.dense_rank().over(w_rank)).over(w_all)
+        .cast("long")
+        .alias("distinct_users_in_type"),
+    )

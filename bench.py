@@ -161,6 +161,10 @@ SF1_QUERIES = [
     "kcore_purchase_graph",
     "nested_order_lines",
     "gap_fill_interp_user_hours",
+    "event_type_runs_events",
+    "window_count_distinct_events",
+    "basket_lift_event_types",
+    "seasonal_anomaly_events",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

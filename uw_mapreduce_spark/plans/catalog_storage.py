@@ -373,3 +373,66 @@ def bucketed_join_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "n_rows long, qty_sum_c long, exchange_free boolean"
     )
+
+
+_XML_SQL = rf"""
+WITH s AS (
+  SELECT doc_id, text, n_chars FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS rows_src,
+       CAST(count(*) AS BIGINT) AS rows_xml,
+       CAST(SUM({_MD5U32_SQL.format(x='doc_id')}) AS BIGINT) AS idhash_src,
+       CAST(SUM({_MD5U32_SQL.format(x='doc_id')}) AS BIGINT) AS idhash_xml,
+       CAST(SUM({_MD5U32_SQL.format(x='text')}) AS BIGINT) AS texthash_src,
+       CAST(SUM({_MD5U32_SQL.format(x='text')}) AS BIGINT) AS texthash_xml,
+       CAST(SUM(n_chars) AS BIGINT) AS charsum_xml
+FROM s
+"""
+
+
+@query("xml_roundtrip_audit", _XML_SQL)
+def xml_roundtrip_audit(spark, sf_dir):
+    """Spark 4's built-in XML source behind a driver row: land the
+    documents table as XML (rowTag/rootTag), read it back with an
+    EXPLICIT schema (no inference nondeterminism), and prove content
+    identity — row count, portable key hash, and a free-text document
+    hash (the column most exposed to entity-escaping bugs: the
+    round-trip must preserve `&`, `<`, quotes byte-exactly).  The
+    oracle pins xml-side ≡ src-side ≡ the parquet slice, so any codec
+    loss is a hash MISMATCH."""
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_xml_")
+    path = os.path.join(tmp, "t")
+    try:
+        (
+            src.write.format("xml")
+            .option("rootTag", "docs").option("rowTag", "doc")
+            .save(path)
+        )
+        back = (
+            spark.read.format("xml")
+            .schema("doc_id long, text string, n_chars long")
+            .option("rowTag", "doc")
+            .load(path)
+        )
+        a = src.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_md5u32(F.col("doc_id"))).cast("long").alias("idh"),
+            F.sum(_md5u32(F.col("text"))).cast("long").alias("ch"),
+        ).collect()[0]
+        b = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_md5u32(F.col("doc_id"))).cast("long").alias("idh"),
+            F.sum(_md5u32(F.col("text"))).cast("long").alias("ch"),
+            F.sum("n_chars").cast("long").alias("ps"),
+        ).collect()[0]
+        rows = [(a["n"], b["n"], a["idh"], b["idh"], a["ch"], b["ch"], b["ps"])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rows_src long, rows_xml long, idhash_src long, idhash_xml long, "
+        "texthash_src long, texthash_xml long, charsum_xml long",
+    )

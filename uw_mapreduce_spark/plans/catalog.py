@@ -4726,3 +4726,57 @@ def window_count_distinct_events(spark, sf_dir):
         .cast("long")
         .alias("distinct_users_in_type"),
     )
+
+
+_ACTIVITY_SQL = r"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(to_timestamp(t // 1000000) AS DATE)) AS BIGINT)
+         AS active_days,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_type
+FROM seq GROUP BY user_id
+"""
+
+
+@query("user_activity_profile", _ACTIVITY_SQL)
+def user_activity_profile(spark, sf_dir):
+    """Per-user activity feature block — the standard churn/LTV feature
+    engineering rollup: event count, distinct active days, lifetime
+    span, LONGEST inactivity gap (the churn-risk signal a plain span
+    misses), and first/last event type via ordered-selection
+    aggregates.  One keyed lag window + one aggregate on the same
+    user_id shuffle; all integers + min_by/max_by over the fully
+    tie-broken (ts, event_id) order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+            "gap"
+        ),
+    )
+    ordk = F.struct(F.col("t"), F.col("event_id"))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.timestamp_micros(F.col("t")).cast("date")).cast("long").alias(
+            "active_days"
+        ),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        F.min_by("event_type", ordk).alias("first_type"),
+        F.max_by("event_type", ordk).alias("last_type"),
+    )

@@ -399,3 +399,22 @@ def test_snm_catches_cross_block_typo(spark):
     cand = sorted_neighborhood_pairs(df, "k", "id", window=1)
     pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     assert (1, 2) in pairs  # adjacent despite different first tokens
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ~1000,
+    Jaccard far below threshold — the semantic the asymmetric
+    denominator exists for."""
+    from uw_mapreduce_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(120))
+    rows = [(1, short), (2, short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment_permille"] == 1000
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric similarity misses the inclusion

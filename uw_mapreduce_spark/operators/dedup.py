@@ -723,3 +723,51 @@ def sorted_neighborhood_pairs(
         )
         out = p if out is None else out.unionByName(p)
     return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by CONTAINMENT — |A∩B| / min(|A|, |B|) —
+    the asymmetric-length complement of `ngram_jaccard_pairs`: a
+    snippet quoted inside a much longer document scores ~1000 here but
+    near 0 on Jaccard (the union is dominated by the long side), so
+    this is the quotation / boilerplate-inclusion / version-subset
+    detector a dedup suite needs beside symmetric similarity.
+
+    Same inverted-index plan as Jaccard (shared-shingle pair join, cost
+    ∝ co-occurring pairs never |docs|²; optional `max_df` stop-shingle
+    prune), with the denominator swapped to the SMALLER side —
+    `least(n_a, n_b)` — and reported as integer floor(1000·C)."""
+    sh = _shingles(df, text_col, id_col, n)
+    sh = persist_scoped(sh, _SCOPE)
+    sh.count()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont = (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "containment_permille",
+            F.floor(
+                F.lit(1000.0) * F.col("common") / F.least(F.col("n_a"), F.col("n_b"))
+            ).cast("long"),
+        )
+    )
+    out = cont.where(
+        F.col("containment_permille") >= int(threshold * 1000)
+    ).select("doc_a", "doc_b", "containment_permille")
+    return materialize_and_release(out)

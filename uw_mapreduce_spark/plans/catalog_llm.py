@@ -2500,3 +2500,49 @@ def centroid_holdout_embeddings(spark, sf_dir):
         F.col("label").cast("long").alias("true_label"),
         "pred_label",
     )
+
+
+_CONTAINMENT_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w || ' ' ||
+         lead(tk, 3) OVER w || ' ' || lead(tk, 4) OVER w AS shingle
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 4) OVER w IS NOT NULL
+),
+cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * c / least(s1.n_sh, s2.n_sh)) AS BIGINT)
+         AS containment_permille
+FROM common JOIN sizes s1 ON doc_a = s1.doc_id JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE floor(1000.0 * c / least(s1.n_sh, s2.n_sh)) >= 600
+"""
+
+
+@query("ngram_containment_documents", _CONTAINMENT_SQL)
+def ngram_containment_documents(spark, sf_dir):
+    """Containment near-dup pairs
+    (`operators/dedup.ngram_containment_pairs`): |A∩B|/min(|A|,|B|) ≥
+    0.6 — the quotation / boilerplate-inclusion / version-subset
+    detector.  Asymmetric-length pairs that symmetric Jaccard scores
+    near 0 (union dominated by the long side) score ~1000 here; same
+    inverted-index plan and max_df=64 stop-shingle prune as
+    `ngram_jaccard_documents`, denominator swapped to the smaller
+    side."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.6, max_df=64
+    )

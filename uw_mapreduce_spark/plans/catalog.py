@@ -4780,3 +4780,73 @@ def user_activity_profile(spark, sf_dir):
         F.min_by("event_type", ordk).alias("first_type"),
         F.max_by("event_type", ordk).alias("last_type"),
     )
+
+
+_TVD_SQL = r"""
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN CAST(day(ts) AS BIGINT) <= 15 THEN 0 ELSE 1 END AS half,
+         CAST(floor(value) AS BIGINT) // 50 AS bucket
+  FROM events
+),
+h AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+  FROM v GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2 FROM h GROUP BY 1
+)
+SELECT h.event_type,
+       CAST(SUM(ABS(n1::HUGEINT * t2 - n2::HUGEINT * t1)) * 1000
+            // (2::HUGEINT * t1 * t2) AS BIGINT) AS tvd_permille
+FROM h JOIN tot ON h.event_type = tot.event_type
+GROUP BY h.event_type, t1, t2
+"""
+
+
+@query("tvd_drift_events", _TVD_SQL)
+def tvd_drift_events(spark, sf_dir):
+    """Distribution-drift monitoring WITHOUT logarithms: total
+    variation distance between the first and second half-month value
+    distributions per event type, in permille —
+    TVD = ½·Σ|p_i − q_i|, computed as the integer cross-multiply
+    Σ|n1·N2 − n2·N1|·1000 DIV (2·N1·N2) in DECIMAL(38,0)/HUGEINT, so
+    unlike PSI/KL (whose ln() is not correctly-rounded-portable across
+    engines) the drift score itself value-hash matches.  One bucket
+    aggregate (fixed-width value bins, map-side partials) + a
+    vocabulary-sized rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = ev.select(
+        "event_type",
+        F.when(F.dayofmonth(F.col("ts")).cast("long") <= 15, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+        F.expr("CAST(floor(value) AS BIGINT) DIV 50").alias("bucket"),
+    )
+    h = v.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    j = h.join(F.broadcast(tot), "event_type")
+    num = F.abs(
+        F.col("n1").cast(dec) * F.col("t2") - F.col("n2").cast(dec) * F.col("t1")
+    )
+    return (
+        j.groupBy("event_type", "t1", "t2")
+        .agg(F.sum(num).alias("s"))
+        .select(
+            "event_type",
+            F.floor(
+                (F.col("s") * F.lit(1000))
+                / (F.lit(2).cast(dec) * F.col("t1") * F.col("t2"))
+            )
+            .cast("long")
+            .alias("tvd_permille"),
+        )
+    )

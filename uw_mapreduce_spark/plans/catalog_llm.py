@@ -2546,3 +2546,89 @@ def ngram_containment_documents(spark, sf_dir):
     return ngram_containment_pairs(
         docs, "text", "doc_id", n=5, threshold=0.6, max_df=64
     )
+
+
+_EMB_DRIFT_SQL = r"""
+WITH flat0 AS (
+  SELECT vec_id, label, CAST(vec_id % 2 AS BIGINT) AS half,
+         unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, label, half, pos,
+         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM flat0
+),
+cent AS (
+  SELECT label, half, pos, SUM(c) AS s FROM flat GROUP BY label, half, pos
+),
+paired AS (
+  SELECT a.label, a.pos, a.s AS s1, b.s AS s2
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+),
+agg AS (
+  SELECT label, SUM(s1 * s2) AS d, SUM(s1 * s1) AS n1, SUM(s2 * s2) AS n2
+  FROM paired GROUP BY label
+),
+counts AS (
+  SELECT label,
+         SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+  FROM embeddings GROUP BY label
+)
+SELECT CAST(agg.label AS BIGINT) AS label,
+       CAST(c1 AS BIGINT) AS n_half1, CAST(c2 AS BIGINT) AS n_half2,
+       CAST(d AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+         AS centroid_cosine
+FROM agg JOIN counts ON agg.label = counts.label
+"""
+
+
+@query("embedding_drift_labels", _EMB_DRIFT_SQL)
+def embedding_drift_labels(spark, sf_dir):
+    """Embedding-space drift monitor: cosine between each label's
+    centroid computed on the two (vec_id-parity) corpus halves — the
+    cheap screen for "did this class's representation move between
+    snapshots" (re-embedding audits, encoder upgrades).  The
+    `classify.py` determinism contract end to end: integer-grid
+    quantization → exact per-half sums (cosine of sums ≡ cosine of
+    means) → one correctly-rounded dot/sqrt/divide per label, so even
+    the cosine doubles hash-match.  L·dim-bounded everything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long")
+    )
+    flat = emb.select(
+        "label", (F.col("vec_id") % 2).cast("long").alias("half"),
+        F.posexplode(q).alias("pos", "c"),
+    )
+    cent = flat.groupBy("label", "half", "pos").agg(F.sum("c").alias("s"))
+    a = cent.where(F.col("half") == 0).select("label", "pos", F.col("s").alias("s1"))
+    b = cent.where(F.col("half") == 1).select("label", "pos", F.col("s").alias("s2"))
+    agg = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s1") * F.col("s2")).alias("d"),
+            F.sum(F.col("s1") * F.col("s1")).alias("n1"),
+            F.sum(F.col("s2") * F.col("s2")).alias("n2"),
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("c2"),
+    )
+    return (
+        agg.join(F.broadcast(counts), "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("c1").cast("long").alias("n_half1"),
+            F.col("c2").cast("long").alias("n_half2"),
+            (
+                F.col("d").cast("double")
+                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -4850,3 +4850,114 @@ def tvd_drift_events(spark, sf_dir):
             .alias("tvd_permille"),
         )
     )
+
+
+_GINI_SQL = r"""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_c, row_number() OVER (ORDER BY rev_c, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+       CAST((2::HUGEINT * SUM(i::HUGEINT * rev_c) - (n + 1)::HUGEINT * SUM(rev_c))
+            * 1000 // (n::HUGEINT * SUM(rev_c)) AS BIGINT) AS gini_permille
+FROM ranked GROUP BY n
+"""
+
+
+@query("gini_revenue_customers", _GINI_SQL)
+def gini_revenue_customers(spark, sf_dir):
+    """Revenue-concentration Gini coefficient across customers, in
+    permille — the inequality KPI behind "what share of revenue do the
+    top customers hold", computed from the rank identity
+    G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) entirely in integer
+    cross-multiplies (DECIMAL(38,0)/HUGEINT — Σi·x reaches ~10¹⁸ at
+    sf1 and beyond at corpus scale).  The sort is
+    `rank.global_rank_scalable` over (revenue, custkey) — range
+    exchange + P-row offsets, never a single-task window."""
+    from ..operators.rank import global_rank_scalable
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    ranked = global_rank_scalable(r, ["rev_c", "o_custkey"], "_i")
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("t"),
+        F.sum((F.col("_i") + 1).cast(dec) * F.col("rev_c")).alias("iw"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_rev_c"),
+        F.floor(
+            (
+                F.lit(2).cast(dec) * F.col("iw")
+                - (F.col("n") + 1).cast(dec) * F.col("t")
+            )
+            * F.lit(1000)
+            / (F.col("n").cast(dec) * F.col("t"))
+        )
+        .cast("long")
+        .alias("gini_permille"),
+    )
+
+
+_SHIP_LATENCY_SQL = r"""
+WITH h AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+              AS BIGINT) AS lat_days,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, lat_days, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat_days) AS cu,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM h
+),
+qs AS (SELECT unnest([500, 900, 990]) AS q)
+SELECT o_orderpriority, CAST(q AS BIGINT) AS q_permille,
+       CAST(MIN(lat_days) AS BIGINT) AS latency_days
+FROM cum CROSS JOIN qs
+WHERE cu >= (n * q + 999) // 1000
+GROUP BY o_orderpriority, q
+"""
+
+
+@query("ship_latency_quantiles", _SHIP_LATENCY_SQL)
+def ship_latency_quantiles(spark, sf_dir):
+    """Order-to-ship latency P50/P90/P99 per order priority — the SLA
+    dashboard block, built by REUSING `operators/rank.
+    grouped_quantiles` on the orders⋈lineitem day-lag: the cumulative
+    scan runs over the per-priority LATENCY HISTOGRAM (a few hundred
+    distinct day values), never the joined fact table."""
+    from ..operators.rank import grouped_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lat_days"),
+    )
+    return grouped_quantiles(
+        lat, ["o_orderpriority"], "lat_days", [500, 900, 990]
+    ).select(
+        "o_orderpriority", "q_permille",
+        F.col("value").cast("long").alias("latency_days"),
+    )

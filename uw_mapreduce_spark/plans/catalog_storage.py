@@ -436,3 +436,138 @@ def xml_roundtrip_audit(spark, sf_dir):
         "rows_src long, rows_xml long, idhash_src long, idhash_xml long, "
         "texthash_src long, texthash_xml long, charsum_xml long",
     )
+
+
+_GDPR_SQL = rf"""
+WITH s AS (
+  SELECT event_id, user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+),
+erase AS (SELECT * FROM s WHERE user_id % 29 = 7),
+keep AS (SELECT * FROM s WHERE user_id % 29 <> 7)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS rows_before,
+       CAST((SELECT count(*) FROM keep) AS BIGINT) AS rows_after,
+       CAST((SELECT count(*) FROM erase) AS BIGINT) AS rows_erased,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM erase) AS BIGINT) AS subjects_erased,
+       CAST((SELECT SUM({_MD5U32_SQL.format(x='event_id')}) FROM keep) AS BIGINT)
+         AS idhash_after,
+       CAST((SELECT SUM(value_u) FROM keep) AS BIGINT) AS valsum_after,
+       TRUE AS no_subject_remains
+"""
+
+
+@query("gdpr_erasure_audit", _GDPR_SQL)
+def gdpr_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten workflow behind a driver row: land the
+    events table, erase every row of the request cohort (user_id ≡ 7
+    mod 29) via an anti-join REWRITE (erasure must rewrite files — a
+    filter view is not deletion), and prove (a) only the cohort
+    vanished — surviving row count + portable id-hash + value sum all
+    pinned by the oracle to the keep-side slice — and (b) zero subject
+    rows remain, folded into a boolean the oracle pins TRUE.  The
+    rewrite pattern is `overwrite_partitions`-compatible: at corpus
+    scale you rewrite only the partitions the cohort touches."""
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_gdpr_")
+    path = os.path.join(tmp, "t")
+    try:
+        src.write.parquet(path)
+        landed = spark.read.parquet(path)
+        before = landed.count()
+        cohort = landed.where(F.col("user_id") % 29 == 7)
+        erased, subjects = (
+            cohort.count(),
+            cohort.select("user_id").distinct().count(),
+        )
+        kept = landed.where(F.col("user_id") % 29 != 7)
+        out = os.path.join(tmp, "t_rewritten")
+        kept.write.parquet(out)
+        after_df = spark.read.parquet(out)
+        a = after_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_md5u32(F.col("event_id"))).cast("long").alias("idh"),
+            F.sum("value_u").cast("long").alias("vs"),
+        ).collect()[0]
+        remaining = after_df.where(F.col("user_id") % 29 == 7).count()
+        rows = [
+            (before, a["n"], erased, subjects, a["idh"], a["vs"], remaining == 0)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rows_before long, rows_after long, rows_erased long, "
+        "subjects_erased long, idhash_after long, valsum_after long, "
+        "no_subject_remains boolean",
+    )
+
+
+_SCHEMA_EVO_SQL = rf"""
+WITH old_slice AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+new_slice AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT CAST((SELECT count(*) FROM old_slice) + (SELECT count(*) FROM new_slice)
+            AS BIGINT) AS rows_merged,
+       CAST(3 AS BIGINT) AS n_cols_merged,
+       CAST((SELECT count(*) FROM old_slice) AS BIGINT) AS rows_null_newcol,
+       CAST((SELECT SUM(price_c) FROM old_slice)
+            + (SELECT SUM(price_c) FROM new_slice) AS BIGINT) AS pricesum,
+       CAST((SELECT SUM({_MD5U32_SQL.format(x='o_orderpriority')})
+             FROM new_slice) AS BIGINT) AS priohash
+"""
+
+
+@query("schema_evolution_audit", _SCHEMA_EVO_SQL)
+def schema_evolution_audit(spark, sf_dir):
+    """Schema evolution on read: land two parquet generations — the
+    old writer (key, price) and the new writer (key, price, priority)
+    — then read the whole directory with ``mergeSchema`` and prove the
+    union schema materialized correctly: merged row count, 3-column
+    schema, the old generation's rows carrying NULL in the new column
+    (count pinned), and value/hash sums split per generation.  The
+    additive-column evolution every long-lived 100 TB table undergoes,
+    behind a value-hash-checked driver row."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_schevo_")
+    path = os.path.join(tmp, "t")
+    try:
+        base.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority").write.parquet(
+            os.path.join(path, "gen=0")
+        )
+        base.where(F.col("o_orderkey") % 2 == 1).write.parquet(
+            os.path.join(path, "gen=1")
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, "gen=0"), os.path.join(path, "gen=1")
+        )
+        n_cols = len(merged.columns)
+        a = merged.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls"),
+            F.sum("price_c").cast("long").alias("ps"),
+            F.sum(_md5u32(F.col("o_orderpriority"))).cast("long").alias("ph"),
+        ).collect()[0]
+        rows = [(a["n"], n_cols, a["nulls"], a["ps"], a["ph"])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rows_merged long, n_cols_merged long, rows_null_newcol long, "
+        "pricesum long, priohash long",
+    )

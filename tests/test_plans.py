@@ -170,3 +170,10 @@ def test_partitioned_layout_prunes_partitions_at_scan(spark, sf_small, tmp_path)
     n_all = spark.read.parquet(t).select(F.input_file_name()).distinct().count()
     n_clicked = q.select(F.input_file_name()).distinct().count()
     assert 0 < n_clicked < n_all
+
+
+def test_session_timezone_pinned_utc(spark):
+    """cast(ts AS DATE) is session-tz-dependent in Spark but fixed in
+    DuckDB; every calendar-bucketed oracle depends on this pin staying
+    put."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -2632,3 +2632,104 @@ def embedding_drift_labels(spark, sf_dir):
             ).alias("centroid_cosine"),
         )
     )
+
+
+def _curation_v4_oracle() -> str:
+    """Composed verbatim from the REGISTERED oracles of the round-7
+    components (containment pairs, quality rules) plus the temperature
+    draw's integer formula — the v3 composition contract extended to
+    the round-7 surface."""
+    from ._registry import ORACLE
+
+    cont = ORACLE["ngram_containment_documents"]
+    rules = ORACLE["quality_rules_documents"]
+    return rf"""
+WITH cont AS (SELECT * FROM ({cont})),
+drops AS (
+  SELECT DISTINCT CASE
+    WHEN (da.n_chars, c.doc_a) < (db.n_chars, c.doc_b) THEN c.doc_a
+    ELSE c.doc_b END AS doc_id
+  FROM cont c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+),
+rules AS (SELECT * FROM ({rules})),
+surv AS (
+  SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d
+  JOIN rules r ON d.doc_id = r.doc_id AND r.keep = 1
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS rg
+  FROM surv GROUP BY lang
+),
+s AS (SELECT CAST(SUM(rg) AS BIGINT) AS s FROM c),
+mixed AS (
+  SELECT sv.* FROM surv sv JOIN c ON sv.lang = c.lang CROSS JOIN s
+  WHERE (('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8))::BIGINT)::HUGEINT
+        * c.ng * s.s < 100::HUGEINT * c.rg * 4294967296::HUGEINT
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mixed GROUP BY lang
+"""
+
+
+@query("curation_pipeline_v4", _curation_v4_oracle())
+def curation_pipeline_v4(spark, sf_dir):
+    """Round-7 capstone: CONTAINMENT dedup (drop the shorter side of
+    every quotation/subset pair — the asymmetric case v3's Jaccard
+    manifest cannot see) → Gopher quality rules → temperature (α=0.5)
+    mixture sampling (√n targets, no hand-written mixture table) —
+    fused into one lazy plan, reported as per-language survivor counts
+    and byte totals.  The oracle is COMPOSED from the registered
+    component SQL (the v2/v3 contract), so plan and oracle cannot
+    drift.  Scale: inverted-index pair join + key-shuffle anti-join +
+    map-only rules + broadcast draw — the corpus crosses the wire
+    once."""
+    from ..operators.dedup import ngram_containment_pairs
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.6, max_df=64
+    )
+    nc = docs.select("doc_id", "n_chars")
+    drops = (
+        pairs.join(
+            nc.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("nc_a")),
+            "doc_a",
+        )
+        .join(
+            nc.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("nc_b")),
+            "doc_b",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("nc_a"), F.col("doc_a"))
+                < F.struct(F.col("nc_b"), F.col("doc_b")),
+                F.col("doc_a"),
+            )
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    stats = doc_stats(kept)
+    ok = (
+        F.col("n_tokens").between(5, 5000)
+        & (F.col("stopword_permille") >= 10)
+        & (F.col("uniq_permille") >= 300)
+        & (F.col("n_punct") * 1000 <= F.col("n_chars") * 150)
+    )
+    surv = kept.join(stats.where(ok).select("doc_id"), "doc_id").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    mixed = temperature_mixture_sample(surv, "lang", 100, "doc_id")
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -70,6 +70,7 @@ HEADLINE = [
     "bfs_hops_purchase_graph",
     "centroid_classifier_embeddings",
     "funnel_four_step_windowed",
+    "curation_pipeline_v4",
 ]
 
 
@@ -165,6 +166,7 @@ SF1_QUERIES = [
     "window_count_distinct_events",
     "basket_lift_event_types",
     "seasonal_anomaly_events",
+    "curation_pipeline_v4",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

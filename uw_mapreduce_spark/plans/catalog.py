@@ -4961,3 +4961,121 @@ def ship_latency_quantiles(spark, sf_dir):
         "o_orderpriority", "q_permille",
         F.col("value").cast("long").alias("latency_days"),
     )
+
+
+# Truncated-Poisson(1) thresholds on the u32 hash space: P(0)=P(1)=e^-1,
+# P(2)=e^-1/2, P(>=3) lumped at 3.  floor(p * 2^32) constants shared by
+# both engines, so every replicate membership is a pure row function.
+_BOOT_T0 = 1580030168          # floor(e^-1 * 2^32)
+_BOOT_T1 = _BOOT_T0 * 2        # P(0)+P(1)
+_BOOT_T2 = _BOOT_T1 + 790015084  # + floor(e^-1/2 * 2^32)
+_BOOT_B = 64
+
+_BOOTSTRAP_SQL = rf"""
+WITH o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders
+),
+reps AS (SELECT unnest(range({_BOOT_B})) AS rep),
+draw AS (
+  SELECT rep, price_c,
+         CASE
+           WHEN u < {_BOOT_T0} THEN 0
+           WHEN u < {_BOOT_T1} THEN 1
+           WHEN u < {_BOOT_T2} THEN 2
+           ELSE 3 END AS cnt
+  FROM (
+    SELECT rep, price_c,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                               CAST(rep AS VARCHAR)), 1, 8))::BIGINT AS u
+    FROM o CROSS JOIN reps
+  )
+),
+means AS (
+  SELECT rep, CAST(SUM(cnt::HUGEINT * price_c) // SUM(cnt) AS BIGINT) AS mean_c
+  FROM draw WHERE cnt > 0 GROUP BY rep
+),
+ranked AS (
+  SELECT mean_c, row_number() OVER (ORDER BY mean_c) AS i, count(*) OVER () AS b
+  FROM means
+)
+SELECT CAST((SELECT count(*) FROM means) AS BIGINT) AS n_replicates,
+       CAST((SELECT SUM(price_c) // count(*) FROM o) AS BIGINT) AS mean_c,
+       CAST((SELECT MIN(mean_c) FROM ranked WHERE i >= (b * 25 + 999) // 1000)
+            AS BIGINT) AS ci_lo_c,
+       CAST((SELECT MIN(mean_c) FROM ranked WHERE i >= (b * 975 + 999) // 1000)
+            AS BIGINT) AS ci_hi_c
+"""
+
+
+@query("bootstrap_mean_ci_orders", _BOOTSTRAP_SQL)
+def bootstrap_mean_ci_orders(spark, sf_dir):
+    """Poisson bootstrap (Chamandy et al. — THE distributed bootstrap:
+    each row joins replicate b with a Poisson(1) multiplicity, so no
+    replicate ever needs a global resample pass) for a 95% CI of the
+    mean order value — with the multiplicity drawn DETERMINISTICALLY
+    from md5(key:replicate) against fixed truncated-Poisson integer
+    thresholds, so unlike RNG bootstraps the whole CI is value-hash
+    oracled.  Replicate means are exact integer DIVs; the CI bounds
+    are exact order statistics of the 64 replicate means (the
+    grouped-quantiles ceil identity).  Cost: a 64× map-side explode
+    that immediately partial-aggregates to 64 rows per task — the
+    shuffle carries B rows, not B corpora."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("price_c"),
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep")
+    drawn = orders.select("o_orderkey", "price_c", reps)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("rep"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cnt = (
+        F.when(u < _BOOT_T0, 0)
+        .when(u < _BOOT_T1, 1)
+        .when(u < _BOOT_T2, 2)
+        .otherwise(3)
+    )
+    dec = "decimal(38,0)"
+    means = (
+        drawn.withColumn("cnt", cnt)
+        .where(F.col("cnt") > 0)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("cnt").cast(dec) * F.col("price_c")).alias("s"),
+            F.sum("cnt").alias("n"),
+        )
+        .select(F.expr("CAST(s DIV n AS BIGINT)").alias("mean_c"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "mean_c",
+        F.row_number().over(W.orderBy("mean_c")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("b"),
+    )
+    lo = ranked.where(F.col("i") >= F.expr("(b * 25 + 999) DIV 1000")).agg(
+        F.min("mean_c").alias("lo")
+    )
+    hi = ranked.where(F.col("i") >= F.expr("(b * 975 + 999) DIV 1000")).agg(
+        F.min("mean_c").alias("hi")
+    )
+    overall = orders.agg(
+        F.expr("CAST(SUM(price_c) DIV COUNT(*) AS BIGINT)").alias("mean_c")
+    )
+    nrep = means.agg(F.count(F.lit(1)).alias("n_replicates"))
+    return (
+        nrep.crossJoin(F.broadcast(overall))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n_replicates").cast("long").alias("n_replicates"),
+            "mean_c",
+            F.col("lo").cast("long").alias("ci_lo_c"),
+            F.col("hi").cast("long").alias("ci_hi_c"),
+        )
+    )

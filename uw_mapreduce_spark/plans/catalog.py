@@ -5079,3 +5079,79 @@ def bootstrap_mean_ci_orders(spark, sf_dir):
             F.col("hi").cast("long").alias("ci_hi_c"),
         )
     )
+
+
+_KS_SQL = r"""
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN CAST(day(ts) AS BIGINT) <= 15 THEN 0 ELSE 1 END AS half,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_u
+  FROM events
+),
+h AS (
+  SELECT event_type, v_u,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v_u,
+         SUM(n1) OVER (PARTITION BY event_type ORDER BY v_u) AS c1,
+         SUM(n2) OVER (PARTITION BY event_type ORDER BY v_u) AS c2,
+         SUM(n1) OVER (PARTITION BY event_type) AS t1,
+         SUM(n2) OVER (PARTITION BY event_type) AS t2
+  FROM h
+)
+SELECT event_type,
+       CAST(MAX(ABS(c1::HUGEINT * t2 - c2::HUGEINT * t1)) * 1000
+            // (t1::HUGEINT * t2) AS BIGINT) AS ks_permille
+FROM cum GROUP BY event_type, t1, t2
+"""
+
+
+@query("ks_drift_events", _KS_SQL)
+def ks_drift_events(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift per event type: the maximum
+    CDF gap between the month-half value distributions, in permille —
+    the bin-free companion to `tvd_drift_events` (TVD needs a bucket
+    choice; KS scans the exact empirical CDFs).  Integer cross-multiply
+    max|c1·N2 − c2·N1|·1000 DIV (N1·N2) in HUGEINT/DECIMAL(38,0) — a
+    value-hash-oracled KS statistic.  The cumulative scan runs over the
+    per-type VALUE HISTOGRAM (micro-unit grid, map-side partial
+    aggregate), never the raw corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = ev.select(
+        "event_type",
+        F.when(F.dayofmonth(F.col("ts")).cast("long") <= 15, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_u"),
+    )
+    h = v.groupBy("event_type", "v_u").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("v_u")
+    wt = Window.partitionBy("event_type")
+    cum = (
+        h.withColumn("c1", F.sum("n1").over(wc))
+        .withColumn("c2", F.sum("n2").over(wc))
+        .withColumn("t1", F.sum("n1").over(wt))
+        .withColumn("t2", F.sum("n2").over(wt))
+    )
+    gap = F.abs(
+        F.col("c1").cast(dec) * F.col("t2") - F.col("c2").cast(dec) * F.col("t1")
+    )
+    return (
+        cum.groupBy("event_type", "t1", "t2")
+        .agg(F.max(gap).alias("g"))
+        .select(
+            "event_type",
+            F.floor(
+                F.col("g") * F.lit(1000) / (F.col("t1").cast(dec) * F.col("t2"))
+            )
+            .cast("long")
+            .alias("ks_permille"),
+        )
+    )

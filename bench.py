@@ -167,6 +167,16 @@ SF1_QUERIES = [
     "basket_lift_event_types",
     "seasonal_anomaly_events",
     "curation_pipeline_v4",
+    "tvd_drift_events",
+    "ks_drift_events",
+    "gini_revenue_customers",
+    # bootstrap_mean_ci_orders measured once at sf1: 30.9 s — linear in
+    # B x rows (64 md5 draws per row is the Poisson-bootstrap price);
+    # excluded from the per-round list to bound bench wall-clock.
+    "user_activity_profile",
+    "ship_latency_quantiles",
+    "gdpr_erasure_audit",
+    "xml_roundtrip_audit",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -2733,3 +2733,81 @@ def curation_pipeline_v4(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+_KEYNESS_SQL = r"""
+WITH flat AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+o AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS obs
+  FROM flat WHERE tok <> '' GROUP BY 1, 2
+),
+st AS (SELECT source, SUM(obs) AS s FROM o GROUP BY 1),
+tt AS (SELECT tok, SUM(obs) AS t FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS n FROM o),
+scored AS (
+  SELECT o.source, o.tok, obs,
+         CAST(floor(
+           (CAST(obs AS DOUBLE) - CAST(s * t AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(obs AS DOUBLE) - CAST(s * t AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(s * t AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+         ) AS BIGINT) AS keyness_micro
+  FROM o JOIN st ON o.source = st.source
+         JOIN tt ON o.tok = tt.tok
+  CROSS JOIN n
+  WHERE obs * n.n > s * t
+)
+SELECT source, tok, obs, keyness_micro FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY keyness_micro DESC, tok ASC
+  ) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("keyness_terms_by_source", _KEYNESS_SQL)
+def keyness_terms_by_source(spark, sf_dir):
+    """Distinctive-vocabulary extraction: the 5 most OVER-represented
+    terms per source by χ² keyness — corpus-linguistics keyword
+    analysis without logarithms (the χ²-cell identity from
+    `chi2_type_dow_events`, emitted as floor(x·10⁶), restricted to
+    cells where observed > expected via the integer cross-multiply
+    obs·N > s·t so under-use never ranks).  The term table is
+    vocabulary-sized (explode partial-aggregates map-side), margins
+    broadcast, and the top-5 window partitions by source over
+    vocabulary-bounded rows."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    o = flat.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    st = o.groupBy("source").agg(F.sum("obs").alias("s"))
+    tt = o.groupBy("tok").agg(F.sum("obs").alias("t"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = (F.col("s") * F.col("t")).cast("double") / F.col("n").cast("double")
+    d = F.col("obs").cast("double") - e
+    scored = (
+        o.join(F.broadcast(st), "source")
+        .join(tt, "tok")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("obs") * F.col("n") > F.col("s") * F.col("t"))
+        .select(
+            "source", "tok", "obs",
+            F.floor(d * d / e * F.lit(1_000_000.0)).cast("long").alias(
+                "keyness_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("keyness_micro").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -1,0 +1,240 @@
+"""Classifier-evaluation operators: exact ROC AUC, gains/capture
+deciles, and leave-one-fold-out cross-validation.
+
+Why in a data engine: curation pipelines gate corpora on model scores
+(quality classifiers, language ID, safety filters).  Before a score
+becomes a filter threshold it needs an eval harness — AUC against a
+trusted label, capture-rate deciles to pick the threshold, and
+cross-validated accuracy to detect leakage/overfit — run at corpus
+scale on the SAME engine that applies the filter, not exported to a
+notebook.
+
+Determinism contract (the repo's value-hash idiom): scores come from
+the integer-quantized centroid machinery (`operators/classify.py`), so
+every engine sees bit-identical doubles; AUC is then computed as exact
+INTEGER pair counting (2·U statistic) rather than a float rank mean —
+ties get the standard half credit without any floating-point rank
+arithmetic.
+
+Scale shape (100 TB):
+
+- AUC: one groupBy(score) (map-side combine bounds the shuffle at
+  |distinct scores| per task), one scalable prefix sum over the
+  distinct-score frame (`scale._ranged_with_offsets` — range exchange
+  + P-row offsets, no single-partition window), one scalar aggregate.
+- Deciles: `rank.ntile_scalable` on (score desc, id) — two-pass
+  global rank, closed-form bucket; the final capture table is k rows.
+- k-fold CV: fold sums are ONE pass (groupBy fold×label×pos bounded
+  at F·L·dim rows); leave-one-fold-out centroids are total−fold in
+  driver Python over that tiny frame; scoring is map-only per fold
+  against literal centroid arrays (corpus never shuffled).
+
+Reference parity: the reference engine (uw-mapreduce) has no eval
+surface; this extends its aggregation layer (SlidingAggregation.java:
+433-536) the way a training-data pipeline requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .classify import _quantized, label_centroid_sums
+
+__all__ = [
+    "binary_centroid_scores",
+    "roc_auc",
+    "gains_table",
+    "kfold_centroid_cv",
+]
+
+_DEC = "decimal(38,0)"
+
+
+def binary_centroid_scores(
+    df: DataFrame,
+    pos_label: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, is_pos, score): one-vs-rest framing of a labeled embedding
+    corpus — score is the exact-integer cosine against the positive
+    class's centroid SUM vector (scale-invariant, so no mean division;
+    see `classify.py`'s determinism contract).  Map-only after one
+    L·dim-bounded centroid pass."""
+    cent = label_centroid_sums(df, label_col, vec_col, scale)
+    comps = {
+        int(r["pos"]): int(r["s"])
+        for r in cent.where(F.col("c_label") == pos_label).collect()
+    }
+    dim = 1 + max(comps)
+    svec = [comps.get(p, 0) for p in range(dim)]
+    # Exact integer norm² in arbitrary-precision Python, ONE conversion
+    # to double — matches DuckDB's CAST(SUM(s*s) AS DOUBLE) (hugeint).
+    n2 = float(sum(c * c for c in svec))
+    lit = F.array(*[F.lit(c) for c in svec])
+    d = F.aggregate(
+        F.zip_with(_quantized(vec_col, scale), lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        (F.col(label_col) == pos_label).cast("long").alias("is_pos"),
+        (d.cast("double") / F.sqrt(F.lit(n2))).alias("score"),
+    )
+
+
+def roc_auc(
+    scored: DataFrame,
+    is_pos_col: str = "is_pos",
+    score_col: str = "score",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """One-row exact AUC: (n_pos, n_neg, num2, auc_micro).
+
+    ``num2`` is twice the Mann-Whitney U statistic counted over exact
+    integers: group rows by DISTINCT score, order ascending, and for
+    each score s with (np_s positives, nn_s negatives) add
+    ``np_s · (2·negatives_below + nn_s)`` — strictly-greater pairs
+    count 2, tied pairs count 1 (the standard ½ tie credit, doubled).
+    ``auc_micro = ⌊10⁶·num2 / (2·n_pos·n_neg)⌋`` in DECIMAL(38,0) so
+    the division never wraps int64 at any corpus size.
+
+    The ordered cumulative count runs on the scalable two-pass prefix
+    plan (`scale._ranged_with_offsets`), not an unpartitioned window —
+    |distinct scores| grows with the corpus."""
+    from .scale import _ranged_with_offsets
+
+    g = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum(F.col(is_pos_col)).cast("long").alias("_np"),
+        F.sum(F.lit(1) - F.col(is_pos_col)).cast("long").alias("_nn"),
+    )
+    pref = _ranged_with_offsets(g, ["_s"], "_nn", num_partitions)
+    below = F.col("_prefix") - F.col("_nn")
+    term = F.col("_np") * (F.lit(2) * below + F.col("_nn"))
+    tot = pref.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(term).cast("long").alias("num2"),
+    )
+    num = F.col("num2").cast(_DEC) * F.lit(1_000_000).cast(_DEC)
+    den = F.lit(2).cast(_DEC) * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)
+    # floor == trunc here: num2 ≤ 2·n_pos·n_neg so the ratio is ≥ 0.
+    return tot.select(
+        "n_pos", "n_neg", "num2",
+        F.floor(num / den).cast("long").alias("auc_micro"),
+    )
+
+
+def gains_table(
+    scored: DataFrame,
+    k: int = 10,
+    is_pos_col: str = "is_pos",
+    score_col: str = "score",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cumulative-gains (capture-rate) table: rank by score descending,
+    cut into k equal buckets (`rank.ntile_scalable` — (score desc, id)
+    is a total order so the bucketing is engine-exact), and report per
+    bucket n, n_pos, cumulative positives, and capture permille.  The
+    cumulative window runs over k rows only — aggregate-bounded."""
+    from pyspark.sql import Window
+
+    from .rank import ntile_scalable
+
+    t = scored.withColumn("_negs", -F.col(score_col))
+    bucketed = ntile_scalable(t, ["_negs", id_col], k, "bucket")
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(is_pos_col).cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = per.agg(F.sum("n_pos").alias("_t"))
+    return (
+        per.withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n", "n_pos", "cum_pos",
+            F.expr("CAST(cum_pos * 1000 DIV _t AS BIGINT)").alias(
+                "capture_permille"
+            ),
+        )
+    )
+
+
+def kfold_centroid_cv(
+    df: DataFrame,
+    folds: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    salt: str = "cv",
+) -> DataFrame:
+    """Per-fold held-out accuracy of the nearest-centroid classifier:
+    (fold, n, n_correct, acc_permille).
+
+    Folds are the deterministic md5-permille split (`operators/split.
+    hash_permille` DIV (1000/folds)) — a pure function of row identity,
+    so the assignment is rerun- and reshard-stable and the DuckDB twin
+    reproduces it row-for-row.  Leave-one-fold-out centroids come from
+    ONE pass: per-(fold,label,pos) integer sums (F·L·dim rows), train
+    sums = total − fold in driver Python (exact big ints).  Each fold
+    is then scored MAP-ONLY against its own literal centroid table via
+    `classify.nearest_centroid_classify`."""
+    from .classify import nearest_centroid_classify
+    from .split import hash_permille
+
+    if 1000 % folds:
+        raise ValueError("folds must divide 1000 for an exact permille split")
+    width = 1000 // folds
+    tagged = df.withColumn(
+        "_fold", (hash_permille(F.col(id_col), salt) / F.lit(width)).cast("int")
+    )
+    flat = tagged.select(
+        "_fold",
+        F.col(label_col).alias("c_label"),
+        F.posexplode(_quantized(vec_col, scale)).alias("pos", "c"),
+    )
+    per_fold = {
+        (int(r["_fold"]), int(r["c_label"]), int(r["pos"])): int(r["s"])
+        for r in flat.groupBy("_fold", "c_label", "pos")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    }
+    labels = sorted({k[1] for k in per_fold})
+    dims = sorted({k[2] for k in per_fold})
+    totals = {
+        (l, p): sum(per_fold.get((f, l, p), 0) for f in range(folds))
+        for l in labels
+        for p in dims
+    }
+    spark = df.sparkSession
+    out = None
+    for f in range(folds):
+        rows = [
+            (l, p, totals[(l, p)] - per_fold.get((f, l, p), 0))
+            for l in labels
+            for p in dims
+        ]
+        cent = spark.createDataFrame(rows, "c_label long, pos int, s long")
+        fold_df = tagged.where(F.col("_fold") == f)
+        pred = nearest_centroid_classify(
+            fold_df, label_col, vec_col, scale, centroids=cent
+        )
+        per = pred.agg(
+            F.lit(f).cast("long").alias("fold"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("pred_label") == F.col(label_col)).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        out = per if out is None else out.unionByName(per)
+    return out.select(
+        "fold", "n", "n_correct",
+        F.expr("CAST(n_correct * 1000 DIV n AS BIGINT)").alias("acc_permille"),
+    )

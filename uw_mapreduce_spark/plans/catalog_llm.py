@@ -2811,3 +2811,174 @@ def keyness_terms_by_source(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+_BINARY_SCORED_SQL = r"""
+WITH flat0 AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, label, pos,
+         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM flat0
+),
+cent AS (SELECT pos, SUM(c) AS s FROM flat WHERE label = 0 GROUP BY pos),
+n2 AS (SELECT SUM(s * s) AS n2 FROM cent),
+scored AS (
+  SELECT f.vec_id, CAST(f.label = 0 AS BIGINT) AS is_pos,
+         CAST(SUM(f.c * c.s) AS DOUBLE)
+           / sqrt((SELECT CAST(n2 AS DOUBLE) FROM n2)) AS score
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, f.label
+)
+"""
+
+_ROC_AUC_SQL = _BINARY_SCORED_SQL + r"""
+, g AS (
+  SELECT score, SUM(is_pos) AS np, SUM(1 - is_pos) AS nn
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT np, nn,
+         SUM(nn) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nn AS below
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS num2
+  FROM c
+)
+SELECT n_pos, n_neg, num2,
+       CAST((CAST(num2 AS HUGEINT) * 1000000)
+            // (2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT))
+         AS BIGINT) AS auc_micro
+FROM t
+"""
+
+
+@query("roc_auc_embeddings", _ROC_AUC_SQL)
+def roc_auc_embeddings(spark, sf_dir):
+    """Exact ROC AUC of the one-vs-rest centroid score (positive class
+    = label 0) — the eval gate a score must pass before it becomes a
+    curation filter.  AUC is counted as exact integer pairs (2·U with
+    half tie credit), never a float rank mean; the ordered cumulative
+    runs on the scalable two-pass prefix plan, and the final DECIMAL(38)
+    division cannot wrap at any corpus size.  See
+    `operators/evaluation.roc_auc`."""
+    from ..operators.evaluation import binary_centroid_scores, roc_auc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = binary_centroid_scores(emb, pos_label=0)
+    return roc_auc(scored)
+
+
+_GAINS_SQL = _BINARY_SCORED_SQL + r"""
+, b AS (
+  SELECT vec_id, is_pos,
+         CAST(ntile(10) OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS bucket
+  FROM scored
+),
+per AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(is_pos) AS BIGINT) AS n_pos
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+       CAST((SUM(n_pos) OVER (ORDER BY bucket)) * 1000
+            // (SELECT SUM(n_pos) FROM per) AS BIGINT) AS capture_permille
+FROM per
+"""
+
+
+@query("gains_deciles_embeddings", _GAINS_SQL)
+def gains_deciles_embeddings(spark, sf_dir):
+    """Cumulative-gains deciles of the label-0 centroid score: rank all
+    rows by score descending (vec_id tiebreak), cut into 10 scalable
+    ntile buckets, report per-bucket positives and the cumulative
+    capture permille — the table a threshold decision is read from.
+    `rank.ntile_scalable` keeps the bucketing two-pass; the cumulative
+    window is 10 rows.  See `operators/evaluation.gains_table`."""
+    from ..operators.evaluation import binary_centroid_scores, gains_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = binary_centroid_scores(emb, pos_label=0)
+    return gains_table(scored, k=10)
+
+
+_KFOLD_SQL = r"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         CAST((('0x' || substr(md5('cv' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000) // 200 AS INT) AS fold
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, fold, label,
+         unnest(range(len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM e
+),
+centf AS (
+  SELECT fold, label AS c_label, pos, SUM(c) AS s_fold
+  FROM flat GROUP BY 1, 2, 3
+),
+centall AS (
+  SELECT c_label, pos, SUM(s_fold) AS s_all FROM centf GROUP BY 1, 2
+),
+train AS (
+  SELECT fs.fold, a.c_label, a.pos, a.s_all - COALESCE(f2.s_fold, 0) AS s
+  FROM (SELECT DISTINCT fold FROM e) fs
+  CROSS JOIN centall a
+  LEFT JOIN centf f2
+    ON f2.fold = fs.fold AND f2.c_label = a.c_label AND f2.pos = a.pos
+),
+tn2 AS (SELECT fold, c_label, SUM(s * s) AS n2 FROM train GROUP BY 1, 2),
+dots AS (
+  SELECT fl.vec_id, fl.fold, fl.label, t.c_label, SUM(fl.c * t.s) AS d
+  FROM flat fl JOIN train t ON t.fold = fl.fold AND t.pos = fl.pos
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT d.vec_id, d.fold, d.label, d.c_label,
+         CAST(d.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS sc
+  FROM dots d JOIN tn2 n ON n.fold = d.fold AND n.c_label = d.c_label
+),
+best AS (
+  SELECT vec_id, fold, label, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sc DESC, c_label ASC) AS rn
+  FROM scored
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS acc_permille
+FROM best WHERE rn = 1
+GROUP BY fold
+"""
+
+
+@query("kfold_cv_embeddings", _KFOLD_SQL)
+def kfold_cv_embeddings(spark, sf_dir):
+    """5-fold cross-validated accuracy of the nearest-centroid
+    classifier — the leakage/overfit check `centroid_holdout_embeddings`
+    approximates with one split.  Folds are the md5-permille identity
+    hash (rerun/reshard-stable; DuckDB reproduces membership
+    row-for-row); leave-one-fold-out centroids are total−fold from ONE
+    F·L·dim-bounded pass, and each fold scores map-only against its
+    own literal centroid table.  See
+    `operators/evaluation.kfold_centroid_cv`."""
+    from ..operators.evaluation import kfold_centroid_cv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kfold_centroid_cv(emb, folds=5)

@@ -5155,3 +5155,244 @@ def ks_drift_events(spark, sf_dir):
             .alias("ks_permille"),
         )
     )
+
+
+_BEST_SPLIT_SQL = r"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s FROM daily),
+pre AS (
+  SELECT d, v,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS nl,
+         CAST(SUM(v) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+  FROM daily
+),
+crit AS (
+  SELECT d, nl, t.n - nl AS nr, sl, t.s - sl AS sr,
+         sl * (t.n - nl) - (t.s - sl) * nl AS diff
+  FROM pre, tot t
+  WHERE nl < t.n
+),
+best AS (
+  SELECT d, nl, nr, diff,
+         CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+           / CAST(nl * nr AS DOUBLE) AS crit,
+         row_number() OVER (
+           ORDER BY CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+                    / CAST(nl * nr AS DOUBLE) DESC, d ASC) AS rn
+  FROM crit
+)
+SELECT CAST(DATE '1970-01-01' + CAST(d AS INT) AS DATE) AS split_day,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(diff AS BIGINT) AS diff_u, crit
+FROM best WHERE rn = 1
+"""
+
+
+@query("best_split_events", _BEST_SPLIT_SQL)
+def best_split_events(spark, sf_dir):
+    """Single change-point detection on the daily value series: the
+    split day maximizing the between-segment variance criterion
+    (S_l·n_r − S_r·n_l)²/(n_l·n_r) — the one-split core of binary
+    segmentation, the batch complement of the sequential CUSUM face.
+    The series is first reduced to per-day exact integer sums (map-side
+    partials; the prefix window is CALENDAR-BOUNDED — days, not rows),
+    the criterion is built from exact int64 cross-products with ONE
+    int→double conversion, and the argmax tie-breaks to the earliest
+    day, so both engines pick the identical split."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").cast("long").alias("s")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d", "v",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("nl"),
+        F.sum("v").over(w).cast("long").alias("sl"),
+    )
+    crit = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("n"))
+        .select(
+            "d", "nl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (
+                F.col("sl") * (F.col("n") - F.col("nl"))
+                - (F.col("s") - F.col("sl")) * F.col("nl")
+            ).alias("diff"),
+        )
+    )
+    cd = F.col("diff").cast("double")
+    scored = crit.withColumn(
+        "crit", cd * cd / (F.col("nl") * F.col("nr")).cast("double")
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("crit").desc(), F.col("d").asc()))
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int"))
+            .alias("split_day"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("diff").alias("diff_u"),
+            "crit",
+        )
+    )
+
+
+_OLS_TREND_SQL = r"""
+WITH daily AS (
+  SELECT n.n_name,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT n_name,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM daily GROUP BY 1
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_days,
+       CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+         AS slope_micro_c_per_day
+FROM s WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@query("ols_trend_revenue_by_nation", _OLS_TREND_SQL)
+def ols_trend_revenue_by_nation(spark, sf_dir):
+    """Per-nation revenue trend: the exact closed-form OLS slope of
+    daily revenue (cents) against the day index, in micro-cents/day —
+    regression as an aggregate, no iteration.  Every moment (n, Σx, Σy,
+    Σx², Σxy) is an exact integer from one groupBy; the slope is the
+    integer ratio (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) evaluated in
+    DECIMAL(38,0) with trunc-toward-zero DIV on both engines, so it
+    never sees a float and never wraps.  Joins: orders→customer
+    co-partitions on custkey; nation broadcasts."""
+    dec = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    num = F.lit(1_000_000).cast(dec) * (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where(den != F.lit(0).cast(dec))
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_days"),
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+        .select(
+            "n_name", "n_days",
+            F.expr("CAST(_num DIV _den AS BIGINT)").alias("slope_micro_c_per_day"),
+        )
+    )
+
+
+_LIFE_TABLE_SQL = r"""
+WITH uw AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events
+),
+span AS (
+  SELECT user_id, MAX(d) - MIN(d) AS age_days FROM uw GROUP BY user_id
+),
+ages AS (
+  SELECT age_days, CAST(count(*) AS BIGINT) AS n_ending
+  FROM span GROUP BY age_days
+)
+SELECT age_days, n_ending,
+       CAST(SUM(n_ending) OVER (ORDER BY age_days DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_at_risk,
+       CAST(n_ending * 1000 // (SUM(n_ending) OVER (ORDER BY age_days DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+         AS hazard_permille
+FROM ages
+"""
+
+
+@query("life_table_events", _LIFE_TABLE_SQL)
+def life_table_events(spark, sf_dir):
+    """User-lifetime life table (discrete survival analysis): each
+    user's observed lifespan in calendar days (last active − first
+    active), rolled into per-age counts with the at-risk population
+    (users surviving ≥ that age) and the discrete hazard — the
+    Kaplan-Meier life table with exact integer counts instead of
+    survival products, so it value-hashes across engines.  One shuffle
+    on user_id for the span; the at-risk reverse-cumulative runs over
+    CALENDAR-BOUNDED age rows (days, not users)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    span = uw.groupBy("user_id").agg((F.max("d") - F.min("d")).alias("age_days"))
+    ages = span.groupBy("age_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending")
+    )
+    w = Window.orderBy(F.col("age_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = F.sum("n_ending").over(w).cast("long")
+    return ages.select(
+        "age_days", "n_ending",
+        at_risk.alias("n_at_risk"),
+        F.expr("CAST(n_ending * 1000 DIV n_at_risk AS BIGINT)").alias(
+            "hazard_permille"
+        ),
+    )

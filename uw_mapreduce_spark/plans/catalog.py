@@ -5396,3 +5396,175 @@ def life_table_events(spark, sf_dir):
             "hazard_permille"
         ),
     )
+
+
+_POSITION_ATTR_SQL = r"""
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts, c.event_id) AS pos
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+),
+credited AS (
+  SELECT click_id,
+         CASE WHEN n_touch = 1 THEN 1000
+              WHEN n_touch = 2 THEN 500
+              WHEN pos = 1 OR pos = n_touch THEN 400
+              ELSE 200 // (n_touch - 2) END AS credit
+  FROM touches
+)
+SELECT click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(credit) AS BIGINT) AS credit_permille
+FROM credited
+GROUP BY click_id
+"""
+
+
+@query("position_attribution_events", _POSITION_ATTR_SQL)
+def position_attribution_events(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    gives 40% of its credit to the FIRST click in its 24 h lookback,
+    40% to the LAST, and splits 20% over the middle touches
+    (⌊200/(n−2)⌋ permille each — exact integers; n=1 → 1000, n=2 →
+    500/500).  The position model marketing teams run next to the
+    linear one (`attribution_linear_events`); same scale shape — one
+    user-keyed interval join, per-purchase window over bounded touch
+    lists, one click-keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    w = Window.partitionBy("purchase_id")
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+        F.row_number()
+        .over(w.orderBy(F.col("c_ts").asc(), F.col("click_id").asc()))
+        .alias("pos"),
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1000))
+        .when(F.col("n_touch") == 2, F.lit(500))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), F.lit(400)
+        )
+        .otherwise(F.expr("200 DIV (n_touch - 2)"))
+    )
+    return (
+        touches.withColumn("credit", credit)
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("credit").cast("long").alias("credit_permille"),
+        )
+    )
+
+
+_ITEM_CF_SQL = r"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM op GROUP BY l_partkey HAVING count(*) >= 20
+),
+fp AS (SELECT o.l_orderkey, o.l_partkey FROM op o
+       JOIN freq f ON o.l_partkey = f.l_partkey),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS co_count
+  FROM fp a JOIN fp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+scored AS (
+  SELECT co.part_a, co.part_b, co.co_count,
+         CAST(floor(CAST(co.co_count AS DOUBLE) * CAST(1000000.0 AS DOUBLE)
+              / sqrt(CAST(fa.n_orders * fb.n_orders AS DOUBLE))) AS BIGINT)
+           AS cos_micro
+  FROM co
+  JOIN freq fa ON co.part_a = fa.l_partkey
+  JOIN freq fb ON co.part_b = fb.l_partkey
+)
+SELECT part_a, part_b, co_count, cos_micro FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY part_a ORDER BY cos_micro DESC, part_b ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@query("item_item_cf_parts", _ITEM_CF_SQL)
+def item_item_cf_parts(spark, sf_dir):
+    """Item-item collaborative filtering: top-3 neighbors per part by
+    co-purchase COSINE (co/√(n_a·n_b)) over distinct order baskets —
+    the "customers who bought X also bought Y" recommender primitive.
+    Extends `cooccurring_parts` (raw support) with the
+    popularity-normalized score that stops best-sellers from dominating
+    every neighbor list.  The pair join is basket-keyed (Σ|basket|²,
+    never |parts|²), item frequencies broadcast, and the top-3 window
+    partitions per item over its support-pruned candidates.  The score
+    is floor-scaled from exact integer counts — one double division and
+    sqrt per pair, engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .where(F.col("n_orders") >= 20)
+    )
+    fp = op.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = fp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+        .where(F.col("co_count") >= 3)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("_na")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("_nb")
+    )
+    scored = (
+        co.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a", "part_b", "co_count",
+            F.floor(
+                F.col("co_count").cast("double")
+                * F.lit(1_000_000.0)
+                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double"))
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("cos_micro").desc(), F.col("part_b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

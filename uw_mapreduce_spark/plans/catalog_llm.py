@@ -2982,3 +2982,46 @@ def kfold_cv_embeddings(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kfold_centroid_cv(emb, folds=5)
+
+
+_HEAVY_HITTERS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+sh AS (
+  SELECT tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w AS g
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tk, 2) OVER w IS NOT NULL
+)
+SELECT g AS shingle, CAST(count(*) AS BIGINT) AS cnt
+FROM sh GROUP BY g
+HAVING count(*) * 5000 > (SELECT count(*) FROM sh)
+"""
+
+
+@query("heavy_hitters_trigrams_documents", _HEAVY_HITTERS_SQL)
+def heavy_hitters_trigrams_documents(spark, sf_dir):
+    """EXACT heavy hitters over the trigram-shingle stream (boilerplate
+    detection: any trigram above 1/5000 of all occurrences) via the
+    two-pass Misra-Gries pattern — per-partition bounded summaries with
+    NO shuffle, then exact verification over the candidate superset
+    only (`operators/heavyhitters.exact_heavy_hitters`).  The key space
+    here grows with the corpus, so the usual explode+groupBy would
+    shuffle effectively the whole stream; this plan's only wide
+    exchange carries candidates.  Output is exact counts, so the oracle
+    is a plain GROUP BY … HAVING."""
+    from ..operators.heavyhitters import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_df = docs.select(tokens(F.col("text")).alias("_toks")).where(
+        F.size(F.col("_toks")) >= 3
+    )
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    sh = tok_df.select(F.explode(grams).alias("g"))
+    return exact_heavy_hitters(sh, "g", k=5000).withColumnRenamed("g", "shingle")

@@ -660,3 +660,62 @@ def load_ann_index(spark, path: str) -> DataFrame:
     """Load a persisted centroid table for `assign_centroids` /
     `knn_ivf(..., centroids=...)`-style probing."""
     return spark.read.parquet(path)
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each anchor, its top-k nearest-cosine
+    neighbors with a DIFFERENT label — the contrastive-training pairs
+    most likely to be informative (near in embedding space, apart in
+    label space).
+
+    Output (anchor_id, negative_id, anchor_label, negative_label, rnk)
+    — ids and integer ranks only; raw cosine doubles are hash-fragile
+    across engines, ranks are not (ties break on neighbor id).
+
+    Same topology as `knn_bruteforce`: the anchor set broadcasts (it is
+    the small side by construction — a probe sample or a label slice),
+    the corpus streams map-only through one dot product per (row,
+    anchor), and the top-k window partitions per anchor.  For
+    corpus×corpus mining at scale, feed anchors in slices or use the
+    IVF route (`knn_ivf`) with a post-filter on label."""
+    a = _unit_frame(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            vec_col,
+        ),
+        vec_col, "_avec", ["anchor_id", "anchor_label"],
+    )
+    c = _unit_frame(
+        corpus.select(
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            vec_col,
+        ),
+        vec_col, "_cvec", ["negative_id", "negative_label"],
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("_cos", dot(F.col("_avec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "anchor_id", "negative_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            F.col("negative_label").cast("long").alias("negative_label"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -5568,3 +5568,89 @@ def item_item_cf_parts(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+_GROWTH_ACCOUNTING_SQL = r"""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+firstd AS (SELECT user_id, MIN(d) AS first_d FROM act GROUP BY user_id),
+tagged AS (
+  SELECT a.user_id, a.d, f.first_d,
+         EXISTS (SELECT 1 FROM act y
+                 WHERE y.user_id = a.user_id AND y.d = a.d - 1) AS active_prev
+  FROM act a JOIN firstd f ON a.user_id = f.user_id
+),
+today AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+         CAST(SUM(CASE WHEN d > first_d AND active_prev THEN 1 ELSE 0 END)
+           AS BIGINT) AS retained,
+         CAST(SUM(CASE WHEN d > first_d AND NOT active_prev THEN 1 ELSE 0 END)
+           AS BIGINT) AS resurrected
+  FROM tagged GROUP BY d
+),
+churn AS (
+  SELECT a.d + 1 AS d, CAST(count(*) AS BIGINT) AS churned
+  FROM act a
+  WHERE NOT EXISTS (SELECT 1 FROM act y
+                    WHERE y.user_id = a.user_id AND y.d = a.d + 1)
+  GROUP BY a.d + 1
+)
+SELECT COALESCE(t.d, c.d) AS d,
+       COALESCE(t.new_users, 0) AS new_users,
+       COALESCE(t.retained, 0) AS retained,
+       COALESCE(t.resurrected, 0) AS resurrected,
+       COALESCE(c.churned, 0) AS churned
+FROM today t FULL OUTER JOIN churn c ON t.d = c.d
+"""
+
+
+@query("growth_accounting_events", _GROWTH_ACCOUNTING_SQL)
+def growth_accounting_events(spark, sf_dir):
+    """Daily growth accounting — the DAU ledger every growth team runs:
+    per day, users split into NEW (first-ever day), RETAINED (also
+    active yesterday), RESURRECTED (returning after a gap), plus the
+    CHURNED count attributed to the day after a user's last consecutive
+    day (so DAU_d = DAU_{d-1} + new + resurrected − churned holds
+    exactly).  All from one distinct (user, day) frame: a user-keyed
+    first-day aggregate, a self-join on (user, day−1) — co-partitioned
+    on user_id — and day-keyed counts.  No windows, no single-partition
+    stage; integer counts end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    firstd = act.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    prev = act.select("user_id", F.date_add("d", 1).alias("d"), F.lit(1).alias("_p"))
+    tagged = (
+        act.join(firstd, "user_id")
+        .join(prev, ["user_id", "d"], "left")
+        .select(
+            "d", "first_d", F.coalesce(F.col("_p"), F.lit(0)).alias("_prev")
+        )
+    )
+    today = tagged.groupBy("d").agg(
+        F.sum((F.col("d") == F.col("first_d")).cast("long"))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(((F.col("d") > F.col("first_d")) & (F.col("_prev") == 1)).cast("long"))
+        .cast("long")
+        .alias("retained"),
+        F.sum(((F.col("d") > F.col("first_d")) & (F.col("_prev") == 0)).cast("long"))
+        .cast("long")
+        .alias("resurrected"),
+    )
+    nxt = act.select("user_id", F.date_sub("d", 1).alias("d"), F.lit(1).alias("_n"))
+    churn = (
+        act.join(nxt, ["user_id", "d"], "left")
+        .where(F.col("_n").isNull())
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        today.join(churn, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+            F.coalesce("resurrected", F.lit(0)).cast("long").alias("resurrected"),
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+        )
+    )

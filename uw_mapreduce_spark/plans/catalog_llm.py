@@ -3025,3 +3025,37 @@ def heavy_hitters_trigrams_documents(spark, sf_dir):
     )
     sh = tok_df.select(F.explode(grams).alias("g"))
     return exact_heavy_hitters(sh, "g", k=5000).withColumnRenamed("g", "shingle")
+
+
+_HARD_NEG_SQL = r"""
+WITH a AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 50),
+scored AS (
+  SELECT a.vec_id AS anchor_id, e.vec_id AS negative_id,
+         CAST(a.label AS BIGINT) AS anchor_label,
+         CAST(e.label AS BIGINT) AS negative_label,
+         list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           AS cos
+  FROM a JOIN embeddings e ON e.label <> a.label
+)
+SELECT anchor_id, negative_id, anchor_label, negative_label, rnk FROM (
+  SELECT anchor_id, negative_id, anchor_label, negative_label,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos DESC, negative_id) AS BIGINT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@query("hard_negatives_embeddings", _HARD_NEG_SQL)
+def hard_negatives_embeddings(spark, sf_dir):
+    """Contrastive hard-negative mining: for 50 anchor vectors, the 3
+    nearest cross-label neighbors — the training pairs a contrastive
+    fine-tune actually learns from (`operators/similarity.
+    hard_negative_pairs`).  Anchors broadcast; the corpus streams
+    map-only; ids+ranks output keeps the hash engine-stable."""
+    from ..operators.similarity import hard_negative_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 50)
+    return hard_negative_pairs(emb, anchors, k=3)

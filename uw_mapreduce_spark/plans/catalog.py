@@ -5654,3 +5654,212 @@ def growth_accounting_events(spark, sf_dir):
             F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
         )
     )
+
+
+_SPEARMAN_SQL = r"""
+WITH src AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+hx AS (
+  SELECT g, x,
+         2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+           + cnt + 1 AS hr
+  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY 1, 2)
+),
+hy AS (
+  SELECT g, y,
+         2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+           + cnt + 1 AS hr
+  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY 1, 2)
+),
+ranked AS (
+  SELECT s.g, CAST(rx.hr AS HUGEINT) AS hx, CAST(ry.hr AS HUGEINT) AS hy
+  FROM src s
+  JOIN hx rx ON s.g = rx.g AND s.x = rx.x
+  JOIN hy ry ON s.g = ry.g AND s.y = ry.y
+),
+m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         SUM(hx) AS sx, SUM(hy) AS sy,
+         SUM(hx * hx) AS sxx, SUM(hy * hy) AS syy,
+         SUM(hx * hy) AS sxy
+  FROM ranked GROUP BY g
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS rho_micro
+FROM m
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+"""
+
+
+@query("spearman_qty_price_lineitem", _SPEARMAN_SQL)
+def spearman_qty_price_lineitem(spark, sf_dir):
+    """Exact Spearman rank correlation between quantity and price per
+    return flag — the robust (monotone, outlier-proof) companion to a
+    Pearson daily correlation.  Average ranks are carried as HALF-RANK
+    integers (2·below + cnt + 1 — ties get the standard midrank with
+    zero float rank arithmetic; quantity's ~50 distinct values make
+    ties the common case), the moments accumulate in DECIMAL(38,0)/
+    HUGEINT, and ρ is one float expression over exact integers on both
+    engines.  Rank tables are DISTINCT-VALUE histograms (the ks_drift
+    pattern — the cumulative scan never touches the fact table), rows
+    join back on (group, value), and the moment pass is one group
+    aggregate.  DECIMAL(38) holds n⁴ exactly to ~3·10⁹ rows per group;
+    beyond that, pre-bin values."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity")).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("y"),
+    )
+
+    def half_ranks(col):
+        hist = src.groupBy("g", col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        w = Window.partitionBy("g").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return hist.select(
+            "g", col,
+            (
+                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt") + F.lit(1)
+            ).alias(f"hr_{col}"),
+        )
+
+    ranked = (
+        src.join(half_ranks("x"), ["g", "x"])
+        .join(half_ranks("y"), ["g", "y"])
+        .select(
+            "g",
+            F.col("hr_x").cast(dec).alias("hx"),
+            F.col("hr_y").cast(dec).alias("hy"),
+        )
+    )
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("hx").alias("sx"),
+        F.sum("hy").alias("sy"),
+        F.sum(F.col("hx") * F.col("hx")).alias("sxx"),
+        F.sum(F.col("hy") * F.col("hy")).alias("syy"),
+        F.sum(F.col("hx") * F.col("hy")).alias("sxy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.where((d1 != F.lit(0).cast(dec)) & (d2 != F.lit(0).cast(dec)))
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+            )
+            .cast("long")
+            .alias("rho_micro"),
+        )
+    )
+
+
+_THEILSEN_SQL = r"""
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST((EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) - 1992) * 12
+              + EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT)
+           AS m,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.n_name,
+         (b.y - a.y) * 1000000 // (b.m - a.m) AS slope_micro
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND b.m > a.m
+),
+ranked AS (
+  SELECT n_name, slope_micro,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY slope_micro) AS rn,
+         count(*) OVER (PARTITION BY n_name) AS n_pairs
+  FROM pairs
+)
+SELECT n_name, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+                     THEN slope_micro ELSE 0 END)
+            // SUM(CASE WHEN rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS theilsen_slope_micro
+FROM ranked
+GROUP BY n_name
+"""
+
+
+@query("theilsen_trend_revenue_by_nation", _THEILSEN_SQL)
+def theilsen_trend_revenue_by_nation(spark, sf_dir):
+    """Theil-Sen robust trend per nation: the MEDIAN of all pairwise
+    monthly-revenue slopes — insensitive to the outlier months that pull
+    the OLS face (`ols_trend_revenue_by_nation`).  Slopes are exact
+    integer DIVs in micro-cents/month; the median is the trunc-average
+    of the two middle order statistics (odd n: the single middle twice),
+    all integer.  The pairwise join is CALENDAR-BOUNDED — 84 months →
+    ≤3.5k pairs per nation regardless of corpus size — so the only
+    data-sized work is the monthly aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year(F.col("o_orderdate").cast("date")) - F.lit(1992)) * F.lit(12)
+                + F.month(F.col("o_orderdate").cast("date"))
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = monthly.select("n_name", F.col("m").alias("ma"), F.col("y").alias("ya"))
+    b = monthly.select("n_name", F.col("m").alias("mb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "n_name")
+        .where(F.col("mb") > F.col("ma"))
+        .select(
+            "n_name",
+            F.expr("(yb - ya) * 1000000 DIV (mb - ma)").alias("slope_micro"),
+        )
+    )
+    w = Window.partitionBy("n_name")
+    ranked = pairs.select(
+        "n_name", "slope_micro",
+        F.row_number().over(w.orderBy("slope_micro")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_pairs"),
+    )
+    return ranked.groupBy("n_name").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rn = (n_pairs + 1) DIV 2 OR rn = n_pairs DIV 2 + 1"
+            " THEN slope_micro ELSE 0 END)"
+            " DIV SUM(CASE WHEN rn = (n_pairs + 1) DIV 2 OR rn = n_pairs DIV 2 + 1"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("theilsen_slope_micro"),
+    )

@@ -5863,3 +5863,58 @@ def theilsen_trend_revenue_by_nation(spark, sf_dir):
             " THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("theilsen_slope_micro"),
     )
+
+
+_TOPK_OTHERS_SQL = r"""
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT d, event_type, n_events,
+         row_number() OVER (PARTITION BY d
+                            ORDER BY n_events DESC, event_type ASC) AS rn
+  FROM per
+)
+SELECT d, event_type, n_events, CAST(0 AS BIGINT) AS is_other
+FROM ranked WHERE rn <= 3
+UNION ALL
+SELECT d, '__other__' AS event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events, CAST(1 AS BIGINT) AS is_other
+FROM ranked WHERE rn > 3
+GROUP BY d
+"""
+
+
+@query("topk_with_others_daily_events", _TOPK_OTHERS_SQL)
+def topk_with_others_daily_events(spark, sf_dir):
+    """The dashboard rollup every BI layer renders: per day, the top-3
+    event types by volume plus ONE '__other__' bucket absorbing the
+    tail — bounded legend, no dropped volume (per-day totals are
+    conserved).  Day+type counts partial-aggregate map-side; the rank
+    window runs per day over the types-per-day histogram (bounded by
+    the type vocabulary, not the corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("d").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    top = ranked.where(F.col("rn") <= 3).select(
+        "d", "event_type", "n_events", F.lit(0).cast("long").alias("is_other")
+    )
+    other = (
+        ranked.where(F.col("rn") > 3)
+        .groupBy("d")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+        .select(
+            "d",
+            F.lit("__other__").alias("event_type"),
+            "n_events",
+            F.lit(1).cast("long").alias("is_other"),
+        )
+    )
+    return top.unionByName(other)

@@ -3059,3 +3059,85 @@ def hard_negatives_embeddings(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 50)
     return hard_negative_pairs(emb, anchors, k=3)
+
+
+_CONFORMAL_SQL = _BINARY_SCORED_SQL + r"""
+, split AS (
+  SELECT vec_id, score,
+         (('0x' || substr(md5('conformal' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+          % 1000) < 500 AS is_cal
+  FROM scored
+),
+calh AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt
+  FROM split WHERE is_cal GROUP BY score
+),
+ncal AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM calh),
+kth AS (SELECT CAST((n_cal + 10) // 10 AS BIGINT) AS k, n_cal FROM ncal),
+cum AS (
+  SELECT score,
+         SUM(cnt) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cnt
+  FROM calh
+),
+thr AS (
+  SELECT MIN(score) AS threshold FROM cum, kth WHERE cum_cnt >= kth.k
+)
+SELECT kth.n_cal,
+       (SELECT CAST(count(*) AS BIGINT) FROM split WHERE NOT is_cal) AS n_test,
+       kth.k, thr.threshold,
+       (SELECT CAST(count(*) AS BIGINT) FROM split, thr
+        WHERE NOT is_cal AND score < thr.threshold) AS n_flagged
+FROM kth, thr
+"""
+
+
+@query("conformal_threshold_embeddings", _CONFORMAL_SQL)
+def conformal_threshold_embeddings(spark, sf_dir):
+    """Split-conformal novelty gate over the centroid score: the
+    calibration half (md5-permille identity split — rerun-stable, the
+    DuckDB twin reproduces membership row-for-row) yields the
+    k = ⌈α(n+1)⌉-th smallest score as the α=0.1 lower-tail threshold;
+    test rows strictly below it are flagged non-conforming — the
+    distribution-free outlier gate a curation pipeline puts in front of
+    mislabeled-data review.  The order statistic comes from a
+    cumulative over the DISTINCT-SCORE histogram (the AUC/ks pattern),
+    never a corpus sort; the flag pass is a broadcast-threshold map
+    filter."""
+    from ..operators.evaluation import binary_centroid_scores
+    from ..operators.scale import _ranged_with_offsets
+    from ..operators.split import hash_permille
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = binary_centroid_scores(emb, pos_label=0).withColumn(
+        "is_cal", hash_permille(F.col("vec_id"), "conformal") < 500
+    )
+    calh = (
+        scored.where("is_cal")
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pref = _ranged_with_offsets(calh, ["score"], "cnt", 16)
+    ncal = calh.agg(F.sum("cnt").cast("long").alias("n_cal"))
+    kth = ncal.select(
+        F.expr("CAST((n_cal + 10) DIV 10 AS BIGINT)").alias("k"), "n_cal"
+    )
+    thr = (
+        pref.crossJoin(F.broadcast(kth))
+        .where(F.col("_prefix") >= F.col("k"))
+        .agg(F.min("score").alias("threshold"))
+    )
+    test = scored.where(~F.col("is_cal"))
+    ntest = test.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    flagged = (
+        test.crossJoin(F.broadcast(thr))
+        .where(F.col("score") < F.col("threshold"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+    )
+    return (
+        kth.crossJoin(F.broadcast(ntest))
+        .crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(flagged))
+        .select("n_cal", "n_test", "k", "threshold", "n_flagged")
+    )

@@ -3141,3 +3141,79 @@ def conformal_threshold_embeddings(spark, sf_dir):
         .crossJoin(F.broadcast(flagged))
         .select("n_cal", "n_test", "k", "threshold", "n_flagged")
     )
+
+
+_INC_KNN_SQL = r"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@query("incremental_knn_top5", _INC_KNN_SQL)
+def incremental_knn_top5(spark, sf_dir):
+    """Incremental top-k maintenance for similarity search (the EDBT
+    2020 incremental-top-k idea as IVM): the corpus is split into a
+    90% BASE (already-indexed) and a 10% DELTA (new arrivals, by the
+    md5-permille identity hash); each query's list is maintained by
+    re-ranking its stored base top-k AGAINST ONLY the delta scores —
+    O(k + |delta|) per query instead of a full rescan, exact because
+    top-k(A ∪ B) = top-k(top-k(A) ∪ B).  The oracle is the full-corpus
+    recompute, so the hash-MATCH *is* the equivalence proof.  Both
+    passes broadcast the query kernel and stream map-only."""
+    from ..operators.similarity import _unit_frame, dot
+    from ..operators.split import hash_permille
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = hash_permille(F.col("vec_id"), "ivm") < 100
+    base = emb.where(~is_delta)
+    delta = emb.where(is_delta)
+    queries = emb.where(F.col("vec_id") < 10)
+
+    q = _unit_frame(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "embedding", "_qvec", ["query_id"],
+    )
+
+    def scored(corpus):
+        c = _unit_frame(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "embedding", "_cvec", ["neighbor_id"],
+        )
+        return (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id",
+                dot(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    base_topk = (
+        scored(base)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .drop("rnk")
+    )
+    merged = base_topk.unionByName(scored(delta))
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk")
+        )
+    )

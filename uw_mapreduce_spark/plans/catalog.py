@@ -5918,3 +5918,155 @@ def topk_with_others_daily_events(spark, sf_dir):
         )
     )
     return top.unionByName(other)
+
+
+_CONVERSION_LATENCY_SQL = r"""
+WITH pairs AS (
+  SELECT c.event_id AS click_id,
+         CAST(MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS lat_us
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+  GROUP BY c.event_id
+),
+h AS (
+  SELECT lat_us // 60000000 AS lat_min, CAST(count(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1
+),
+cum AS (
+  SELECT lat_min, c,
+         SUM(c) OVER (ORDER BY lat_min) AS cu,
+         SUM(c) OVER () AS n
+  FROM h
+),
+qs AS (SELECT unnest([500, 900, 990]) AS q)
+SELECT CAST(q AS BIGINT) AS q_permille,
+       CAST(MIN(lat_min) AS BIGINT) AS latency_minutes
+FROM cum CROSS JOIN qs
+WHERE cu >= (n * q + 999) // 1000
+GROUP BY q
+"""
+
+
+@query("conversion_latency_quantiles", _CONVERSION_LATENCY_SQL)
+def conversion_latency_quantiles(spark, sf_dir):
+    """Click-to-purchase conversion latency P50/P90/P99: each click's
+    time to its FIRST purchase within 24 h, quantiled over the
+    minute-bucket latency histogram (`operators/rank.grouped_quantiles`
+    with one global group — the cumulative scan touches ≤1440 buckets,
+    never the click table).  The funnel's answer to "how long does
+    conversion take", next to `session_conversion_rate`'s "how often"."""
+    from ..operators.rank import grouped_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("click_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("lat_us")
+        )
+        .select(F.expr("lat_us DIV 60000000").alias("lat_min"))
+    )
+    out = grouped_quantiles(
+        pairs.withColumn("_g", F.lit(1)), ["_g"], "lat_min", [500, 900, 990]
+    )
+    return out.select(
+        "q_permille", F.col("value").cast("long").alias("latency_minutes")
+    )
+
+
+_NEYMAN_SQL = r"""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)
+                  * CAST(floor(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS ss
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+         CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE))) AS BIGINT) AS w_u
+  FROM m
+),
+tot AS (SELECT CAST(SUM(w_u) AS BIGINT) AS tw FROM w),
+base AS (
+  SELECT event_type, n_rows, w_u,
+         (w_u * 1000) // tot.tw AS b,
+         (w_u * 1000) % tot.tw AS r
+  FROM w, tot
+),
+rem AS (SELECT CAST(1000 - SUM(b) AS BIGINT) AS slots FROM base)
+SELECT event_type, n_rows, w_u,
+       CAST(b + CASE WHEN row_number() OVER (ORDER BY r DESC, event_type ASC)
+                          <= rem.slots THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM base, rem
+"""
+
+
+@query("neyman_allocation_events", _NEYMAN_SQL)
+def neyman_allocation_events(spark, sf_dir):
+    """Neyman-optimal stratified-sample allocation: 1000 sample slots
+    split across event-type strata proportional to N_h·σ_h (the
+    variance-minimizing design), with LARGEST-REMAINDER apportionment
+    so the allocation sums to exactly 1000.  N_h·σ_h reduces to
+    √(n·Σv²−(Σv)²) over the exact integer micro-unit moments; the
+    weight is floor-scaled to an int64 so shares, floors, and remainder
+    ranks are ALL integer arithmetic — no order-sensitive double sum
+    ever crosses groups.  One moment pass (map-side partials over the
+    type-bounded stratum table); the apportionment window runs over the
+    strata only."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    vd = v.cast(dec)
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(vd).cast(dec).alias("s"),
+        F.sum(vd * vd).cast(dec).alias("ss"),
+    )
+    w = m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.floor(
+            F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+        )
+        .cast("long")
+        .alias("w_u"),
+    )
+    tot = w.agg(F.sum("w_u").cast("long").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_rows", "w_u",
+        F.expr("(w_u * 1000) DIV tw").alias("b"),
+        F.expr("(w_u * 1000) % tw").alias("r"),
+    )
+    rem = base.agg((F.lit(1000) - F.sum("b")).cast("long").alias("slots"))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("r").desc(), F.col("event_type").asc())
+    )
+    return (
+        base.crossJoin(F.broadcast(rem))
+        .withColumn("_rn", rn)
+        .select(
+            "event_type", "n_rows", "w_u",
+            (F.col("b") + (F.col("_rn") <= F.col("slots")).cast("long"))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

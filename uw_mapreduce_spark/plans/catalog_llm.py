@@ -3217,3 +3217,97 @@ def incremental_knn_top5(spark, sf_dir):
             "query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk")
         )
     )
+
+
+def _prf_oracle_sql() -> str:
+    """DuckDB twin of `prf_expansion_documents`, composed from the SAME
+    query list and BM25 oracle builder so the feedback sets cannot
+    drift."""
+    fb = _bm25_sql(_BM25_QUERIES, k=10)
+    qterm_values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    return rf"""
+WITH fb AS (SELECT query_id, doc_id FROM ({fb})),
+flat AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf_fb AS (
+  SELECT f.query_id, fl.term, CAST(count(*) AS BIGINT) AS tf_fb
+  FROM fb f JOIN flat fl ON f.doc_id = fl.doc_id
+  GROUP BY 1, 2
+),
+df_all AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM flat) GROUP BY term
+),
+qt AS (SELECT * FROM (VALUES {qterm_values}) AS t(query_id, term)),
+scored AS (
+  SELECT t.query_id, t.term, t.tf_fb, d.df,
+         (t.tf_fb * 1000000) // (d.df + 1) AS score_micro
+  FROM tf_fb t JOIN df_all d ON t.term = d.term
+  WHERE NOT EXISTS (SELECT 1 FROM qt
+                    WHERE qt.query_id = t.query_id AND qt.term = t.term)
+)
+SELECT query_id, term, tf_fb, df, score_micro, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@query("prf_expansion_documents", _prf_oracle_sql())
+def prf_expansion_documents(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM1-lite):
+    run BM25, take each query's top-10 feedback docs, and rank
+    candidate expansion terms by feedback-frequency × corpus rarity
+    (tf_fb·10⁶ DIV (df+1) — exact integers; high-df stopwords sink
+    without a stopword list), excluding the original query terms.  The
+    retrieval stack's second stage: `bm25_search_documents` answers,
+    this face learns what to ask next.  Feedback postings join on
+    doc_id (10·|queries| rows broadcast); the df table is
+    vocabulary-bounded; the top-3 window is per query."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    fb = bm25_topk(docs, _BM25_QUERIES, k=10).select("query_id", "doc_id")
+    flat = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    tf_fb = (
+        F.broadcast(fb)
+        .join(flat, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_fb"))
+    )
+    df_all = (
+        flat.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        tf_fb.join(F.broadcast(qt), ["query_id", "term"], "left_anti")
+        .join(df_all, "term")
+        .select(
+            "query_id", "term", "tf_fb", "df",
+            F.expr("(tf_fb * 1000000) DIV (df + 1)").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "term", "tf_fb", "df", "score_micro", "rnk")
+    )

@@ -6,6 +6,8 @@ from .sessions import sessionize_capped
 from .skyline import pareto_frontier
 from .bpe import bpe_encode, bpe_train
 from .diff import diff_summary, table_diff, table_diff_columns
+from .evaluation import binary_centroid_scores, gains_table, kfold_centroid_cv, roc_auc
+from .heavyhitters import exact_heavy_hitters
 from .intervals import coalesce_intervals
 from .lm import bigram_lm_scores
 from .graph import bfs_hops, k_core, pagerank, personalized_pagerank, triangle_counts
@@ -81,6 +83,11 @@ __all__ = [
     "global_rank",
     "hash_sample",
     "hash_split",
+    "binary_centroid_scores",
+    "gains_table",
+    "kfold_centroid_cv",
+    "roc_auc",
+    "exact_heavy_hitters",
     "incremental_rollup",
     "global_rank_scalable",
     "order_statistic_bounds",

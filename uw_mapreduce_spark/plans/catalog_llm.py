@@ -3311,3 +3311,163 @@ def prf_expansion_documents(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("query_id", "term", "tf_fb", "df", "score_micro", "rnk")
     )
+
+
+def _bm25_mrr_oracle_sql() -> str:
+    """DuckDB twin of `bm25_mrr_documents`: same query list, same BM25
+    builder, same AND-containment relevance definition."""
+    fb = _bm25_sql(_BM25_QUERIES, k=5)
+    qterm_values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    return rf"""
+WITH top5 AS (SELECT query_id, doc_id, rank FROM ({fb})),
+qt AS (SELECT * FROM (VALUES {qterm_values}) AS t(query_id, term)),
+qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM qt GROUP BY 1),
+flat AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+rel AS (
+  SELECT q.query_id, f.doc_id
+  FROM qt q JOIN flat f ON q.term = f.term
+  GROUP BY q.query_id, f.doc_id
+  HAVING count(*) = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)
+),
+per AS (
+  SELECT t.query_id,
+         CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS hits_at_5,
+         CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL THEN t.rank END), 0)
+           AS BIGINT) AS first_rel_rank
+  FROM top5 t LEFT JOIN rel r
+    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY t.query_id
+)
+SELECT p.query_id,
+       (SELECT CAST(count(*) AS BIGINT) FROM rel
+        WHERE rel.query_id = p.query_id) AS n_relevant,
+       p.hits_at_5, p.first_rel_rank,
+       CAST(CASE WHEN p.first_rel_rank = 0 THEN 0
+                 ELSE 1000000 // p.first_rel_rank END AS BIGINT) AS rr_micro
+FROM per p
+"""
+
+
+@query("bm25_mrr_documents", _bm25_mrr_oracle_sql())
+def bm25_mrr_documents(spark, sf_dir):
+    """Retrieval-quality evaluation of the BM25 stack: per query, the
+    reciprocal rank (micro), hits@5, and the relevant-set size, against
+    the deterministic AND-containment relevance oracle (a doc is
+    relevant iff it contains EVERY query term) — the ranking-eval
+    counterpart to the classifier harness (`roc_auc_embeddings`).
+    Relevance needs one distinct (doc, query-term) postings pass
+    (pruned to query terms before the shuffle); the metric join touches
+    top-5 rows only."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    top5 = bm25_topk(docs, _BM25_QUERIES, k=5).select("query_id", "doc_id", "rank")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id string, term string",
+    )
+    qn = {qid: len(ts) for qid, ts in _BM25_QUERIES}
+    qn_df = spark.createDataFrame(
+        list(qn.items()), "query_id string, n_terms long"
+    )
+    flat = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+            )
+        ).alias("term"),
+    )
+    rel = (
+        flat.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .join(F.broadcast(qn_df), "query_id")
+        .where(F.col("_m") == F.col("n_terms"))
+        .select("query_id", "doc_id", F.lit(1).alias("_rel"))
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    per = (
+        top5.join(rel, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_rel"), F.lit(0))).cast("long").alias(
+                "hits_at_5"
+            ),
+            F.coalesce(
+                F.min(F.when(F.col("_rel") == 1, F.col("rank"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("first_rel_rank"),
+        )
+    )
+    return (
+        per.join(F.broadcast(n_rel), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            "hits_at_5", "first_rel_rank",
+            F.expr(
+                "CAST(CASE WHEN first_rel_rank = 0 THEN 0"
+                " ELSE 1000000 DIV first_rel_rank END AS BIGINT)"
+            ).alias("rr_micro"),
+        )
+    )
+
+
+_CALIBRATION_SQL = _CENTROID_SCORED_SQL + r"""
+, pred AS (
+  SELECT vec_id, label, c_label, score FROM best WHERE rn = 1
+),
+binned AS (
+  SELECT vec_id, label, c_label,
+         CAST(ntile(10) OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS bin
+  FROM pred
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN label = c_label THEN 1 ELSE 0 END) * 1000 // count(*)
+         AS BIGINT) AS acc_permille
+FROM binned GROUP BY bin
+"""
+
+
+@query("calibration_bins_embeddings", _CALIBRATION_SQL)
+def calibration_bins_embeddings(spark, sf_dir):
+    """Confidence-calibration bins for the nearest-centroid classifier:
+    rows ranked by winning score, cut into 10 scalable ntile bins,
+    accuracy per bin — a well-calibrated score has accuracy falling
+    with the bin number, and a flat profile says the score carries no
+    confidence signal.  Completes the eval harness triad (AUC =
+    discrimination, gains = capture, this = calibration).  Bucketing is
+    `rank.ntile_scalable` on (score desc, vec_id); the accuracy table
+    is 10 integer rows."""
+    from ..operators.classify import nearest_centroid_classify
+    from ..operators.rank import ntile_scalable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = nearest_centroid_classify(emb).select(
+        "vec_id", "label", "pred_label", F.col("score").alias("_s")
+    )
+    t = pred.withColumn("_negs", -F.col("_s"))
+    binned = ntile_scalable(t, ["_negs", "vec_id"], 10, "bin")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("label") == F.col("pred_label")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN label = pred_label THEN 1 ELSE 0 END) * 1000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("acc_permille"),
+    )

@@ -6070,3 +6070,58 @@ def neyman_allocation_events(spark, sf_dir):
             .alias("alloc"),
         )
     )
+
+
+_KANON_SQL = r"""
+WITH qi AS (
+  SELECT c_nationkey AS nation,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment AS sens
+  FROM customer
+),
+grp AS (
+  SELECT nation, bal_band,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT sens) AS BIGINT) AS l
+  FROM qi GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_k5,
+       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k5,
+       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups_l1
+FROM grp
+"""
+
+
+@query("k_anonymity_audit_customers", _KANON_SQL)
+def k_anonymity_audit_customers(spark, sf_dir):
+    """Privacy re-identification audit before a data release: treat
+    (nation, account-balance band) as the quasi-identifier, market
+    segment as the sensitive attribute, and report k-anonymity (min
+    group size, rows/groups below k=5) and l-diversity (min distinct
+    sensitive values; groups with a single one — attribute disclosure
+    even when k holds).  The governance sibling of
+    `gdpr_erasure_audit`: one QI-keyed aggregate (map-side partials,
+    group table bounded by the QI domain), one 1-row rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sens"),
+    )
+    grp = qi.groupBy("nation", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("sens").cast("long").alias("l"),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k5"),
+        F.sum((F.col("k") < 5).cast("long")).cast("long").alias("groups_below_k5"),
+        F.sum((F.col("l") == 1).cast("long")).cast("long").alias("groups_l1"),
+    )

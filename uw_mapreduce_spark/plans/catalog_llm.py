@@ -3093,18 +3093,13 @@ FROM kth, thr
 """
 
 
-@query("conformal_threshold_embeddings", _CONFORMAL_SQL)
-def conformal_threshold_embeddings(spark, sf_dir):
-    """Split-conformal novelty gate over the centroid score: the
-    calibration half (md5-permille identity split — rerun-stable, the
-    DuckDB twin reproduces membership row-for-row) yields the
-    k = ⌈α(n+1)⌉-th smallest score as the α=0.1 lower-tail threshold;
-    test rows strictly below it are flagged non-conforming — the
-    distribution-free outlier gate a curation pipeline puts in front of
-    mislabeled-data review.  The order statistic comes from a
-    cumulative over the DISTINCT-SCORE histogram (the AUC/ks pattern),
-    never a corpus sort; the flag pass is a broadcast-threshold map
-    filter."""
+
+
+def _conformal_parts(spark, sf_dir):
+    """Shared plan fragments of the split-conformal gate: the scored
+    frame (with is_cal), the (k, n_cal) frame, and the 1-row threshold
+    — reused verbatim by `conformal_threshold_embeddings` and the v5
+    curation pipeline so face and composition cannot drift."""
     from ..operators.evaluation import binary_centroid_scores
     from ..operators.scale import _ranged_with_offsets
     from ..operators.split import hash_permille
@@ -3128,6 +3123,22 @@ def conformal_threshold_embeddings(spark, sf_dir):
         .where(F.col("_prefix") >= F.col("k"))
         .agg(F.min("score").alias("threshold"))
     )
+    return scored, kth, thr
+
+
+@query("conformal_threshold_embeddings", _CONFORMAL_SQL)
+def conformal_threshold_embeddings(spark, sf_dir):
+    """Split-conformal novelty gate over the centroid score: the
+    calibration half (md5-permille identity split — rerun-stable, the
+    DuckDB twin reproduces membership row-for-row) yields the
+    k = ⌈α(n+1)⌉-th smallest score as the α=0.1 lower-tail threshold;
+    test rows strictly below it are flagged non-conforming — the
+    distribution-free outlier gate a curation pipeline puts in front of
+    mislabeled-data review.  The order statistic comes from a
+    cumulative over the DISTINCT-SCORE histogram (the AUC/ks pattern),
+    never a corpus sort; the flag pass is a broadcast-threshold map
+    filter."""
+    scored, kth, thr = _conformal_parts(spark, sf_dir)
     test = scored.where(~F.col("is_cal"))
     ntest = test.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
     flagged = (
@@ -3470,4 +3481,77 @@ def calibration_bins_embeddings(spark, sf_dir):
             "CAST(SUM(CASE WHEN label = pred_label THEN 1 ELSE 0 END) * 1000"
             " DIV count(*) AS BIGINT)"
         ).alias("acc_permille"),
+    )
+
+
+def _curation_v5_oracle() -> str:
+    """Composed from the REGISTERED oracles of the components (quality
+    rules, split-conformal threshold) plus the shared binary-score CTE
+    — the v3/v4 composition contract extended to the multimodal gate:
+    text rules AND embedding conformity must both pass, then exact
+    dedup keeps the smallest id per text."""
+    from ._registry import ORACLE
+
+    rules = ORACLE["quality_rules_documents"]
+    conf = ORACLE["conformal_threshold_embeddings"]
+    return _BINARY_SCORED_SQL + rf"""
+, rules AS (SELECT * FROM ({rules})),
+thr AS (SELECT threshold FROM ({conf})),
+surv AS (
+  SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+         md5(d.text) AS fp
+  FROM documents d
+  JOIN rules r ON r.doc_id = d.doc_id AND r.keep = 1
+  JOIN scored s ON s.vec_id = d.doc_id
+  CROSS JOIN thr
+  WHERE s.score >= thr.threshold
+),
+keep1 AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM surv
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM keep1 WHERE rn = 1
+GROUP BY source
+"""
+
+
+@query("curation_pipeline_v5", _curation_v5_oracle())
+def curation_pipeline_v5(spark, sf_dir):
+    """Curation v5 — the MULTIMODAL gate: a document survives only if
+    its TEXT passes the Gopher rule conjunction AND its EMBEDDING
+    clears the split-conformal typicality threshold (the α=0.1 novelty
+    gate — mislabeled/outlier vectors drop even when the prose looks
+    fine), then exact dedup keeps the smallest id per text; output is
+    the per-source manifest.  Both gates reuse the REGISTERED component
+    plans verbatim (`_conformal_parts`, `quality_rules_documents`), so
+    pipeline and components cannot drift; the conformal threshold is a
+    1-row broadcast, the rules a map-only filter, and doc↔vec ids join
+    1:1 by the shared id space."""
+    from ._registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = QUERIES["quality_rules_documents"](spark, sf_dir)
+    scored, _kth, thr = _conformal_parts(spark, sf_dir)
+    surv = (
+        docs.join(rules.where(F.col("keep") == 1).select("doc_id"), "doc_id")
+        .join(
+            scored.select(F.col("vec_id").alias("doc_id"), "score"), "doc_id"
+        )
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("threshold"))
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+                F.md5(F.col("text")).alias("fp"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
     )

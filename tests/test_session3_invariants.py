@@ -1,0 +1,128 @@
+"""Session-3 face invariants that the value-hash oracles don't state
+explicitly: the growth-accounting DAU identity, Spearman vs a brute
+midrank model, Neyman apportionment totals, the conformal order
+statistic, and the v5 subset discipline."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from uw_mapreduce_spark.session import get_spark
+
+    return get_spark(
+        app_name="s3-invariants", master="local[4]", shuffle_partitions=8
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_growth_accounting_dau_identity(spark, queries):
+    """DAU_d == DAU_{d-1} + new + resurrected − churned, per day."""
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    ledger = {
+        r["d"]: r
+        for r in queries["growth_accounting_events"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    dau = {
+        r["d"]: r["dau"]
+        for r in ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    days = sorted(dau)
+    for prev, cur in zip(days, days[1:]):
+        row = ledger[cur]
+        assert dau[cur] == dau[prev] + row["new_users"] + row["resurrected"] - (
+            ledger[cur]["churned"]
+        ), cur
+        # retained is the remainder of yesterday's actives
+        assert row["retained"] == dau[prev] - row["churned"]
+
+
+def test_spearman_brute_model(spark):
+    """spearman face arithmetic == a pure-Python midrank model."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    import duckdb
+
+    xs = [1, 2, 2, 3, 3, 3, 10, 1, 2, 5]
+    ys = [5, 4, 4, 3, 9, 2, 1, 5, 3, 2]
+
+    def midranks(v):
+        sv = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and v[sv[j]] == v[sv[i]]:
+                j += 1
+            avg = (i + j + 1) / 2  # 1-based average rank
+            for t in sv[i:j]:
+                r[t] = avg
+            i = j
+        return r
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    hx = [int(2 * r) for r in rx]
+    hy = [int(2 * r) for r in ry]
+    num = n * sum(a * b for a, b in zip(hx, hy)) - sum(hx) * sum(hy)
+    d1 = n * sum(a * a for a in hx) - sum(hx) ** 2
+    d2 = n * sum(b * b for b in hy) - sum(hy) ** 2
+    import math
+
+    want = math.floor(1_000_000.0 * num / (math.sqrt(d1) * math.sqrt(d2)))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ",".join(f"('A', {x}, {y / 100.0})" for x, y in zip(xs, ys))
+        + ") AS t(l_returnflag, l_quantity, l_extendedprice)"
+    )
+    sql = e.oracle_sql()["spearman_qty_price_lineitem"]
+    got = con.execute(sql).fetchall()
+    assert got == [("A", n, want)]
+
+
+def test_neyman_allocation_sums_to_1000(spark, queries):
+    out = queries["neyman_allocation_events"](spark, SF).collect()
+    assert sum(r["alloc"] for r in out) == 1000
+    for r in out:
+        assert r["alloc"] >= 0
+
+
+def test_conformal_threshold_is_kth_order_statistic(spark):
+    from pyspark.sql import functions as F
+
+    from uw_mapreduce_spark.plans.catalog_llm import _conformal_parts
+
+    scored, kth, thr = _conformal_parts(spark, SF)
+    cal_scores = sorted(
+        r["score"] for r in scored.where("is_cal").select("score").collect()
+    )
+    k = kth.collect()[0]["k"]
+    assert thr.collect()[0]["threshold"] == cal_scores[k - 1]
+
+
+def test_v5_is_subset_of_quality_kept(spark, queries):
+    from pyspark.sql import functions as F
+
+    v5 = queries["curation_pipeline_v5"](spark, SF).collect()
+    rules = queries["quality_rules_documents"](spark, SF)
+    n_quality = rules.where(F.col("keep") == 1).count()
+    assert sum(r["n_docs"] for r in v5) <= n_quality

@@ -183,10 +183,10 @@ def kfold_centroid_cv(
     so the assignment is rerun- and reshard-stable and the DuckDB twin
     reproduces it row-for-row.  Leave-one-fold-out centroids come from
     ONE pass: per-(fold,label,pos) integer sums (F·L·dim rows), train
-    sums = total − fold in driver Python (exact big ints).  Each fold
-    is then scored MAP-ONLY against its own literal centroid table via
-    `classify.nearest_centroid_classify`."""
-    from .classify import nearest_centroid_classify
+    sums = total − fold in driver Python (exact big ints).  Scoring is
+    then ONE map-only corpus pass: a when() chain on the fold tag picks
+    each row's own leave-one-out literal centroid argmax, so no fold
+    re-scans the corpus."""
     from .split import hash_permille
 
     if 1000 % folds:
@@ -213,28 +213,50 @@ def kfold_centroid_cv(
         for l in labels
         for p in dims
     }
-    spark = df.sparkSession
-    out = None
+    # ONE corpus pass: each fold's leave-one-out centroids become a
+    # literal argmax expression, selected per row by a when() chain on
+    # the fold tag — a row evaluates only its own fold's L dot products,
+    # so the work matches the per-fold-filter plan without re-scanning
+    # the corpus F times.
+    dim = 1 + max(dims)
+    qv = _quantized(vec_col, scale)
+
+    def fold_pred(f: int) -> F.Column:
+        scored = []
+        for lbl in labels:
+            svec = [totals[(lbl, p)] - per_fold.get((f, lbl, p), 0)
+                    for p in range(dim)]
+            n2 = float(sum(c * c for c in svec))
+            lit = F.array(*[F.lit(c) for c in svec])
+            d = F.aggregate(
+                F.zip_with(qv, lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            score = d.cast("double") / F.sqrt(F.lit(n2))
+            scored.append(
+                F.struct(score.alias("s"), F.lit(-lbl).cast("long").alias("nl"))
+            )
+        return -F.array_max(F.array(*scored))["nl"]
+
+    pred = None
     for f in range(folds):
-        rows = [
-            (l, p, totals[(l, p)] - per_fold.get((f, l, p), 0))
-            for l in labels
-            for p in dims
-        ]
-        cent = spark.createDataFrame(rows, "c_label long, pos int, s long")
-        fold_df = tagged.where(F.col("_fold") == f)
-        pred = nearest_centroid_classify(
-            fold_df, label_col, vec_col, scale, centroids=cent
+        pred = (
+            F.when(F.col("_fold") == f, fold_pred(f))
+            if pred is None
+            else pred.when(F.col("_fold") == f, fold_pred(f))
         )
-        per = pred.agg(
-            F.lit(f).cast("long").alias("fold"),
+    per = (
+        tagged.withColumn("_pred", pred)
+        .groupBy(F.col("_fold").cast("long").alias("fold"))
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum((F.col("pred_label") == F.col(label_col)).cast("long"))
+            F.sum((F.col("_pred") == F.col(label_col)).cast("long"))
             .cast("long")
             .alias("n_correct"),
         )
-        out = per if out is None else out.unionByName(per)
-    return out.select(
+    )
+    return per.select(
         "fold", "n", "n_correct",
         F.expr("CAST(n_correct * 1000 DIV n AS BIGINT)").alias("acc_permille"),
     )

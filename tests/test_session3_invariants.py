@@ -126,3 +126,45 @@ def test_v5_is_subset_of_quality_kept(spark, queries):
     rules = queries["quality_rules_documents"](spark, SF)
     n_quality = rules.where(F.col("keep") == 1).count()
     assert sum(r["n_docs"] for r in v5) <= n_quality
+
+
+def test_power_iteration_matches_exact_bigint_model(spark):
+    """The distributed iterate equals a pure-Python arbitrary-precision
+    model EXACTLY (not approximately) — the whole point of the integer
+    formulation."""
+    import numpy as np
+
+    from uw_mapreduce_spark.operators.pca import (
+        power_iteration_top_component,
+        rescale_int_vector,
+    )
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = power_iteration_top_component(emb, iters=3).collect()
+    got = [0] * len(out)
+    for r in out:
+        got[r["pos"]] = r["w"]
+
+    mat = [
+        [int(x) for x in np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6)]
+        for r in emb.select("embedding").collect()
+    ]
+    n, dim = len(mat), len(mat[0])
+    w = [1] * dim
+    for _ in range(3):
+        d = [sum(mat[i][j] * w[j] for j in range(dim)) for i in range(n)]
+        u = [sum(mat[i][j] * d[i] for i in range(n)) for j in range(dim)]
+        w = rescale_int_vector(u)
+    assert got == w
+
+
+def test_rescale_int_vector_trunc_semantics():
+    from uw_mapreduce_spark.operators.pca import rescale_int_vector
+
+    # max has 9 digits, keep 7 -> divide by 10^2
+    assert rescale_int_vector([123456789, -987654321]) == [1234567, -9876543]
+    assert rescale_int_vector([-7, 3], keep_digits=0) == [0, 0]
+    assert rescale_int_vector([0, 0]) == [0, 0]
+    # trunc toward zero, not floor: -15 / 10 -> -1
+    assert rescale_int_vector([-15, 99999999], keep_digits=7) == [-1, 9999999]

@@ -3555,3 +3555,65 @@ def curation_pipeline_v5(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+def _pca_oracle_sql(iters: int = 3) -> str:
+    """DuckDB twin of the exact power iteration: the same steps
+    unrolled as CTEs — int64 projections, HUGEINT back-projections,
+    and the power-of-ten trunc rescale built from a digit-count string
+    (exact for any magnitude, unlike float power(10, k))."""
+    parts = [r"""
+WITH flat AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM embeddings
+)"""]
+    prev_w = None
+    for k in range(1, iters + 1):
+        if prev_w is None:
+            d = f"d{k} AS (SELECT vec_id, SUM(CAST(c AS HUGEINT)) AS d FROM flat GROUP BY vec_id)"
+        else:
+            d = (
+                f"d{k} AS (SELECT f.vec_id, SUM(CAST(f.c AS HUGEINT) * w.w) AS d "
+                f"FROM flat f JOIN {prev_w} w ON f.pos = w.pos GROUP BY f.vec_id)"
+            )
+        u = (
+            f"u{k} AS (SELECT f.pos, SUM(CAST(f.c AS HUGEINT) * d.d) AS u "
+            f"FROM flat f JOIN d{k} d ON f.vec_id = d.vec_id GROUP BY f.pos)"
+        )
+        s = (
+            f"s{k} AS (SELECT CASE WHEN length(CAST(MAX(ABS(u)) AS VARCHAR)) <= 7 "
+            f"THEN CAST(1 AS HUGEINT) "
+            f"ELSE CAST('1' || repeat('0', length(CAST(MAX(ABS(u)) AS VARCHAR)) - 7) AS HUGEINT) "
+            f"END AS s FROM u{k})"
+        )
+        w = (
+            f"w{k} AS (SELECT pos, CASE WHEN u >= 0 THEN u // s "
+            f"ELSE -((-u) // s) END AS w FROM u{k}, s{k})"
+        )
+        parts += [d, u, s, w]
+        prev_w = f"w{k}"
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + f"\nSELECT CAST(pos AS INT) AS pos, CAST(w AS BIGINT) AS w FROM {prev_w}"
+
+
+@query("pca_top_component_embeddings", _pca_oracle_sql(3))
+def pca_top_component_embeddings(spark, sf_dir):
+    """Three EXACT integer power-iteration steps toward the dominant
+    principal direction of the embedding corpus (`operators/pca.
+    power_iteration_top_component`): int64 row projections, DECIMAL(38)/HUGEINT
+    back-projections, and a power-of-ten trunc rescale instead of a
+    float normalization — so an iterative linear-algebra result
+    value-hashes across engines, which classic float power iteration
+    cannot.  Per step: one map-only pass (the iterate is a 64-literal
+    array in codegen) + one dim-bounded shuffle; the driver holds only
+    the 64-component iterate.  The anisotropy/drift diagnostic of
+    embedding pipelines (this synthetic corpus is near-isotropic —
+    λ2/λ1≈0.93 — so 3 steps are a partial rotation; the step count is a
+    parameter and every step is bit-exact either way)."""
+    from ..operators.pca import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(emb, iters=3)

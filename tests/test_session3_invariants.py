@@ -168,3 +168,18 @@ def test_rescale_int_vector_trunc_semantics():
     assert rescale_int_vector([0, 0]) == [0, 0]
     # trunc toward zero, not floor: -15 / 10 -> -1
     assert rescale_int_vector([-15, 99999999], keep_digits=7) == [-1, 9999999]
+
+
+def test_kmeans_exact_partitions_corpus(spark):
+    from uw_mapreduce_spark.operators.clustering import kmeans_lloyd_exact
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = kmeans_lloyd_exact(emb, k=4, iters=2).collect()
+    sizes = {r["cent_id"]: r["n_members"] for r in out}
+    assert sum(sizes.values()) == emb.count()
+    assert len({r["cent_id"] for r in out}) == 4
+    dim = len(emb.first()["embedding"])
+    assert len(out) == 4 * dim
+    again = kmeans_lloyd_exact(emb, k=4, iters=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -3617,3 +3617,80 @@ def pca_top_component_embeddings(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top_component(emb, iters=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of the exact Lloyd loop, iterations unrolled as
+    CTEs: same md5 seed draw, same int64 distance argmin (ties to the
+    smallest centroid id), same trunc-toward-zero integer mean, same
+    empty-cluster carry."""
+    parts = [rf"""
+WITH flat AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+  FROM embeddings
+),
+sd AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY h, vec_id) AS cent_id
+  FROM (SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM embeddings)
+  ORDER BY h, vec_id LIMIT {k}
+),
+cent0 AS (
+  SELECT s.cent_id, f.pos, f.c AS mu
+  FROM sd s JOIN flat f ON s.vec_id = f.vec_id
+)"""]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT f.vec_id, c.cent_id, "
+            f"SUM((f.c - c.mu) * (f.c - c.mu)) AS d2 "
+            f"FROM flat f JOIN {prev} c ON f.pos = c.pos GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"g{i} AS (SELECT vec_id, cent_id FROM ("
+            f"SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cent_id) AS rn FROM a{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"st{i} AS (SELECT g.cent_id, f.pos, CAST(SUM(f.c) AS HUGEINT) AS s, "
+            f"CAST(count(*) AS BIGINT) AS n "
+            f"FROM g{i} g JOIN flat f ON g.vec_id = f.vec_id GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"cent{i} AS (SELECT p.cent_id, p.pos, "
+            f"CASE WHEN st.n IS NULL THEN p.mu "
+            f"WHEN st.s >= 0 THEN CAST(st.s // st.n AS BIGINT) "
+            f"ELSE -CAST((-st.s) // st.n AS BIGINT) END AS mu "
+            f"FROM {prev} p LEFT JOIN st{i} st "
+            f"ON p.cent_id = st.cent_id AND p.pos = st.pos)"
+        )
+        prev = f"cent{i}"
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + rf"""
+SELECT c.cent_id, CAST(c.pos AS INT) AS pos, CAST(c.mu AS BIGINT) AS mu,
+       CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members
+FROM {prev} c
+LEFT JOIN (SELECT cent_id, MAX(n) AS n FROM st{iters} GROUP BY 1) n
+  ON c.cent_id = n.cent_id
+"""
+
+
+@query("kmeans_exact_embeddings", _kmeans_oracle_sql(8, 2))
+def kmeans_exact_embeddings(spark, sf_dir):
+    """Integer-grid Lloyd k-means (k=8, 2 steps) — CLUSTERING with a
+    full value-hash oracle (`operators/clustering.kmeans_lloyd_exact`):
+    portable md5 seed draw, exact int64 L2 argmin with smallest-id
+    ties, trunc-division integer means, empty-cluster carry.  The
+    corpus-stratification primitive `similarity.kmeans_centroids` (the
+    IVF build) keeps in float — this face is the engine-reproducible
+    twin.  Assignment is map-only (k·dim literal grids in codegen);
+    the update shuffle is bounded at k·dim cells per task."""
+    from ..operators.clustering import kmeans_lloyd_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(emb, k=8, iters=2)

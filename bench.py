@@ -77,6 +77,9 @@ HEADLINE = [
     "item_item_cf_parts",
     "roc_auc_embeddings",
     "growth_accounting_events",
+    "curation_pipeline_v5",
+    "pca_top_component_embeddings",
+    "kmeans_exact_embeddings",
 ]
 
 
@@ -197,6 +200,11 @@ SF1_QUERIES = [
     "best_split_events",
     "ols_trend_revenue_by_nation",
     "hard_negatives_embeddings",
+    "curation_pipeline_v5",
+    "pca_top_component_embeddings",
+    "kmeans_exact_embeddings",
+    "spearman_qty_price_lineitem",
+    "prf_expansion_documents",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

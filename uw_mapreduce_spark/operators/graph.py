@@ -379,3 +379,64 @@ def k_core(
         if n_nxt == 0:
             return nxt.select("v", F.col("core_deg").cast("long").alias("core_deg"))
     raise RuntimeError(f"k_core did not converge within {max_iter} peels")
+
+
+def _rescale_col(df: DataFrame, col: str) -> DataFrame:
+    """Trunc-divide ``col`` by 10^(digits(max|col|) − 7) — the exact
+    power-of-ten rescale of the power-iteration family (`operators/
+    pca.py`): keeps iterates in int64 without a float normalization,
+    identically on any engine (the scale factor is built from a digit
+    count, never float pow)."""
+    m = df.agg(F.max(F.abs(F.col(col))).alias("_m"))
+    s = F.expr(
+        "CAST(CASE WHEN length(CAST(_m AS STRING)) <= 7 THEN '1' "
+        "ELSE '1' || repeat('0', length(CAST(_m AS STRING)) - 7) END AS BIGINT)"
+    )
+    return (
+        df.crossJoin(F.broadcast(m.select(s.alias("_s"))))
+        .withColumn(col, F.expr(f"{col} DIV _s"))
+        .drop("_s")
+    )
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """HITS hubs & authorities in exact integer arithmetic.
+
+    Classic HITS normalizes by an L2 norm every half-step — a float
+    reduction no two engines order alike.  Here each half-step is an
+    exact int64 weighted sum (``a = Σ w·h`` over in-edges, ``h = Σ w·a``
+    over out-edges) followed by the power-of-ten trunc rescale, so the
+    mutual-reinforcement fixpoint sequence is value-hash reproducible —
+    the same contract as `pagerank` (integer micro-units) and
+    `operators/pca.py` (exact power iteration).
+
+    Returns (side, node, score): side ∈ {'hub','authority'}.  Scale:
+    each half-step is one edge-keyed join + one node-keyed aggregate —
+    the pagerank topology; the rescale adds a 1-row max broadcast."""
+    h = edges.select(F.col(src).alias("node")).distinct().withColumn(
+        "score", F.lit(1).cast("long")
+    )
+    a = None
+    for _ in range(iterations):
+        a = _rescale_col(
+            edges.join(h.withColumnRenamed("node", src), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col(weight) * F.col("score")).cast("long").alias("score")),
+            "score",
+        )
+        h = _rescale_col(
+            edges.join(a.withColumnRenamed("node", dst), dst)
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum(F.col(weight) * F.col("score")).cast("long").alias("score")),
+            "score",
+        )
+    return h.select(F.lit("hub").alias("side"), "node", "score").unionByName(
+        a.select(F.lit("authority").alias("side"), "node", "score")
+    )

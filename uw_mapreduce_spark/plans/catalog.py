@@ -6125,3 +6125,75 @@ def k_anonymity_audit_customers(spark, sf_dir):
         F.sum((F.col("k") < 5).cast("long")).cast("long").alias("groups_below_k5"),
         F.sum((F.col("l") == 1).cast("long")).cast("long").alias("groups_l1"),
     )
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    """DuckDB twin of the exact HITS loop on the customer↔part
+    purchase graph, half-steps unrolled with the digit-count
+    power-of-ten rescale."""
+    parts = [r"""
+WITH edges AS (
+  SELECT o.o_custkey AS c, l.l_partkey AS p, CAST(count(*) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+h0 AS (SELECT DISTINCT c AS node, CAST(1 AS BIGINT) AS score FROM edges)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.p AS node, SUM(e.w * h.score) AS score "
+            f"FROM edges e JOIN {prev_h} h ON e.c = h.node GROUP BY 1)"
+        )
+        parts.append(
+            f"asc{i} AS (SELECT CASE WHEN length(CAST(MAX(ABS(score)) AS VARCHAR)) <= 7 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST('1' || repeat('0', "
+            f"length(CAST(MAX(ABS(score)) AS VARCHAR)) - 7) AS BIGINT) END AS s FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, score // s AS score FROM ar{i}, asc{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.c AS node, SUM(e.w * a.score) AS score "
+            f"FROM edges e JOIN a{i} a ON e.p = a.node GROUP BY 1)"
+        )
+        parts.append(
+            f"hsc{i} AS (SELECT CASE WHEN length(CAST(MAX(ABS(score)) AS VARCHAR)) <= 7 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST('1' || repeat('0', "
+            f"length(CAST(MAX(ABS(score)) AS VARCHAR)) - 7) AS BIGINT) END AS s FROM hr{i})"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, score // s AS score FROM hr{i}, hsc{i})"
+        )
+        prev_h = f"h{i}"
+    body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body + rf"""
+SELECT side, node, CAST(score AS BIGINT) AS score FROM (
+  SELECT 'hub' AS side, node, score FROM h{iters}
+  UNION ALL
+  SELECT 'authority' AS side, node, score FROM a{iters}
+)
+"""
+
+
+@query("hits_purchase_graph", _hits_oracle_sql(2))
+def hits_purchase_graph(spark, sf_dir):
+    """HITS hubs & authorities (`operators/graph.hits`, 2 rounds) over
+    the weighted customer↔part purchase bipartite graph — which
+    customers are broad buyers (hubs), which parts sit in broad
+    baskets (authorities).  Each half-step is an exact int64 weighted
+    sum + the power-of-ten trunc rescale instead of the classic float
+    L2 normalization, so the mutual-reinforcement fixpoint value-hashes
+    across engines — the third member of the exact-iterative family
+    beside integer PageRank and the power-iteration PCA."""
+    from ..operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return hits(edges, iterations=2)

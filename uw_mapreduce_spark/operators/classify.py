@@ -105,9 +105,16 @@ def nearest_centroid_classify(
         # hugeint accumulator.
         n2 = float(sum(c * c for c in svec))
         lit = F.array(*[F.lit(c) for c in svec])
+        # Accumulate the dot in DECIMAL(38,0): component sums s_j grow
+        # with the corpus, so c_j*s_j summed over dims wraps int64 from
+        # ~1e5 rows per label — the DuckDB twin is HUGEINT-exact, and
+        # exact==exact keeps the hash contract at any scale.
         d = F.aggregate(
-            F.zip_with(qv, lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
+            F.zip_with(
+                qv, lit,
+                lambda a, b: a.cast("decimal(38,0)") * b.cast("decimal(38,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
             lambda acc, x: acc + x,
         )
         score = d.cast("double") / F.sqrt(F.lit(n2))

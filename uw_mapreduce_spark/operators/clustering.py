@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_scoped
 from .classify import _quantized
 
 __all__ = ["kmeans_lloyd_exact"]
@@ -59,7 +60,13 @@ def kmeans_lloyd_exact(
     ``iters`` exact Lloyd steps, with each centroid's final assignment
     count (0 if it emptied; it then keeps its previous grid)."""
     spark = df.sparkSession
-    q = df.select(F.col(id_col).alias("_id"), _quantized(vec_col, scale).alias("_c"))
+    # the quantized frame feeds the seed draw plus one stats collect per
+    # iteration — cache it so the corpus is read and floor-quantized
+    # once, not iters+1 times (the _ranged_with_offsets discipline).
+    q = persist_scoped(
+        df.select(F.col(id_col).alias("_id"), _quantized(vec_col, scale).alias("_c")),
+        "kmeans",
+    )
     h = (
         F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 12), 16, 10)
         .cast("long")

@@ -69,15 +69,23 @@ def binary_centroid_scores(
         int(r["pos"]): int(r["s"])
         for r in cent.where(F.col("c_label") == pos_label).collect()
     }
+    if not comps:
+        raise ValueError(f"pos_label {pos_label} has no rows in the corpus")
     dim = 1 + max(comps)
     svec = [comps.get(p, 0) for p in range(dim)]
     # Exact integer norm² in arbitrary-precision Python, ONE conversion
     # to double — matches DuckDB's CAST(SUM(s*s) AS DOUBLE) (hugeint).
     n2 = float(sum(c * c for c in svec))
     lit = F.array(*[F.lit(c) for c in svec])
+    # DECIMAL(38,0) accumulation: the centroid sums grow with the
+    # corpus, so an int64 dot wraps from ~1e5 positive rows; the DuckDB
+    # twin is HUGEINT-exact, and exact==exact preserves the hash.
     d = F.aggregate(
-        F.zip_with(_quantized(vec_col, scale), lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
+        F.zip_with(
+            _quantized(vec_col, scale), lit,
+            lambda a, b: a.cast(_DEC) * b.cast(_DEC),
+        ),
+        F.lit(0).cast(_DEC),
         lambda acc, x: acc + x,
     )
     return df.select(
@@ -227,10 +235,16 @@ def kfold_centroid_cv(
             svec = [totals[(lbl, p)] - per_fold.get((f, lbl, p), 0)
                     for p in range(dim)]
             n2 = float(sum(c * c for c in svec))
+            if n2 == 0.0:
+                # a label with zero training rows in this fold's
+                # complement cannot be predicted: score would be 0/0 =
+                # NaN, and NaN outranks every real double in array_max.
+                # The oracle excludes the same labels via n2 > 0.
+                continue
             lit = F.array(*[F.lit(c) for c in svec])
             d = F.aggregate(
-                F.zip_with(qv, lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
+                F.zip_with(qv, lit, lambda a, b: a.cast(_DEC) * b.cast(_DEC)),
+                F.lit(0).cast(_DEC),
                 lambda acc, x: acc + x,
             )
             score = d.cast("double") / F.sqrt(F.lit(n2))

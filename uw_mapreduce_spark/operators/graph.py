@@ -387,11 +387,10 @@ def _rescale_col(df: DataFrame, col: str) -> DataFrame:
     pca.py`): keeps iterates in int64 without a float normalization,
     identically on any engine (the scale factor is built from a digit
     count, never float pow)."""
+    from .pca import rescale_scale_sql
+
     m = df.agg(F.max(F.abs(F.col(col))).alias("_m"))
-    s = F.expr(
-        "CAST(CASE WHEN length(CAST(_m AS STRING)) <= 7 THEN '1' "
-        "ELSE '1' || repeat('0', length(CAST(_m AS STRING)) - 7) END AS BIGINT)"
-    )
+    s = F.expr(rescale_scale_sql("_m"))
     return (
         df.crossJoin(F.broadcast(m.select(s.alias("_s"))))
         .withColumn(col, F.expr(f"{col} DIV _s"))
@@ -420,6 +419,8 @@ def hits(
     Returns (side, node, score): side ∈ {'hub','authority'}.  Scale:
     each half-step is one edge-keyed join + one node-keyed aggregate —
     the pagerank topology; the rescale adds a 1-row max broadcast."""
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1 (no authority half-step ran)")
     h = edges.select(F.col(src).alias("node")).distinct().withColumn(
         "score", F.lit(1).cast("long")
     )

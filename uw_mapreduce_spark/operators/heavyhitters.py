@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_scoped
+
 __all__ = ["exact_heavy_hitters"]
 
 
@@ -47,12 +49,15 @@ def exact_heavy_hitters(
 ) -> DataFrame:
     """Keys with frequency > total/k, with exact counts: (key, cnt).
 
-    ``capacity`` (default 4·k) is the per-partition MG size; any value
-    ≥ k preserves the superset guarantee, larger reduces candidate
-    noise.  Keys are counted as strings (the Arrow summary schema);
-    cast upstream if a typed key must round-trip.
+    ``capacity`` (default 4·k) is the per-partition MG size; it must be
+    ≥ k or the superset guarantee breaks (a heavy hitter could be
+    pruned), so smaller values raise.  Keys are counted as strings (the
+    Arrow summary schema); cast upstream if a typed key must
+    round-trip.
     """
-    cap = capacity or 4 * k
+    cap = 4 * k if capacity is None else capacity
+    if cap < k:
+        raise ValueError(f"capacity {cap} < k {k} voids the superset guarantee")
     src = keys.select(F.col(key_col).cast("string").alias("_k")).where(
         F.col("_k").isNotNull()
     )
@@ -62,7 +67,9 @@ def exact_heavy_hitters(
         import pandas as pd
 
         counts: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for key, c in pdf["_k"].value_counts().items():
                 counts[key] = counts.get(key, 0) + int(c)
             if len(counts) > cap:
@@ -72,10 +79,26 @@ def exact_heavy_hitters(
                 # decrement per surviving item ≤ n_p/(cap+1).
                 d = int(np.partition(vals, len(vals) - cap - 1)[len(vals) - cap - 1])
                 counts = {key: c - d for key, c in counts.items() if c - d > 0}
-        yield pd.DataFrame({"_k": list(counts.keys())})
+        # candidate rows (_n NULL) plus ONE per-partition count row
+        # (_k NULL) — the stream total rides the same pass instead of
+        # costing a third full scan.
+        yield pd.DataFrame(
+            {
+                "_k": list(counts.keys()) + [None],
+                "_n": [None] * len(counts) + [n_part],
+            }
+        )
 
-    candidates = src.mapInPandas(mg_partition, schema="_k string").distinct()
-    total = src.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # tiny (≤ cap·P + P rows) but consumed twice — cache it so the MG
+    # pass over the stream truly runs once.
+    summary = persist_scoped(
+        src.mapInPandas(mg_partition, schema="_k string, _n long"),
+        "heavyhitters",
+    )
+    candidates = summary.where(F.col("_k").isNotNull()).select("_k").distinct()
+    total = summary.where(F.col("_k").isNull()).agg(
+        F.sum("_n").cast("long").alias("_n")
+    )
     return (
         src.join(F.broadcast(candidates), "_k")
         .groupBy("_k")

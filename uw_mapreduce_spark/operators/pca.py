@@ -44,9 +44,27 @@ from pyspark.sql import functions as F
 
 from .classify import _quantized
 
-__all__ = ["power_iteration_top_component", "rescale_int_vector"]
+__all__ = ["power_iteration_top_component", "rescale_int_vector", "rescale_scale_sql"]
 
 _DEC = "decimal(38,0)"
+
+
+def rescale_scale_sql(maxabs_expr: str, keep_digits: int = 7,
+                      int_type: str = "BIGINT") -> str:
+    """The power-of-ten scale factor as engine-portable SQL text:
+    10^(digits(max|·|) − keep_digits), built from a digit-count string
+    (exact at any magnitude, unlike float pow).  THE single source for
+    every rescale site — `graph._rescale_col` (Spark), the PCA and
+    HITS oracle builders (DuckDB, ``int_type='HUGEINT'`` for PCA) —
+    so the keep-digits boundary can never drift between engines.
+    ``STRING`` casts parse on both engines (DuckDB aliases it to
+    VARCHAR)."""
+    digits = f"length(CAST({maxabs_expr} AS STRING))"
+    return (
+        f"CASE WHEN {digits} <= {keep_digits} THEN CAST(1 AS {int_type}) "
+        f"ELSE CAST('1' || repeat('0', {digits} - {keep_digits}) "
+        f"AS {int_type}) END"
+    )
 
 
 def rescale_int_vector(u: list[int], keep_digits: int = 7) -> list[int]:

@@ -5173,7 +5173,8 @@ pre AS (
 ),
 crit AS (
   SELECT d, nl, t.n - nl AS nr, sl, t.s - sl AS sr,
-         sl * (t.n - nl) - (t.s - sl) * nl AS diff
+         CAST(sl AS HUGEINT) * (t.n - nl)
+           - CAST(t.s - sl AS HUGEINT) * nl AS diff
   FROM pre, tot t
   WHERE nl < t.n
 ),
@@ -5188,7 +5189,7 @@ best AS (
 )
 SELECT CAST(DATE '1970-01-01' + CAST(d AS INT) AS DATE) AS split_day,
        CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
-       CAST(diff AS BIGINT) AS diff_u, crit
+       CAST(diff AS VARCHAR) AS diff_u, crit
 FROM best WHERE rn = 1
 """
 
@@ -5233,8 +5234,10 @@ def best_split_events(spark, sf_dir):
             "d", "nl",
             (F.col("n") - F.col("nl")).alias("nr"),
             (
-                F.col("sl") * (F.col("n") - F.col("nl"))
-                - (F.col("s") - F.col("sl")) * F.col("nl")
+                F.col("sl").cast("decimal(38,0)")
+                * (F.col("n") - F.col("nl")).cast("decimal(38,0)")
+                - (F.col("s") - F.col("sl")).cast("decimal(38,0)")
+                * F.col("nl").cast("decimal(38,0)")
             ).alias("diff"),
         )
     )
@@ -5251,7 +5254,8 @@ def best_split_events(spark, sf_dir):
             .alias("split_day"),
             F.col("nl").alias("n_left"),
             F.col("nr").alias("n_right"),
-            F.col("diff").alias("diff_u"),
+            # decimal -> canonical string: hash-stable beyond int64 range
+            F.col("diff").cast("string").alias("diff_u"),
             "crit",
         )
     )
@@ -6131,6 +6135,7 @@ def _hits_oracle_sql(iters: int = 2) -> str:
     """DuckDB twin of the exact HITS loop on the customer↔part
     purchase graph, half-steps unrolled with the digit-count
     power-of-ten rescale."""
+    from ..operators.pca import rescale_scale_sql as _rs
     parts = [r"""
 WITH edges AS (
   SELECT o.o_custkey AS c, l.l_partkey AS p, CAST(count(*) AS BIGINT) AS w
@@ -6145,9 +6150,7 @@ h0 AS (SELECT DISTINCT c AS node, CAST(1 AS BIGINT) AS score FROM edges)"""]
             f"FROM edges e JOIN {prev_h} h ON e.c = h.node GROUP BY 1)"
         )
         parts.append(
-            f"asc{i} AS (SELECT CASE WHEN length(CAST(MAX(ABS(score)) AS VARCHAR)) <= 7 "
-            f"THEN CAST(1 AS BIGINT) ELSE CAST('1' || repeat('0', "
-            f"length(CAST(MAX(ABS(score)) AS VARCHAR)) - 7) AS BIGINT) END AS s FROM ar{i})"
+            f"asc{i} AS (SELECT " + _rs("MAX(ABS(score))") + f" AS s FROM ar{i})"
         )
         parts.append(
             f"a{i} AS (SELECT node, score // s AS score FROM ar{i}, asc{i})"
@@ -6157,9 +6160,7 @@ h0 AS (SELECT DISTINCT c AS node, CAST(1 AS BIGINT) AS score FROM edges)"""]
             f"FROM edges e JOIN a{i} a ON e.p = a.node GROUP BY 1)"
         )
         parts.append(
-            f"hsc{i} AS (SELECT CASE WHEN length(CAST(MAX(ABS(score)) AS VARCHAR)) <= 7 "
-            f"THEN CAST(1 AS BIGINT) ELSE CAST('1' || repeat('0', "
-            f"length(CAST(MAX(ABS(score)) AS VARCHAR)) - 7) AS BIGINT) END AS s FROM hr{i})"
+            f"hsc{i} AS (SELECT " + _rs("MAX(ABS(score))") + f" AS s FROM hr{i})"
         )
         parts.append(
             f"h{i} AS (SELECT node, score // s AS score FROM hr{i}, hsc{i})"

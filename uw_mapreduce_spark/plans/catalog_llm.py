@@ -2757,7 +2757,7 @@ scored AS (
   FROM o JOIN st ON o.source = st.source
          JOIN tt ON o.tok = tt.tok
   CROSS JOIN n
-  WHERE obs * n.n > s * t
+  WHERE CAST(obs AS HUGEINT) * n.n > CAST(s AS HUGEINT) * t
 )
 SELECT source, tok, obs, keyness_micro FROM (
   SELECT *, row_number() OVER (
@@ -2795,7 +2795,10 @@ def keyness_terms_by_source(spark, sf_dir):
         o.join(F.broadcast(st), "source")
         .join(tt, "tok")
         .crossJoin(F.broadcast(n))
-        .where(F.col("obs") * F.col("n") > F.col("s") * F.col("t"))
+        .where(
+            F.col("obs").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+            > F.col("s").cast("decimal(38,0)") * F.col("t").cast("decimal(38,0)")
+        )
         .select(
             "source", "tok", "obs",
             F.floor(d * d / e * F.lit(1_000_000.0)).cast("long").alias(
@@ -2950,6 +2953,7 @@ scored AS (
   SELECT d.vec_id, d.fold, d.label, d.c_label,
          CAST(d.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS sc
   FROM dots d JOIN tn2 n ON n.fold = d.fold AND n.c_label = d.c_label
+  WHERE n.n2 > 0
 ),
 best AS (
   SELECT vec_id, fold, label, c_label,
@@ -3583,11 +3587,12 @@ WITH flat AS (
             f"u{k} AS (SELECT f.pos, SUM(CAST(f.c AS HUGEINT) * d.d) AS u "
             f"FROM flat f JOIN d{k} d ON f.vec_id = d.vec_id GROUP BY f.pos)"
         )
+        from ..operators.pca import rescale_scale_sql
+
         s = (
-            f"s{k} AS (SELECT CASE WHEN length(CAST(MAX(ABS(u)) AS VARCHAR)) <= 7 "
-            f"THEN CAST(1 AS HUGEINT) "
-            f"ELSE CAST('1' || repeat('0', length(CAST(MAX(ABS(u)) AS VARCHAR)) - 7) AS HUGEINT) "
-            f"END AS s FROM u{k})"
+            f"s{k} AS (SELECT "
+            + rescale_scale_sql("MAX(ABS(u))", int_type="HUGEINT")
+            + f" AS s FROM u{k})"
         )
         w = (
             f"w{k} AS (SELECT pos, CASE WHEN u >= 0 THEN u // s "

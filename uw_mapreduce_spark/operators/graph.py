@@ -421,6 +421,12 @@ def hits(
     the pagerank topology; the rescale adds a 1-row max broadcast."""
     if iterations < 1:
         raise ValueError("hits needs iterations >= 1 (no authority half-step ran)")
+    # LINEAGE DISCIPLINE (the pagerank localCheckpoint pattern): each
+    # rescale embeds a broadcast max over the score subtree, so an
+    # uncheckpointed loop DOUBLES the plan per half-step (2^(2·iters)
+    # evaluations of the edge build).  Checkpoint the edge list once and
+    # every score frame after its rescale to keep the plan linear.
+    edges = edges.localCheckpoint(eager=True)
     h = edges.select(F.col(src).alias("node")).distinct().withColumn(
         "score", F.lit(1).cast("long")
     )
@@ -431,13 +437,13 @@ def hits(
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col(weight) * F.col("score")).cast("long").alias("score")),
             "score",
-        )
+        ).localCheckpoint(eager=True)
         h = _rescale_col(
             edges.join(a.withColumnRenamed("node", dst), dst)
             .groupBy(F.col(src).alias("node"))
             .agg(F.sum(F.col(weight) * F.col("score")).cast("long").alias("score")),
             "score",
-        )
+        ).localCheckpoint(eager=True)
     return h.select(F.lit("hub").alias("side"), "node", "score").unionByName(
         a.select(F.lit("authority").alias("side"), "node", "score")
     )

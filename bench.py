@@ -205,6 +205,8 @@ SF1_QUERIES = [
     "kmeans_exact_embeddings",
     "spearman_qty_price_lineitem",
     "prf_expansion_documents",
+    "hits_purchase_graph",
+    "conformal_threshold_embeddings",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -177,3 +177,33 @@ def test_session_timezone_pinned_utc(spark):
     DuckDB; every calendar-bucketed oracle depends on this pin staying
     put."""
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_kfold_cv_scores_in_one_corpus_scan(spark, sf_small):
+    """The fold-tag when() chain must keep k-fold CV at ONE parquet
+    scan of the corpus (the old per-fold-filter plan scanned it F
+    times)."""
+    plan = _plan(QUERIES["kfold_cv_embeddings"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_heavy_hitters_only_wide_exchange_is_candidate_verify(spark, sf_small):
+    """The MG candidate pass is mapInPandas with NO exchange upstream;
+    the verify groupBy over candidate-filtered rows is the single wide
+    shuffle (plus bounded 1-row/broadcast exchanges)."""
+    plan = _plan(QUERIES["heavy_hitters_trigrams_documents"](spark, sf_small))
+    wide = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert wide <= 2, wide  # candidate distinct + verify groupBy
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_centroid_scoring_is_map_only(spark, sf_small):
+    """binary_centroid_scores: after the centroid collect, scoring must
+    not shuffle the corpus — literal-array dot product in a project."""
+    from uw_mapreduce_spark.operators.evaluation import binary_centroid_scores
+
+    emb = load_table(spark, sf_small, "embeddings")
+    plan = _plan(binary_centroid_scores(emb, pos_label=0))
+    assert "Exchange" not in plan

@@ -3699,3 +3699,59 @@ def kmeans_exact_embeddings(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd_exact(emb, k=8, iters=2)
+
+
+_READABILITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS w,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS v
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, v AS n_vowel_groups,
+       CAST(floor(CAST(390000 * w AS DOUBLE) / s
+                  + CAST(11800000 * v AS DOUBLE) / w
+                  - 15590000.0) AS BIGINT) AS fk_grade_micro
+FROM t
+WHERE w > 0
+"""
+
+
+@query("readability_documents", _READABILITY_SQL)
+def readability_documents(spark, sf_dir):
+    """Flesch-Kincaid grade-level scoring per document — the classic
+    readability gate of text-quality pipelines, computed log-free from
+    three EXACT integer counts (words, sentence-punctuation runs,
+    vowel-group syllable proxy via one regexp_extract_all each) and one
+    identical float expression tree, so the grade micro-units value-
+    hash across engines.  Map-only: three regex projections fused into
+    the scan, no shuffle.  Complements `doc_stats_documents` (surface
+    ratios) and `quality_rules_documents` (the Gopher conjunction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+    ).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))).cast("long"),
+    )
+    v = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    t = docs.select(
+        "doc_id", w.alias("w"), s.alias("s"), v.alias("v")
+    ).where(F.col("w") > 0)
+    grade = F.floor(
+        (F.lit(390000) * F.col("w")).cast("double") / F.col("s")
+        + (F.lit(11800000) * F.col("v")).cast("double") / F.col("w")
+        - F.lit(15590000.0)
+    ).cast("long")
+    return t.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("v").alias("n_vowel_groups"),
+        grade.alias("fk_grade_micro"),
+    )

@@ -234,7 +234,12 @@ BENCH_NOTES = (
     "Session 3: 12 more faces (eval harness, heavy hitters, CF, growth "
     "ledger, change-point, OLS) spot-timed sf0.1->sf1 all <=linear at 10x "
     "(heavy_hitters 1.8->12.0 s incl cold start, item_cf 2.6->10.1, "
-    "roc_auc 1.8->6.0, kfold 6.5->7.2 overhead-bound, rest <=3 s)."
+    "roc_auc 1.8->6.0, kfold 6.5->7.2 overhead-bound, rest <=3 s). "
+    "Plan fixes from the session-3 review+profiling: kfold CV rewritten "
+    "from 5 corpus scans to ONE (fold-tag when() chain, plan-gated); "
+    "HITS score frames localCheckpointed - the rescale max-broadcast "
+    "otherwise doubles the plan per half-step (57 s vs 20.5 s at sf1); "
+    "three silent int64 overflow paths moved to DECIMAL(38)/HUGEINT."
 )
 
 

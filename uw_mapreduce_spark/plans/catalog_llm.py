@@ -3624,11 +3624,12 @@ def pca_top_component_embeddings(spark, sf_dir):
     return power_iteration_top_component(emb, iters=3)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_oracle_body(k: int = 8, iters: int = 2):
     """DuckDB twin of the exact Lloyd loop, iterations unrolled as
     CTEs: same md5 seed draw, same int64 distance argmin (ties to the
     smallest centroid id), same trunc-toward-zero integer mean, same
-    empty-cluster carry."""
+    empty-cluster carry.  Returns (cte_body, final_centroid_cte) so
+    composing faces (diversity sampling) reuse the identical loop."""
     parts = [rf"""
 WITH flat AS (
   SELECT vec_id,
@@ -3676,6 +3677,11 @@ cent0 AS (
         )
         prev = f"cent{i}"
     body = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return body, prev
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    body, prev = _kmeans_oracle_body(k, iters)
     return body + rf"""
 SELECT c.cent_id, CAST(c.pos AS INT) AS pos, CAST(c.mu AS BIGINT) AS mu,
        CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members
@@ -3754,4 +3760,88 @@ def readability_documents(spark, sf_dir):
         F.col("s").alias("n_sentences"),
         F.col("v").alias("n_vowel_groups"),
         grade.alias("fk_grade_micro"),
+    )
+
+
+def _diversity_sample_oracle_sql(k: int = 8, iters: int = 2, per: int = 25) -> str:
+    """Composed from the k-means oracle body: assign every vector to
+    its final centroid (same int64 argmin, same ties), then keep the
+    ``per`` smallest md5-hashed members per cluster."""
+    body, cent = _kmeans_oracle_body(k, iters)
+    return body + rf""",
+af AS (
+  SELECT f.vec_id, c.cent_id,
+         SUM((f.c - c.mu) * (f.c - c.mu)) AS d2
+  FROM flat f JOIN {cent} c ON f.pos = c.pos
+  GROUP BY 1, 2
+),
+asgf AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM af) WHERE rn = 1
+),
+hashed AS (
+  SELECT a.cent_id, a.vec_id,
+         ('0x' || substr(md5('div' || CAST(a.vec_id AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM asgf a
+)
+SELECT cent_id AS cluster, vec_id, CAST(pick AS BIGINT) AS pick FROM (
+  SELECT cent_id, vec_id,
+         row_number() OVER (PARTITION BY cent_id ORDER BY h, vec_id) AS pick
+  FROM hashed
+) WHERE pick <= {per}
+"""
+
+
+@query("diversity_sample_embeddings", _diversity_sample_oracle_sql(8, 2, 25))
+def diversity_sample_embeddings(spark, sf_dir):
+    """Cluster-balanced diversity sampling — the curation pattern that
+    keeps a subset REPRESENTATIVE instead of density-biased: assign
+    every vector to its exact-k-means centroid (`operators/clustering.
+    kmeans_lloyd_exact`, identical argmin/ties as the clustering face),
+    then draw up to 25 members per cluster by the deterministic md5
+    identity hash — a stratified draw over embedding-space strata
+    rather than metadata strata (`neyman_allocation_events` is the
+    metadata twin).  Assignment is map-only against the k·dim literal
+    grid; the per-cluster pick window runs over cluster-bounded rows.
+    Oracle composed from the registered k-means loop body, so sampler
+    and clusterer cannot drift."""
+    from ..operators.clustering import kmeans_lloyd_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_rows = kmeans_lloyd_exact(emb, k=8, iters=2).collect()
+    cents: dict[int, list[int]] = {}
+    for r in cents_rows:
+        cents.setdefault(int(r["cent_id"]), [0] * 64)[int(r["pos"])] = int(r["mu"])
+    from ..operators.classify import _quantized
+
+    q = emb.select("vec_id", _quantized("embedding", 1_000_000).alias("_c"))
+    scored = []
+    for cid in sorted(cents):
+        lit = F.array(*[F.lit(v) for v in cents[cid]])
+        d2 = F.aggregate(
+            F.zip_with(F.col("_c"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
+    assigned = q.select(
+        "vec_id", F.array_min(F.array(*scored))["c"].alias("cluster")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("div"), F.col("vec_id").cast("string"))), 1, 12),
+            16, 10,
+        )
+        .cast("long")
+        .alias("_h")
+    )
+    w = Window.partitionBy("cluster").orderBy("_h", "vec_id")
+    return (
+        assigned.select("cluster", "vec_id", h)
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .where(F.col("pick") <= 25)
+        .drop("_h")
     )

@@ -6198,3 +6198,105 @@ def hits_purchase_graph(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     return hits(edges, iterations=2)
+
+
+_CUPED_SQL = r"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS y,
+         CASE WHEN (('0x' || substr(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 500 THEN 'treatment' ELSE 'control' END AS arm
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM u
+),
+th AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gxbar
+  FROM g WHERE n * sxx - sx * sx <> 0
+),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS asx, CAST(SUM(y) AS BIGINT) AS asy
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+       CAST(floor(CAST(a.asy AS DOUBLE) / a.n_users) AS BIGINT)
+         AS mean_post_micro,
+       CAST(floor(CAST(a.asy AS DOUBLE) / a.n_users
+            - th.theta * (CAST(a.asx AS DOUBLE) / a.n_users - th.gxbar))
+         AS BIGINT) AS mean_adj_micro
+FROM a, th
+"""
+
+
+@query("cuped_ab_events", _CUPED_SQL)
+def cuped_ab_events(spark, sf_dir):
+    """CUPED variance-reduced A/B readout — the industry-standard
+    experiment adjustment: each user's post-period metric is corrected
+    by θ·(pre-period − pooled pre mean), θ = cov(x,y)/var(x), cutting
+    variance by the pre/post correlation without biasing the contrast.
+    θ's moments are EXACT integers (DECIMAL(38)/HUGEINT — the OLS
+    machinery), arms are the md5 identity split, and the adjusted mean
+    is one identical float tree per arm — so the whole readout
+    value-hashes.  One user-keyed aggregate + 1-row θ broadcast;
+    complements `ab_test_ztest_events` (proportion z) with the
+    continuous-metric face."""
+    dec = "decimal(38,0)"
+    from ..operators.split import hash_permille
+
+    ev = load_table(spark, sf_dir, "events")
+    vu = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, vu).otherwise(F.lit(0))).cast("long").alias("x"),
+        F.sum(F.when(~pre, vu).otherwise(F.lit(0))).cast("long").alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(hash_permille(F.col("user_id"), "cuped") < 500, "treatment")
+        .otherwise("control"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    th = g.where(den != F.lit(0).cast(dec)).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / den.cast("double")
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("gxbar"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("asx"),
+        F.sum("y").cast("long").alias("asy"),
+    )
+    return a.crossJoin(F.broadcast(th)).select(
+        "arm", "n_users",
+        F.floor(F.col("asy").cast("double") / F.col("n_users"))
+        .cast("long")
+        .alias("mean_post_micro"),
+        F.floor(
+            F.col("asy").cast("double") / F.col("n_users")
+            - F.col("theta")
+            * (F.col("asx").cast("double") / F.col("n_users") - F.col("gxbar"))
+        )
+        .cast("long")
+        .alias("mean_adj_micro"),
+    )

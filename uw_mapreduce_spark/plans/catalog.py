@@ -6300,3 +6300,81 @@ def cuped_ab_events(spark, sf_dir):
         .cast("long")
         .alias("mean_adj_micro"),
     )
+
+
+_DID_SQL = r"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN (('0x' || substr(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 500 THEN 1 ELSE 0 END AS treated,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS pre_u,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS post_u
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT treated, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(pre_u) AS BIGINT) AS s_pre,
+         CAST(SUM(post_u) AS BIGINT) AS s_post
+  FROM u GROUP BY treated
+)
+SELECT t.n AS n_treated, c.n AS n_control,
+       CAST(floor(
+         (CAST(t.s_post AS DOUBLE) / t.n - CAST(t.s_pre AS DOUBLE) / t.n)
+         - (CAST(c.s_post AS DOUBLE) / c.n - CAST(c.s_pre AS DOUBLE) / c.n)
+       ) AS BIGINT) AS did_micro
+FROM (SELECT * FROM cells WHERE treated = 1) t,
+     (SELECT * FROM cells WHERE treated = 0) c
+"""
+
+
+@query("did_ab_events", _DID_SQL)
+def did_ab_events(spark, sf_dir):
+    """Difference-in-differences — the causal readout when arms differ
+    at baseline: (treatment post − pre) − (control post − pre), per-user
+    micro-value sums aggregated into four exact integer cells and ONE
+    identical float tree for the estimate.  Shares `cuped_ab_events`'s
+    arm hash and period split so the two designs read the same
+    experiment; one user-keyed aggregate, 2-row cell table, 1-row
+    output."""
+    from ..operators.split import hash_permille
+
+    ev = load_table(spark, sf_dir, "events")
+    vu = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, vu).otherwise(F.lit(0))).cast("long").alias("pre_u"),
+        F.sum(F.when(~pre, vu).otherwise(F.lit(0))).cast("long").alias("post_u"),
+    ).withColumn(
+        "treated",
+        (hash_permille(F.col("user_id"), "cuped") < 500).cast("int"),
+    )
+    cells = u.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre_u").cast("long").alias("s_pre"),
+        F.sum("post_u").cast("long").alias("s_post"),
+    )
+    t = cells.where(F.col("treated") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("s_pre").alias("t_pre"), F.col("s_post").alias("t_post"),
+    )
+    c = cells.where(F.col("treated") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("s_pre").alias("c_pre"), F.col("s_post").alias("c_post"),
+    )
+    did = F.floor(
+        (
+            F.col("t_post").cast("double") / F.col("n_treated")
+            - F.col("t_pre").cast("double") / F.col("n_treated")
+        )
+        - (
+            F.col("c_post").cast("double") / F.col("n_control")
+            - F.col("c_pre").cast("double") / F.col("n_control")
+        )
+    ).cast("long")
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treated", "n_control", did.alias("did_micro")
+    )

@@ -6378,3 +6378,57 @@ def did_ab_events(spark, sf_dir):
     return t.crossJoin(F.broadcast(c)).select(
         "n_treated", "n_control", did.alias("did_micro")
     )
+
+
+_SRM_SQL = r"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (('0x' || substr(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 500 THEN 1 ELSE 0 END AS treated
+  FROM events
+),
+c AS (
+  SELECT CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(SUM(1 - treated) AS BIGINT) AS n_c
+  FROM u
+)
+SELECT n_t, n_c,
+       CAST(CAST(n_t - n_c AS HUGEINT) * (n_t - n_c) * 1000000 // (n_t + n_c)
+         AS BIGINT) AS chi2_micro,
+       CAST(CASE WHEN CAST(n_t - n_c AS HUGEINT) * (n_t - n_c) * 1000000
+                      // (n_t + n_c) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+         AS srm_alarm
+FROM c
+"""
+
+
+@query("srm_check_events", _SRM_SQL)
+def srm_check_events(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail — the first check every
+    experiment readout must pass: χ² (1 df) of the arm counts against
+    the designed 50/50 split, exact integer micro-units
+    ((n_t−n_c)²·10⁶ DIV n), alarmed above the p<0.05 critical value
+    3.841459.  Shares the CUPED/DiD arm hash so the trio audits one
+    experiment; one distinct-user aggregate, 1-row output."""
+    from ..operators.split import hash_permille
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().withColumn(
+        "treated", (hash_permille(F.col("user_id"), "cuped") < 500).cast("long")
+    )
+    c = u.agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(F.lit(1) - F.col("treated")).cast("long").alias("n_c"),
+    )
+    # decimal(38): (n_t-n_c)^2 * 1e6 wraps int64 from ~3e6 users of
+    # total imbalance — the guardrail must survive the pathology it
+    # exists to catch.
+    chi2 = F.expr(
+        "CAST((n_t - n_c) AS DECIMAL(38,0)) * (n_t - n_c) * 1000000"
+        " DIV (n_t + n_c)"
+    )
+    return c.select(
+        "n_t", "n_c",
+        chi2.cast("long").alias("chi2_micro"),
+        (chi2 > F.lit(3841459)).cast("long").alias("srm_alarm"),
+    )

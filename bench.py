@@ -207,6 +207,11 @@ SF1_QUERIES = [
     "prf_expansion_documents",
     "hits_purchase_graph",
     "conformal_threshold_embeddings",
+    "readability_documents",
+    "diversity_sample_embeddings",
+    "cuped_ab_events",
+    "did_ab_events",
+    "srm_check_events",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

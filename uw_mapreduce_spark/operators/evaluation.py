@@ -44,6 +44,7 @@ from .classify import _quantized, label_centroid_sums
 __all__ = [
     "binary_centroid_scores",
     "roc_auc",
+    "rank_sum_test",
     "gains_table",
     "kfold_centroid_cv",
 ]
@@ -134,6 +135,77 @@ def roc_auc(
     return tot.select(
         "n_pos", "n_neg", "num2",
         F.floor(num / den).cast("long").alias("auc_micro"),
+    )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    treated_col: str = "treated",
+    value_col: str = "v",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test, one exact row:
+    (n_treatment, n_control, u2_treatment, z_micro).
+
+    The non-parametric A/B readout: does the treatment arm
+    stochastically dominate control, with no normality assumption on
+    the metric?  ``u2_treatment`` is twice the U statistic counted the
+    `roc_auc` way — per DISTINCT metric value with (np treated, nn
+    control) rows, add ``np · (2·controls_below + nn)``: strict wins
+    count 2, ties 1 (the standard ½ credit) — all exact integers, no
+    float midranks.  The tie-corrected normal approximation is then
+
+        z = (U − n1·n2/2) / sqrt(n1·n2·(n³−n−Σ(t³−t)) / (12·n·(n−1)))
+
+    with every moment exact in DECIMAL(38,0)/HUGEINT and ONE identical
+    float tree at the end (the repo's cross-engine hash idiom).
+    DECIMAL(38) holds the n⁵-scale variance numerator to ~3·10⁷ rows;
+    beyond that pre-bin the metric.
+
+    Scale shape: one groupBy(value) histogram (map-side combine), one
+    scalable two-pass prefix sum over the distinct-value frame
+    (`scale._ranged_with_offsets` — no unpartitioned window), one
+    scalar aggregate.  The corpus is never range-shuffled, only its
+    value histogram."""
+    from .scale import _ranged_with_offsets
+
+    g = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(F.col(treated_col)).cast("long").alias("_np"),
+        F.sum(F.lit(1) - F.col(treated_col)).cast("long").alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+    )
+    pref = _ranged_with_offsets(g, ["_v"], "_nn", num_partitions)
+    below = (F.col("_prefix") - F.col("_nn")).cast(_DEC)
+    # treated×below is corpus-sized × corpus-sized — DECIMAL on both
+    # sides or it wraps int64 silently from ~3e9 pairs (non-ANSI).
+    term = F.col("_np").cast(_DEC) * (
+        F.lit(2).cast(_DEC) * below + F.col("_nn").cast(_DEC)
+    )
+    t3 = (
+        F.col("_cnt").cast(_DEC) * F.col("_cnt").cast(_DEC) * F.col("_cnt").cast(_DEC)
+        - F.col("_cnt").cast(_DEC)
+    )
+    tot = pref.agg(
+        F.sum(F.col("_np")).cast(_DEC).alias("n1"),
+        F.sum(F.col("_nn")).cast(_DEC).alias("n2"),
+        F.sum(term).alias("u2"),
+        F.sum(t3).alias("ties"),
+    )
+    n = F.col("n1") + F.col("n2")
+    one = F.lit(1).cast(_DEC)
+    var_num = F.col("n1") * F.col("n2") * ((n + one) * n * (n - one) - F.col("ties"))
+    var_den = F.lit(12).cast(_DEC) * n * (n - one)
+    z = (
+        (F.col("u2") - F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
+    ) * F.sqrt(var_den.cast("double") / var_num.cast("double"))
+    return (
+        tot.where((F.col("n1") > 0) & (F.col("n2") > 0) & (var_num > 0))
+        .select(
+            F.col("n1").cast("long").alias("n_treatment"),
+            F.col("n2").cast("long").alias("n_control"),
+            F.col("u2").cast("long").alias("u2_treatment"),
+            F.floor(F.lit(1_000_000.0) * z).cast("long").alias("z_micro"),
+        )
     )
 
 

@@ -6432,3 +6432,71 @@ def srm_check_events(spark, sf_dir):
         chi2.cast("long").alias("chi2_micro"),
         (chi2 > F.lit(3841459)).cast("long").alias("srm_alarm"),
     )
+
+
+_MWU_SQL = r"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v,
+         CASE WHEN (('0x' || substr(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 500 THEN 1 ELSE 0 END AS treated
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT v, CAST(SUM(treated) AS BIGINT) AS np,
+         CAST(SUM(1 - treated) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM u GROUP BY v
+),
+pref AS (
+  SELECT np, nn, cnt,
+         SUM(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nn AS below
+  FROM h
+),
+m AS (
+  SELECT CAST(SUM(np) AS HUGEINT) AS n1, CAST(SUM(nn) AS HUGEINT) AS n2,
+         SUM(CAST(np AS HUGEINT) * (2 * CAST(below AS HUGEINT) + nn)) AS u2,
+         SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+  FROM pref
+)
+SELECT CAST(n1 AS BIGINT) AS n_treatment, CAST(n2 AS BIGINT) AS n_control,
+       CAST(u2 AS BIGINT) AS u2_treatment,
+       CAST(floor(CAST(1000000.0 AS DOUBLE)
+            * ((CAST(u2 - n1 * n2 AS DOUBLE) / 2.0)
+               * sqrt(CAST(12 * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)
+                      / CAST(n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1)
+                                        - ties) AS DOUBLE))))
+         AS BIGINT) AS z_micro
+FROM m
+WHERE n1 > 0 AND n2 > 0
+  AND n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties) > 0
+"""
+
+
+@query("mannwhitney_ab_events", _MWU_SQL)
+def mannwhitney_ab_events(spark, sf_dir):
+    """Mann-Whitney rank-sum A/B readout (`operators/evaluation.
+    rank_sum_test`) — the non-parametric member of the experimentation
+    suite: CUPED (adjusted means), DiD (parallel trends), SRM
+    (assignment integrity), and now stochastic dominance of the
+    per-user metric with no normality assumption — the test teams
+    reach for when revenue-like metrics are heavy-tailed.  Shares the
+    md5 'cuped' arm hash so all four faces audit ONE experiment.  2·U
+    is exact integer pair counting over the metric's distinct-value
+    histogram (strict wins 2, ties 1), the tie-corrected variance
+    accumulates in DECIMAL(38,0)/HUGEINT, and z is one identical float
+    tree — so the readout value-hashes across engines.  One user
+    aggregate, one histogram groupBy, one scalable prefix pass."""
+    from ..operators.evaluation import rank_sum_test
+    from ..operators.split import hash_permille
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long"))
+        .cast("long")
+        .alias("v")
+    ).withColumn(
+        "treated", (hash_permille(F.col("user_id"), "cuped") < 500).cast("long")
+    )
+    return rank_sum_test(u, "treated", "v")

@@ -3845,3 +3845,83 @@ def diversity_sample_embeddings(spark, sf_dir):
         .where(F.col("pick") <= 25)
         .drop("_h")
     )
+
+
+_MATRYOSHKA_SQL = r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+sums AS (
+  SELECT vec_id,
+         CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum') AS BIGINT) AS den,
+         CAST(list_aggregate(list_transform(qv[1:8], v -> v * v), 'sum') AS BIGINT) AS n8,
+         CAST(list_aggregate(list_transform(qv[1:16], v -> v * v), 'sum') AS BIGINT) AS n16,
+         CAST(list_aggregate(list_transform(qv[1:32], v -> v * v), 'sum') AS BIGINT) AS n32,
+         CAST(list_aggregate(list_transform(qv[1:48], v -> v * v), 'sum') AS BIGINT) AS n48
+  FROM q
+),
+r AS (
+  SELECT s.vec_id, p.d AS prefix_dim,
+         (1000 * CASE p.d WHEN 8 THEN n8 WHEN 16 THEN n16
+                          WHEN 32 THEN n32 ELSE n48 END) // den AS keep_permille
+  FROM sums s, (SELECT unnest([8, 16, 32, 48]) AS d) p
+  WHERE den > 0
+)
+SELECT CAST(prefix_dim AS BIGINT) AS prefix_dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(keep_permille) // count(*) AS BIGINT) AS mean_keep_permille,
+       CAST(MIN(keep_permille) AS BIGINT) AS min_keep_permille
+FROM r GROUP BY prefix_dim
+"""
+
+
+@query("matryoshka_energy_embeddings", _MATRYOSHKA_SQL)
+def matryoshka_energy_embeddings(spark, sf_dir):
+    """Matryoshka truncation audit: for each candidate prefix length p
+    (8/16/32/48 of 64 dims), what fraction of every vector's energy
+    the first p components retain — cos²(full, prefix-of-itself) is
+    exactly Σ_{i≤p}x_i² / Σx_i², a RATIONAL of exact integers on the
+    1e-6 quantization grid, so the whole audit value-hashes with zero
+    float expressions.  The readout teams use to decide how far an
+    MRL-style embedding can be truncated for cheap retrieval tiers
+    before re-ranking at full width (the serving topology
+    `operators/pq.py` implements for product codes).
+
+    Scale shape: map-only higher-order functions (transform/slice/
+    aggregate — JVM codegen, no UDF, no shuffle of the corpus), then a
+    4-row groupBy.  Per-vector ints stay < 2⁶³ up to scale 1e6 × dim
+    64 (≤ 6.4·10¹³ energy, ×1000 ≤ 6.4·10¹⁶)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
+    )
+    sq = lambda arr: F.aggregate(  # noqa: E731 — local sum-of-squares
+        arr, F.lit(0).cast("long"), lambda a, v: a + v * v
+    )
+    s = emb.select(
+        "vec_id",
+        sq(qv).alias("den"),
+        *[sq(F.slice(qv, 1, p)).alias(f"n{p}") for p in (8, 16, 32, 48)],
+    ).where(F.col("den") > 0)
+    r = s.select(
+        F.expr(
+            "stack(4, 8L, n8, 16L, n16, 32L, n32, 48L, n48)"
+            " AS (prefix_dim, num)"
+        ),
+        "den",
+    ).select(
+        "prefix_dim",
+        F.expr("(1000 * num) DIV den").alias("keep_permille"),
+    )
+    return r.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("SUM(keep_permille) DIV count(*)").cast("long").alias(
+            "mean_keep_permille"
+        ),
+        F.min("keep_permille").cast("long").alias("min_keep_permille"),
+    )

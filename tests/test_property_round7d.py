@@ -105,3 +105,26 @@ def test_matryoshka_energy_identities(spark, sf_small):
     for p in (8, 16, 32, 48):
         assert 0 <= rows[p]["min_keep_permille"] <= rows[p]["mean_keep_permille"] <= 1000
         assert rows[p]["n_vecs"] > 0
+
+
+def test_quantile_normalize_invariants(spark, sf_small):
+    """Per-source monotonicity (rank map preserves order), outputs drawn
+    from the pooled value set, and row count preserved."""
+    from uw_mapreduce_spark.plans.catalog import quantile_normalize_events
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    out = quantile_normalize_events(spark, sf_small)
+    ev = load_table(spark, sf_small, "events")
+    assert out.count() == ev.count()
+    rows = out.collect()
+    pooled = {r["value_u"] for r in rows}
+    by_src: dict = {}
+    for r in rows:
+        assert r["normalized_u"] in pooled
+        by_src.setdefault(r["event_type"], []).append(
+            (r["value_u"], r["normalized_u"])
+        )
+    for pairs in by_src.values():
+        pairs.sort()
+        norms = [n for _, n in pairs]
+        assert norms == sorted(norms), "rank map must preserve order"

@@ -6500,3 +6500,113 @@ def mannwhitney_ab_events(spark, sf_dir):
         "treated", (hash_permille(F.col("user_id"), "cuped") < 500).cast("long")
     )
     return rank_sum_test(u, "treated", "v")
+
+
+_QNORM_SQL = r"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+),
+hs AS (
+  SELECT event_type, value_u AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2
+),
+ps AS (
+  SELECT event_type, v,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS r
+  FROM hs
+),
+ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_s FROM e GROUP BY 1),
+hp AS (SELECT value_u AS pv, CAST(count(*) AS BIGINT) AS cntp FROM e GROUP BY 1),
+pp AS (
+  SELECT pv,
+         SUM(cntp) OVER (ORDER BY pv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cntp AS start_p,
+         SUM(cntp) OVER (ORDER BY pv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_p
+  FROM hp
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM e),
+k AS (
+  SELECT ps.event_type, ps.v,
+         CAST((CAST(ps.r AS HUGEINT) * (n.n_all - 1)) // (ns.n_s - 1) AS BIGINT)
+           AS kidx
+  FROM ps JOIN ns USING (event_type), n
+  WHERE ns.n_s > 1
+),
+norm AS (
+  SELECT k.event_type, k.v, pp.pv AS normalized_u
+  FROM k JOIN pp ON k.kidx >= pp.start_p AND k.kidx < pp.end_p
+)
+SELECT e.event_id, e.event_type, e.value_u, norm.normalized_u
+FROM e JOIN norm ON e.event_type = norm.event_type AND e.value_u = norm.v
+"""
+
+
+@query("quantile_normalize_events", _QNORM_SQL)
+def quantile_normalize_events(spark, sf_dir):
+    """Quantile normalization across sources — the feature-engineering
+    standardizer (and the bioinformatics classic): every event type's
+    value distribution is remapped onto the POOLED distribution, so a
+    p-th-quantile click and a p-th-quantile purchase land on the same
+    normalized value.  The mapping rule is pure integer rank math:
+    a row whose value has r strictly-smaller rows within its source
+    maps to the pooled order statistic at 0-based index
+    ⌊r·(N−1)/(n_s−1)⌋ — ties share one normalized value by
+    construction (min-rank), and r·(N−1) is corpus²-sized so it runs
+    in DECIMAL(38,0)/HUGEINT with the trunc-DIV both engines share.
+
+    Scale shape: two value histograms (map-side combine); the pooled
+    cumulative scan is the scalable two-pass prefix
+    (`scale._ranged_with_offsets`); the per-source scan is a window
+    over the SOURCE's distinct values (the `spearman` histogram idiom
+    — pre-bin values if one source's distinct count outgrows a task);
+    the order-statistic lookup is the bucketized point-in-interval
+    `operators/rangejoin.range_join` (width 4096 — each interval's
+    bucket fan-out is proportional to its row mass, never all-pairs);
+    rows rejoin their normalized value by (source, value) equi-join."""
+    from ..operators.rangejoin import range_join
+    from ..operators.scale import _ranged_with_offsets
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
+    )
+    hs = e.groupBy("event_type", F.col("value_u").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ps = hs.withColumn("r", (F.sum("cnt").over(w) - F.col("cnt")).cast("long"))
+    ns = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    hp = e.groupBy(F.col("value_u").alias("pv")).agg(
+        F.count(F.lit(1)).cast("long").alias("cntp")
+    )
+    pp = _ranged_with_offsets(hp, ["pv"], "cntp", 32).select(
+        "pv",
+        (F.col("_prefix") - F.col("cntp")).cast("long").alias("start_p"),
+        F.col("_prefix").cast("long").alias("end_p"),
+    )
+    n_all = e.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    k = (
+        ps.join(F.broadcast(ns), "event_type")
+        .crossJoin(F.broadcast(n_all))
+        .where(F.col("n_s") > 1)
+        .select(
+            "event_type", "v",
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * CAST(n_all - 1 AS DECIMAL(38,0)))"
+                " DIV CAST(n_s - 1 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("kidx"),
+        )
+    )
+    norm = range_join(
+        k, pp, "kidx", "start_p", "end_p", width=4096, closed="left"
+    ).select("event_type", F.col("v").alias("value_u"), F.col("pv").alias("normalized_u"))
+    return e.join(norm, ["event_type", "value_u"]).select(
+        "event_id", "event_type", "value_u", "normalized_u"
+    )

@@ -128,3 +128,25 @@ def test_quantile_normalize_invariants(spark, sf_small):
         pairs.sort()
         norms = [n for _, n in pairs]
         assert norms == sorted(norms), "rank map must preserve order"
+
+
+def test_ewma_matches_python_replay(spark, sf_small):
+    """Partition-level Arrow scan ≡ pure-Python per-user replay,
+    including trunc-toward-zero division on negative deviations."""
+    from uw_mapreduce_spark.plans.catalog import ewma_user_value_events
+
+    rows = ewma_user_value_events(spark, sf_small).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        seq.sort(key=lambda r: r["ts_us"])
+        s = None
+        for r in seq:
+            v = r["value_u"]
+            if s is None:
+                s = v
+            else:
+                diff = v - s
+                s += diff // 8 if diff >= 0 else -((-diff) // 8)
+            assert r["ewma_u"] == s

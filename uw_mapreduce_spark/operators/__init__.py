@@ -37,12 +37,13 @@ from .scale import sliding_aggregate_scalable
 from .similarity import load_ann_index, save_ann_index
 from .sketch import count_min_estimates
 from .split import hash_sample, hash_split
-from .resample import gap_fill_interpolate, gap_fill_locf
+from .resample import ewma_keyed, gap_fill_interpolate, gap_fill_locf
 
 __all__ = [
     "bfs_hops",
     "debounce",
     "funnel_steps",
+    "ewma_keyed",
     "gap_fill_interpolate",
     "grouped_quantiles",
     "grouped_weighted_median",

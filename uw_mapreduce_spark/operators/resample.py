@@ -135,3 +135,68 @@ def gap_fill_interpolate(
     return tagged.withColumn("filled", filled.cast("long")).drop(
         "_v", "_vb", "_pv", "_pb", "_nv", "_nb"
     )
+
+
+def ewma_keyed(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    den: int = 8,
+    tiebreak: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key integer EWMA: s₁ = v₁; sₜ = sₜ₋₁ + trunc((vₜ−sₜ₋₁)/den)
+    — exponential smoothing with α = 1/den on an exact integer grid
+    (``value_col`` must already be integer units, e.g. micro-values).
+
+    Like CUSUM (`streaming/drift.py`) and debounce, the fold is
+    sequential-by-construction (sₜ depends on every prior row), but
+    every step is integer arithmetic on O(1) state, so a DuckDB
+    recursive CTE replays it exactly — full value-hash oracle despite
+    statefulness.  Division truncates TOWARD ZERO on both engines
+    (Spark DIV ≡ DuckDB ``//`` on int64); the Python kernel matches via
+    sign-split floor-div.
+
+    Scale shape (the `debounce` discipline): ONE hash repartition on
+    the keys + in-partition secondary sort, then a partition-level
+    Arrow ``mapInPandas`` — one Python invocation per PARTITION (not
+    per key; a per-group applyInPandas pays ~1 ms/group), state carried
+    across record batches.  Output = input + ``out_col``, never
+    reshuffled."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = list(keys) + [ts_col] + list(tiebreak or [])
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+    parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(c) for c in order]
+    )
+    d = int(den)
+
+    def scan(batches):
+        prev_key = None
+        s = 0
+        seeded = False
+        for pdf in batches:
+            vs = pdf[value_col].to_numpy()
+            key_cols = [pdf[k].to_numpy() for k in keys]
+            out = [0] * len(vs)
+            for i in range(len(vs)):
+                kt = tuple(c[i] for c in key_cols)
+                if kt != prev_key:
+                    prev_key = kt
+                    seeded = False
+                v = int(vs[i])
+                if not seeded:
+                    s = v
+                    seeded = True
+                else:
+                    diff = v - s
+                    s += diff // d if diff >= 0 else -((-diff) // d)
+                out[i] = s
+            pdf[out_col] = out
+            yield pdf
+
+    return parted.mapInPandas(scan, schema)

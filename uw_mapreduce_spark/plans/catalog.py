@@ -6610,3 +6610,46 @@ def quantile_normalize_events(spark, sf_dir):
     return e.join(norm, ["event_type", "value_u"]).select(
         "event_id", "event_type", "value_u", "normalized_u"
     )
+
+
+_EWMA_SQL = r"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+),
+step AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS ts_us,
+         CAST(NULL AS BIGINT) AS v, CAST(0 AS BIGINT) AS s
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us, e.v,
+         CASE WHEN s.rn = 0 THEN e.v ELSE s.s + (e.v - s.s) // 8 END AS s
+  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, ts_us, v AS value_u, s AS ewma_u
+FROM step WHERE rn > 0
+"""
+
+
+@query("ewma_user_value_events", _EWMA_SQL)
+def ewma_user_value_events(spark, sf_dir):
+    """Per-user integer EWMA (α = 1/8) over the event value stream
+    (`operators/resample.ewma_keyed`) — the smoothing baseline behind
+    per-entity anomaly scores and trailing engagement metrics,
+    completing the time-series family beside gap-fill LOCF/interpolate
+    and rolling z-score.  The fold is sequential per key, but every
+    step is trunc-div integer arithmetic on O(1) state, so the DuckDB
+    recursive CTE replays it exactly (the CUSUM oracle technique) and
+    the full 10k-row smoothed sequence value-hashes.  One key
+    repartition + in-partition sort + partition-level Arrow scan."""
+    from ..operators.resample import ewma_keyed
+
+    ev = load_table(spark, sf_dir, "events")
+    slim = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
+    )
+    return ewma_keyed(slim, ["user_id"], "ts_us", "value_u", den=8, out_col="ewma_u")

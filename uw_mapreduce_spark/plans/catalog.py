@@ -6653,3 +6653,122 @@ def ewma_user_value_events(spark, sf_dir):
         F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
     )
     return ewma_keyed(slim, ["user_id"], "ts_us", "value_u", den=8, out_col="ewma_u")
+
+
+_RATIO_AB_SQL = r"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN (('0x' || substr(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 500 THEN 1 ELSE 0 END AS treated,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS nev
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT treated, CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(nev) AS HUGEINT) AS sn,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(nev AS HUGEINT) * nev) AS HUGEINT) AS snn,
+         CAST(SUM(CAST(y AS HUGEINT) * nev) AS HUGEINT) AS syn
+  FROM u GROUP BY treated
+),
+v AS (
+  SELECT treated, n, sy, sn,
+         CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+         (CAST(n * syy - sy * sy AS DOUBLE)
+          - 2.0 * (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE))
+                * CAST(n * syn - sy * sn AS DOUBLE)
+          + (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE))
+            * CAST(n * snn - sn * sn AS DOUBLE))
+         / CAST(sn * sn * (n - 1) AS DOUBLE) AS var_r
+  FROM m WHERE n > 1 AND sn > 0
+)
+SELECT t.n AS n_treated, c.n AS n_control,
+       CAST(floor(1000000.0 * t.r) AS BIGINT) AS ratio_t_micro,
+       CAST(floor(1000000.0 * c.r) AS BIGINT) AS ratio_c_micro,
+       CAST(floor(1000000.0 * ((t.r - c.r) / sqrt(t.var_r + c.var_r)))
+         AS BIGINT) AS z_micro
+FROM (SELECT CAST(n AS BIGINT) AS n, r, var_r FROM v WHERE treated = 1) t,
+     (SELECT CAST(n AS BIGINT) AS n, r, var_r FROM v WHERE treated = 0) c
+WHERE t.var_r + c.var_r > 0
+"""
+
+
+@query("ratio_metric_ab_events", _RATIO_AB_SQL)
+def ratio_metric_ab_events(spark, sf_dir):
+    """Ratio-metric A/B readout with delta-method variance — the
+    reading every experimentation platform needs for value-per-event
+    style metrics, where the unit of randomization (user) differs from
+    the unit of analysis (event) and a naive event-level z-test is
+    anticonservative.  Per arm: R̂ = ΣY/ΣN over user-level (value,
+    events) pairs; Var(R̂) ≈ (n·Syy−Sy² − 2R(n·Syn−SySn) +
+    R²(n·Snn−Sn²)) / (Sn²(n−1)) — every moment an exact
+    DECIMAL(38,0)/HUGEINT, the variance ONE shared IEEE tree, so z
+    value-hashes.  Completes the experimentation suite: CUPED
+    (adjusted means), DiD, SRM, Mann-Whitney, and now clustered ratio
+    metrics — all over the SAME md5 'cuped' arm split.  One user
+    aggregate + a 2-row arm rollup."""
+    dec = "decimal(38,0)"
+    from ..operators.split import hash_permille
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long"))
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("nev"),
+    ).withColumn(
+        "treated", (hash_permille(F.col("user_id"), "cuped") < 500).cast("long")
+    )
+    m = u.groupBy("treated").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("nev").cast(dec)).alias("sn"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("nev").cast(dec) * F.col("nev").cast(dec)).alias("snn"),
+        F.sum(F.col("y").cast(dec) * F.col("nev").cast(dec)).alias("syn"),
+    )
+    r = F.col("sy").cast("double") / F.col("sn").cast("double")
+    a = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    b = (F.col("n") * F.col("syn") - F.col("sy") * F.col("sn")).cast("double")
+    c = (F.col("n") * F.col("snn") - F.col("sn") * F.col("sn")).cast("double")
+    den = (F.col("sn") * F.col("sn") * (F.col("n") - F.lit(1).cast(dec))).cast("double")
+    v = (
+        m.where((F.col("n") > 1) & (F.col("sn") > 0))
+        .select(
+            "treated", "n", "sy", "sn",
+            r.alias("r"),
+            ((a - F.lit(2.0) * r * b + r * r * c) / den).alias("var_r"),
+        )
+    )
+    t = v.where(F.col("treated") == 1).select(
+        F.col("n").cast("long").alias("n_treated"),
+        F.col("r").alias("rt"), F.col("var_r").alias("vt"),
+    )
+    cc = v.where(F.col("treated") == 0).select(
+        F.col("n").cast("long").alias("n_control"),
+        F.col("r").alias("rc"), F.col("var_r").alias("vc"),
+    )
+    return (
+        t.crossJoin(F.broadcast(cc))
+        .where(F.col("vt") + F.col("vc") > 0)
+        .select(
+            "n_treated", "n_control",
+            F.floor(F.lit(1_000_000.0) * F.col("rt")).cast("long").alias(
+                "ratio_t_micro"
+            ),
+            F.floor(F.lit(1_000_000.0) * F.col("rc")).cast("long").alias(
+                "ratio_c_micro"
+            ),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    (F.col("rt") - F.col("rc"))
+                    / F.sqrt(F.col("vt") + F.col("vc"))
+                )
+            )
+            .cast("long")
+            .alias("z_micro"),
+        )
+    )

@@ -150,3 +150,21 @@ def test_ewma_matches_python_replay(spark, sf_small):
                 diff = v - s
                 s += diff // 8 if diff >= 0 else -((-diff) // 8)
             assert r["ewma_u"] == s
+
+
+def test_mmr_rerank_structure(spark, sf_small):
+    """5 distinct picks per query, ranks 1..5, and the rank-1 score is
+    7× the pool's best relevance (no diversity penalty at step 1)."""
+    from uw_mapreduce_spark.plans.catalog_llm import mmr_rerank_embeddings
+
+    rows = mmr_rerank_embeddings(spark, sf_small).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [0, 1, 2]
+    for qid, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == [1, 2, 3, 4, 5]
+        ids = [r["neighbor_id"] for r in rs]
+        assert len(set(ids)) == 5 and qid not in ids
+        scores = {r["rnk"]: r["mmr_score10"] for r in rs}
+        assert scores[1] == max(scores.values())

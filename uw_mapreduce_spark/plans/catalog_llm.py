@@ -3925,3 +3925,175 @@ def matryoshka_energy_embeddings(spark, sf_dir):
         ),
         F.min("keep_permille").cast("long").alias("min_keep_permille"),
     )
+
+
+def _mmr_cos(dot: str, n1: str, n2: str) -> str:
+    """Shared IEEE cosine-micro tree: exact int dot / norms, one float
+    expression, floored to the integer grid both engines agree on."""
+    return (
+        "CAST(floor(CAST(1000000.0 AS DOUBLE) * (CAST(" + dot + " AS DOUBLE)"
+        " / (sqrt(CAST(" + n1 + " AS DOUBLE)) * sqrt(CAST(" + n2 + " AS DOUBLE)))))"
+        " AS BIGINT)"
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    """Unrolled k-step greedy MMR (the HITS oracle-builder technique —
+    no recursive-CTE features in doubt): step s scores every unpicked
+    candidate as 7·rel − 3·max(sim to picks), argmax breaking ties on
+    the smaller id."""
+    parts = [f"""q AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         x -> CAST(floor(x * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS qv
+  FROM embeddings),
+nrm AS (SELECT vec_id, qv,
+        CAST(list_inner_product(qv, qv) AS BIGINT) AS nn FROM q),
+qry AS (SELECT vec_id AS query_id, qv AS qqv, nn AS qn
+        FROM nrm WHERE vec_id < 3),
+rel0 AS (
+  SELECT r.query_id, c.vec_id AS nid, c.qv AS cqv, c.nn AS cn,
+         {_mmr_cos('list_inner_product(r.qqv, c.qv)', 'r.qn', 'c.nn')} AS rel
+  FROM qry r, nrm c WHERE c.vec_id <> r.query_id),
+cand AS (
+  SELECT query_id, nid, cqv, cn, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, nid) AS rn
+    FROM rel0) WHERE rn <= {pool}),
+pairs AS (
+  SELECT a.query_id, a.nid AS a, b.nid AS b,
+         {_mmr_cos('list_inner_product(a.cqv, b.cqv)', 'a.cn', 'b.cn')} AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid),
+p1 AS (
+  SELECT query_id, nid, CAST(1 AS BIGINT) AS rnk, 7 * rel AS score
+  FROM (SELECT query_id, nid, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 7 * rel DESC, nid) AS rn
+        FROM cand) WHERE rn = 1),
+picks1 AS (SELECT query_id, nid, rnk, score FROM p1)"""]
+    for s in range(2, k + 1):
+        prev = f"picks{s - 1}"
+        parts.append(f"""sc{s} AS (
+  SELECT c.query_id, c.nid, 7 * c.rel - 3 * MAX(p.sim) AS score
+  FROM cand c
+  JOIN pairs p ON p.query_id = c.query_id AND p.a = c.nid
+  JOIN {prev} kk ON kk.query_id = p.query_id AND kk.nid = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.query_id = c.query_id AND x.nid = c.nid)
+  GROUP BY c.query_id, c.nid, c.rel),
+p{s} AS (
+  SELECT query_id, nid, CAST({s} AS BIGINT) AS rnk, score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, nid) AS rn
+        FROM sc{s}) WHERE rn = 1),
+picks{s} AS (SELECT * FROM picks{s - 1} UNION ALL SELECT * FROM p{s})""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, rnk, nid AS neighbor_id,"
+          f" CAST(score AS BIGINT) AS mmr_score10 FROM picks{k}"
+    )
+
+
+@query("mmr_rerank_embeddings", _mmr_oracle_sql(5, 20))
+def mmr_rerank_embeddings(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k — the re-ranking
+    stage between retrieval and the user: greedily pick k=5 of the
+    top-20 cosine candidates maximizing 7·relevance − 3·max-similarity
+    -to-already-picked (λ=0.7 as an exact ×10 integer weighting), so
+    near-duplicate hits can't crowd the result page.  All similarities
+    are cosine-micro INTEGERS from one shared IEEE tree over exact
+    integer dots/norms (1e-6 grid — components bounded by ±0.53, sums
+    ≪2⁵³ so even DuckDB's double list_inner_product is exact), which
+    makes every greedy DECISION integer arithmetic: the selection is
+    engine-deterministic, oracled by an unrolled 5-step SQL greedy.
+
+    Scale shape: relevance scoring + top-pool window and the pool²
+    pairwise sims run executor-side; the greedy itself touches only
+    the collected (3 queries × 20 candidates, 3×380 pairs) —
+    a constant-bounded collect (the BPE-argmax discipline), never the
+    corpus.  Serving composes: IVF/PQ retrieves, this diversifies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — exact int64 dot
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = emb.select("vec_id", qv.alias("qv")).withColumn("nn", dot(F.col("qv"), F.col("qv")))
+    qry = nrm.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("nn").alias("qn"),
+    )
+
+    def cos_micro(d, n1, n2):
+        return F.floor(
+            F.lit(1_000_000.0)
+            * (
+                d.cast("double")
+                / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+            )
+        ).cast("long")
+
+    rel0 = (
+        nrm.crossJoin(F.broadcast(qry))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            "qv", "nn",
+            cos_micro(
+                dot(F.col("qqv"), F.col("qv")), F.col("qn"), F.col("nn")
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("nid"))
+    cand = rel0.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+    a = cand.select("query_id", F.col("nid").alias("a"), F.col("qv").alias("av"), F.col("nn").alias("an"))
+    b = cand.select("query_id", F.col("nid").alias("b"), F.col("qv").alias("bv"), F.col("nn").alias("bn"))
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            cos_micro(
+                dot(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
+            ).alias("sim"),
+        )
+    )
+    cand_rows = [
+        (r["query_id"], r["nid"], r["rel"])
+        for r in cand.select("query_id", "nid", "rel").collect()
+    ]
+    pair_rows = [
+        (r["query_id"], r["a"], r["b"], r["sim"]) for r in pairs.collect()
+    ]
+    rel_by_q: dict = {}
+    sim_by_q: dict = {}
+    for qid, nid, r in cand_rows:
+        rel_by_q.setdefault(qid, {})[nid] = r
+    for qid, pa, pb, s in pair_rows:
+        sim_by_q.setdefault(qid, {})[(pa, pb)] = s
+    out = []
+    for qid in sorted(rel_by_q):
+        picked: list = []
+        for step in range(1, 6):
+            best = None
+            for nid, r in rel_by_q[qid].items():
+                if nid in picked:
+                    continue
+                if picked:
+                    ms = max(sim_by_q[qid][(nid, p)] for p in picked)
+                    score = 7 * r - 3 * ms
+                else:
+                    score = 7 * r
+                key = (score, -nid)
+                if best is None or key > best[0]:
+                    best = (key, nid, score)
+            out.append((qid, step, best[1], best[2]))
+            picked.append(best[1])
+    return spark.createDataFrame(
+        out, "query_id long, rnk long, neighbor_id long, mmr_score10 long"
+    )

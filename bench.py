@@ -80,6 +80,11 @@ HEADLINE = [
     "curation_pipeline_v5",
     "pca_top_component_embeddings",
     "kmeans_exact_embeddings",
+    # round-7 session 4: one representative per new family — the
+    # scalable-prefix rank-sum test and the range-join quantile
+    # normalizer (the two with real shuffle shapes worth tracking).
+    "mannwhitney_ab_events",
+    "quantile_normalize_events",
 ]
 
 
@@ -212,6 +217,16 @@ SF1_QUERIES = [
     "cuped_ab_events",
     "did_ab_events",
     "srm_check_events",
+    # round-7 session 4: rank-sum test (scalable prefix), delta-method
+    # ratio metric, matryoshka energy audit (map-only), cross-source
+    # quantile normalization (range-join order-statistic lookup),
+    # keyed EWMA scan, MMR diversified re-rank.
+    "mannwhitney_ab_events",
+    "ratio_metric_ab_events",
+    "matryoshka_energy_embeddings",
+    "quantile_normalize_events",
+    "ewma_user_value_events",
+    "mmr_rerank_embeddings",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

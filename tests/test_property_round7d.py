@@ -168,3 +168,20 @@ def test_mmr_rerank_structure(spark, sf_small):
         assert len(set(ids)) == 5 and qid not in ids
         scores = {r["rnk"]: r["mmr_score10"] for r in rs}
         assert scores[1] == max(scores.values())
+
+
+def test_credit_ledger_matches_python_replay(spark, sf_small):
+    """Clamped fold ≡ pure-Python replay; balances never below zero."""
+    from uw_mapreduce_spark.plans.catalog import credit_ledger_events
+
+    rows = credit_ledger_events(spark, sf_small).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        seq.sort(key=lambda r: r["ts_us"])
+        b = 0
+        for r in seq:
+            b = max(0, b + r["delta_u"])
+            assert r["balance_u"] == b
+            assert b >= 0

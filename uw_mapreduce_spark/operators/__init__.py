@@ -37,12 +37,18 @@ from .scale import sliding_aggregate_scalable
 from .similarity import load_ann_index, save_ann_index
 from .sketch import count_min_estimates
 from .split import hash_sample, hash_split
-from .resample import ewma_keyed, gap_fill_interpolate, gap_fill_locf
+from .resample import (
+    clamped_running_sum,
+    ewma_keyed,
+    gap_fill_interpolate,
+    gap_fill_locf,
+)
 
 __all__ = [
     "bfs_hops",
     "debounce",
     "funnel_steps",
+    "clamped_running_sum",
     "ewma_keyed",
     "gap_fill_interpolate",
     "grouped_quantiles",

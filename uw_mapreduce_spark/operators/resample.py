@@ -164,8 +164,60 @@ def ewma_keyed(
     per key; a per-group applyInPandas pays ~1 ms/group), state carried
     across record batches.  Output = input + ``out_col``, never
     reshuffled."""
-    import pandas as pd
+    d = int(den)
 
+    def step(s: int | None, v: int) -> int:
+        if s is None:
+            return v
+        diff = v - s
+        return s + (diff // d if diff >= 0 else -((-diff) // d))
+
+    return _keyed_integer_scan(df, keys, ts_col, value_col, step, tiebreak, out_col)
+
+
+def clamped_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delta_col: str,
+    floor_at: int = 0,
+    tiebreak: list[str] | None = None,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Per-key running balance clamped below at ``floor_at``:
+    b₀ = floor_at; bₜ = max(floor_at, bₜ₋₁ + Δₜ) — the inventory /
+    prepaid-credit / rate-limiter-token semantics where a balance can
+    never go negative, which prefix sums CANNOT express (whether a
+    withdrawal bites depends on every earlier clamp).  Same sequential
+    -but-integer contract as `ewma_keyed`: a DuckDB recursive CTE
+    replays it exactly, so the face carries a full value-hash oracle.
+    Output = input + ``out_col``; one key shuffle, partition-level
+    Arrow scan."""
+    lo = int(floor_at)
+
+    def step(s: int | None, v: int) -> int:
+        base = lo if s is None else s
+        nxt = base + v
+        return nxt if nxt > lo else lo
+
+    return _keyed_integer_scan(df, keys, ts_col, delta_col, step, tiebreak, out_col)
+
+
+def _keyed_integer_scan(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    step,
+    tiebreak: list[str] | None,
+    out_col: str,
+) -> DataFrame:
+    """Shared kernel for per-key ordered integer folds (`ewma_keyed`,
+    `clamped_running_sum`): hash repartition on the keys, in-partition
+    secondary sort (keys, ts, tiebreak), one Arrow ``mapInPandas`` scan
+    per PARTITION with the (key, state) pair carried across record
+    batches.  ``step(state_or_None, v) -> new_state`` sees None at each
+    key's first row; the emitted column is the state after each row."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     order = list(keys) + [ts_col] + list(tiebreak or [])
@@ -173,12 +225,10 @@ def ewma_keyed(
     parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
         *[F.col(c) for c in order]
     )
-    d = int(den)
 
     def scan(batches):
         prev_key = None
-        s = 0
-        seeded = False
+        s: int | None = None
         for pdf in batches:
             vs = pdf[value_col].to_numpy()
             key_cols = [pdf[k].to_numpy() for k in keys]
@@ -187,14 +237,8 @@ def ewma_keyed(
                 kt = tuple(c[i] for c in key_cols)
                 if kt != prev_key:
                     prev_key = kt
-                    seeded = False
-                v = int(vs[i])
-                if not seeded:
-                    s = v
-                    seeded = True
-                else:
-                    diff = v - s
-                    s += diff // d if diff >= 0 else -((-diff) // d)
+                    s = None
+                s = step(s, int(vs[i]))
                 out[i] = s
             pdf[out_col] = out
             yield pdf

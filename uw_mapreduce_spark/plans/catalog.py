@@ -6772,3 +6772,52 @@ def ratio_metric_ab_events(spark, sf_dir):
             .alias("z_micro"),
         )
     )
+
+
+_LEDGER_SQL = r"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT)
+              ELSE -CAST(floor(value * 1000000.0) AS BIGINT) END AS delta_u,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+),
+step AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS ts_us,
+         CAST(NULL AS BIGINT) AS delta_u, CAST(0 AS BIGINT) AS b
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us, e.delta_u,
+         greatest(CAST(0 AS BIGINT), s.b + e.delta_u) AS b
+  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, ts_us, delta_u, b AS balance_u
+FROM step WHERE rn > 0
+"""
+
+
+@query("credit_ledger_events", _LEDGER_SQL)
+def credit_ledger_events(spark, sf_dir):
+    """Per-user clamped credit ledger (`operators/resample.
+    clamped_running_sum`): purchases deposit their value, every other
+    event withdraws it, and the balance floors at zero — the
+    inventory / prepaid-credit / token-bucket semantics a prefix sum
+    CANNOT express (whether a withdrawal bites depends on every
+    earlier clamp, so the fold is inherently sequential).  Fourth
+    member of the keyed sequential-kernel family (CUSUM drift,
+    debounce, EWMA): O(1) integer state per key, partition-level Arrow
+    scan, and a DuckDB recursive CTE replaying the exact fold — full
+    value-hash oracle over the entire 10k-row balance history."""
+    from ..operators.resample import clamped_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    slim = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", v).otherwise(-v).alias("delta_u"),
+    )
+    return clamped_running_sum(
+        slim, ["user_id"], "ts_us", "delta_u", floor_at=0, out_col="balance_u"
+    )

@@ -4097,3 +4097,150 @@ def mmr_rerank_embeddings(spark, sf_dir):
     return spark.createDataFrame(
         out, "query_id long, rnk long, neighbor_id long, mmr_score10 long"
     )
+
+
+# NDCG log2 discounts precomputed ONCE in Python and embedded as integer
+# literals in BOTH engines' queries — no engine log() in any hashed
+# expression (log/ln are not cross-engine-exact; these constants are).
+_NDCG_K = 10
+_NDCG_D = [int(10**9 // __import__("math").log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_CUM = [sum(_NDCG_D[: i + 1]) for i in range(_NDCG_K)]
+
+
+def _ndcg_oracle_sql() -> str:
+    d_case = " ".join(
+        f"WHEN {i + 1} THEN {_NDCG_D[i]}" for i in range(_NDCG_K)
+    )
+    cum_case = " ".join(
+        f"WHEN {i + 1} THEN {_NDCG_CUM[i]}" for i in range(_NDCG_K)
+    )
+    return rf"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, label, qv,
+        CAST(list_inner_product(qv, qv) AS BIGINT) AS nn FROM q),
+qry AS (SELECT vec_id AS query_id, label AS qlabel, qv AS qqv, nn AS qn
+        FROM nrm WHERE vec_id < 3),
+ranked AS (
+  SELECT r.query_id, r.qlabel, c.vec_id AS nid, c.label AS nlabel,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY {_mmr_cos('list_inner_product(r.qqv, c.qv)', 'r.qn', 'c.nn')}
+                    DESC, c.vec_id) AS rnk
+  FROM qry r, nrm c WHERE c.vec_id <> r.query_id),
+dcg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN nlabel = qlabel
+                       THEN CASE rnk {d_case} ELSE 0 END
+                       ELSE 0 END) AS BIGINT) AS dcg
+  FROM ranked WHERE rnk <= {_NDCG_K} GROUP BY query_id),
+npos AS (
+  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM qry r JOIN nrm c ON c.label = r.qlabel AND c.vec_id <> r.query_id
+  GROUP BY r.query_id)
+SELECT n.query_id, n.n_rel, d.dcg,
+       CAST(CASE WHEN n.n_rel >= {_NDCG_K} THEN {_NDCG_CUM[-1]}
+                 ELSE CASE n.n_rel {cum_case} ELSE 0 END END AS BIGINT) AS idcg,
+       CAST(1000 * d.dcg
+            // CASE WHEN n.n_rel >= {_NDCG_K} THEN {_NDCG_CUM[-1]}
+                    ELSE CASE n.n_rel {cum_case} ELSE 0 END END
+         AS BIGINT) AS ndcg_permille
+FROM npos n JOIN dcg d ON d.query_id = n.query_id
+WHERE n.n_rel > 0
+"""
+
+
+@query("ndcg_label_embeddings", _ndcg_oracle_sql())
+def ndcg_label_embeddings(spark, sf_dir):
+    """NDCG@10 of cosine retrieval against label relevance — the
+    position-discounted ranking metric beside MRR (`bm25_mrr`): a hit
+    at rank 1 is worth 1/log₂2, at rank 10 only 1/log₂11.  The log₂
+    discounts are precomputed ONCE in Python and embedded as the SAME
+    integer literals in both engines' queries (engine log() is not
+    cross-engine-exact; constants are), ranking uses the MMR face's
+    cosine-micro integers, and NDCG = 1000·DCG DIV IDCG — the whole
+    metric value-hashes.  Scale shape: one broadcast query kernel over
+    the corpus, a per-query top-k window, and a label-count aggregate;
+    the eval itself is k-row arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — exact int64 dot
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
+        "nn", dot(F.col("qv"), F.col("qv"))
+    )
+    qry = nrm.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("qqv"),
+        F.col("nn").alias("qn"),
+    )
+    cos = F.floor(
+        F.lit(1_000_000.0)
+        * (
+            dot(F.col("qqv"), F.col("qv")).cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("nn").cast("double"))
+            )
+        )
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    ranked = (
+        nrm.crossJoin(F.broadcast(qry))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _NDCG_K)
+    )
+    d_case = " ".join(f"WHEN {i + 1} THEN {_NDCG_D[i]}L" for i in range(_NDCG_K))
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("label") == F.col("qlabel"),
+                F.expr(f"CASE rnk {d_case} ELSE 0L END"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("dcg")
+    )
+    npos = (
+        qry.join(
+            nrm.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")),
+            F.col("nlabel") == F.col("qlabel"),
+        )
+        .where(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    cum_case = " ".join(
+        f"WHEN {i + 1} THEN {_NDCG_CUM[i]}L" for i in range(_NDCG_K)
+    )
+    idcg = F.expr(
+        f"CASE WHEN n_rel >= {_NDCG_K} THEN {_NDCG_CUM[-1]}L"
+        f" ELSE CASE n_rel {cum_case} ELSE 0L END END"
+    )
+    return (
+        npos.where(F.col("n_rel") > 0)
+        .join(dcg, "query_id")
+        .select(
+            "query_id", "n_rel", "dcg",
+            idcg.cast("long").alias("idcg"),
+            F.expr(
+                f"CAST(1000 * dcg DIV (CASE WHEN n_rel >= {_NDCG_K}"
+                f" THEN {_NDCG_CUM[-1]}L"
+                f" ELSE CASE n_rel {cum_case} ELSE 0L END END) AS BIGINT)"
+            ).alias("ndcg_permille"),
+        )
+    )

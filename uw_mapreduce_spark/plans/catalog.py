@@ -6821,3 +6821,88 @@ def credit_ledger_events(spark, sf_dir):
     return clamped_running_sum(
         slim, ["user_id"], "ts_us", "delta_u", floor_at=0, out_col="balance_u"
     )
+
+
+def _stationary_oracle_sql(iters: int = 3) -> str:
+    """Unrolled integer power iteration over the event-type transition
+    matrix (the HITS oracle-builder technique): p'ⱼ = Σᵢ (pᵢ·Tᵢⱼ)//rsᵢ
+    then renormalize to the 1e12 grid — every step exact HUGEINT."""
+    parts = [r"""seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events),
+t AS (SELECT event_type AS prev, next_type AS cur, CAST(count(*) AS HUGEINT) AS c
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+rs AS (SELECT prev, SUM(c) AS rsum FROM t GROUP BY 1),
+p0 AS (SELECT DISTINCT prev AS st, CAST(1000000000000 AS HUGEINT) AS p FROM t)"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT t.cur AS st, SUM((p.p * t.c) // rs.rsum) AS p\n"
+            f"  FROM t JOIN p{i - 1} p ON p.st = t.prev"
+            f" JOIN rs ON rs.prev = t.prev GROUP BY 1),\n"
+            f"s{i} AS (SELECT SUM(p) AS s FROM m{i}),\n"
+            f"p{i} AS (SELECT st, (p * 1000000000000) // s AS p FROM m{i}, s{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+sf AS (SELECT SUM(p) AS s FROM p{iters})
+SELECT st AS event_type, CAST(p * 1000 // sf.s AS BIGINT) AS stationary_permille
+FROM p{iters}, sf"""
+    )
+
+
+@query("markov_stationary_events", _stationary_oracle_sql(3))
+def markov_stationary_events(spark, sf_dir):
+    """Steady-state event mix: 3-step integer power iteration of the
+    first-order event-type Markov chain (`event_transitions_events`'s
+    matrix) — where user behavior settles if the observed transition
+    dynamics keep running, the equilibrium complement to the raw
+    transition counts.  Exact-iterative discipline (PageRank/HITS/PCA
+    family): p'ⱼ = Σᵢ (pᵢ·Tᵢⱼ)//rsᵢ with a 1e12-grid renormalize per
+    step, all HUGEINT/DECIMAL(38,0) — value-hashes against the
+    unrolled SQL.  The matrix is |types|²-bounded (dimension-sized,
+    localCheckpointed so iteration lineage re-reads 25 rows, not the
+    corpus); one shuffle builds it, everything after is tiny."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("cur"),
+    ).where(F.col("cur").isNotNull())
+    t = (
+        seq.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+        .localCheckpoint(eager=True)  # 25 rows: iteration lineage must
+        # re-read this frame, not the corpus (the pagerank discipline)
+    )
+    rs = t.groupBy("prev").agg(F.sum("c").alias("rsum"))
+    grid = F.lit(1_000_000_000_000).cast(dec)
+    p = t.select("prev").distinct().select(
+        F.col("prev").alias("st"), grid.alias("p")
+    )
+    for _ in range(3):
+        m = (
+            t.join(p, t.prev == p.st)
+            .join(rs, "prev")
+            .groupBy(F.col("cur").alias("mst"))
+            .agg(
+                F.sum(
+                    F.expr("CAST(p AS DECIMAL(38,0)) * c DIV rsum").cast(dec)
+                ).alias("mp")
+            )
+        )
+        s = m.agg(F.sum("mp").cast(dec).alias("s"))
+        p = m.crossJoin(F.broadcast(s)).select(
+            F.col("mst").alias("st"),
+            F.expr("CAST(mp * 1000000000000 DIV s AS DECIMAL(38,0))").alias("p"),
+        )
+    sf = p.agg(F.sum("p").cast(dec).alias("stot"))
+    return p.crossJoin(F.broadcast(sf)).select(
+        F.col("st").alias("event_type"),
+        F.expr("CAST(p * 1000 DIV stot AS BIGINT)").alias("stationary_permille"),
+    )

@@ -185,3 +185,20 @@ def test_credit_ledger_matches_python_replay(spark, sf_small):
             b = max(0, b + r["delta_u"])
             assert r["balance_u"] == b
             assert b >= 0
+
+
+def test_markov_attribution_invariants(spark, sf_small):
+    """Removal effects in [0, 1000] (pinning a state can only reduce a
+    monotone value iteration), all four channels present, shares sum
+    to ≈1000 (floor rounding)."""
+    from uw_mapreduce_spark.plans.catalog import markov_attribution_events
+
+    rows = markov_attribution_events(spark, sf_small).collect()
+    assert sorted(r["channel"] for r in rows) == [
+        "click", "error", "signup", "view",
+    ]
+    for r in rows:
+        assert 0 <= r["removal_effect_permille"] <= 1000
+        assert 0 <= r["attribution_permille"] <= 1000
+    share = sum(r["attribution_permille"] for r in rows)
+    assert 996 <= share <= 1000

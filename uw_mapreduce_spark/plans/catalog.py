@@ -6906,3 +6906,193 @@ def markov_stationary_events(spark, sf_dir):
         F.col("st").alias("event_type"),
         F.expr("CAST(p * 1000 DIV stot AS BIGINT)").alias("stationary_permille"),
     )
+
+
+_MKV_CHANNELS = ["click", "error", "signup", "view"]
+_MKV_GRID = 10**12
+_MKV_ITERS = 8
+
+
+def _mkv_attr_oracle_sql() -> str:
+    """Unrolled absorbing-chain value iteration, one block per variant
+    (full chain + one per removed channel): 8 monotone steps of
+    p(s) = Σ_t (T(s,t)·p(t)) // rs(s) from p≡0, purchase absorbing at
+    the 1e12 grid, __end__ absorbing at 0, the removed channel pinned
+    to 0 — every term exact HUGEINT with per-term trunc-div."""
+    g = _MKV_GRID
+    base = r"""fp AS (
+  SELECT user_id, cts, cid FROM (
+    SELECT user_id, epoch_us(ts) AS cts, event_id AS cid,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+pe AS (
+  SELECT e.user_id, e.event_type, epoch_us(e.ts) AS ts_us, e.event_id
+  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE fp.cts IS NULL OR epoch_us(e.ts) < fp.cts
+     OR (epoch_us(e.ts) = fp.cts AND e.event_id <= fp.cid)),
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS nxt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS rn
+  FROM pe),
+t AS (
+  SELECT event_type AS prev, COALESCE(nxt, '__end__') AS cur,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM seq WHERE event_type <> 'purchase' GROUP BY 1, 2),
+rs AS (SELECT prev, SUM(c) AS rsum FROM t GROUP BY prev),
+s0 AS (SELECT event_type AS st, CAST(count(*) AS HUGEINT) AS sc
+       FROM seq WHERE rn = 1 GROUP BY 1),
+nu AS (SELECT SUM(sc) AS n FROM s0),
+pz AS (SELECT prev AS st, CAST(0 AS HUGEINT) AS p FROM rs)"""
+    parts = [base]
+    variants = ["full"] + _MKV_CHANNELS
+    for v in variants:
+        pin = "1 = 0" if v == "full" else f"rs.prev = '{v}'"
+        cpin = "1 = 0" if v == "full" else f"t.cur = '{v}'"
+        prev_cte = "pz"
+        for i in range(1, _MKV_ITERS + 1):
+            cte = f"p_{v}_{i}"
+            parts.append(f"""{cte} AS (
+  SELECT rs.prev AS st,
+         CASE WHEN {pin} THEN CAST(0 AS HUGEINT) ELSE
+           COALESCE(SUM(CASE
+             WHEN t.cur = 'purchase' THEN (t.c * {g}) // rs.rsum
+             WHEN t.cur = '__end__' THEN CAST(0 AS HUGEINT)
+             WHEN {cpin} THEN CAST(0 AS HUGEINT)
+             ELSE (t.c * COALESCE(pp.p, 0)) // rs.rsum END), 0) END AS p
+  FROM rs JOIN t ON t.prev = rs.prev
+  LEFT JOIN {prev_cte} pp ON pp.st = t.cur
+  GROUP BY rs.prev, rs.rsum)""")
+            prev_cte = cte
+        spin = "1 = 0" if v == "full" else f"s0.st = '{v}'"
+        parts.append(f"""ps_{v} AS (
+  SELECT SUM(CASE WHEN s0.st = 'purchase' THEN (s0.sc * {g}) // nu.n
+                  WHEN {spin} THEN CAST(0 AS HUGEINT)
+                  ELSE (s0.sc * COALESCE(pp.p, 0)) // nu.n END) AS ps
+  FROM s0 CROSS JOIN nu LEFT JOIN {prev_cte} pp ON pp.st = s0.st)""")
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS channel, CAST(1000 - (1000 * pc.ps) // pf.ps AS BIGINT)"
+        f" AS removal_effect_permille FROM ps_{c} pc, ps_full pf WHERE pf.ps > 0"
+        for c in _MKV_CHANNELS
+    )
+    parts.append(f"res AS (\n{union})")
+    parts.append("tot AS (SELECT SUM(removal_effect_permille) AS s FROM res)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT res.channel, res.removal_effect_permille,
+       CAST((1000 * res.removal_effect_permille) // tot.s AS BIGINT)
+         AS attribution_permille
+FROM res, tot WHERE tot.s > 0"""
+    )
+
+
+@query("markov_attribution_events", _mkv_attr_oracle_sql())
+def markov_attribution_events(spark, sf_dir):
+    """Markov removal-effect attribution — the data-driven alternative
+    to the heuristic linear/position/U-shaped credit rules already in
+    the catalog: model each user's pre-conversion path as a first-order
+    chain (purchase absorbing at the 1e12 grid, journey-end absorbing
+    at 0), compute conversion probability from the start-state mix by
+    8 monotone value-iteration steps, and credit each channel by how
+    much that probability DROPS when the channel's state is pinned to
+    zero (the standard removal effect), normalized to attribution
+    shares.  Every step is per-term trunc-div integer arithmetic, so
+    the 5-variant iteration value-hashes against the unrolled SQL.
+
+    Scale shape: the corpus-side work — first-purchase truncation, the
+    transition matrix T, start-state mix — is two window passes and
+    two aggregates; the chain math then runs on COLLECTED
+    |types|²-bounded frames (≤ 4×6 T cells + 5 start rows) in exact
+    Python ints, the BPE/MMR constant-bounded-collect discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"), "event_id",
+    )
+    wfp = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wfp))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("ts_us").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    pe = e.join(fp, "user_id", "left").where(
+        F.col("cts").isNull()
+        | (F.col("ts_us") < F.col("cts"))
+        | ((F.col("ts_us") == F.col("cts")) & (F.col("event_id") <= F.col("cid")))
+    )
+    seq = pe.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(wfp).alias("nxt"),
+        F.row_number().over(wfp).alias("rn"),
+    )
+    t_rows = (
+        seq.where(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("prev"),
+            F.coalesce(F.col("nxt"), F.lit("__end__")).alias("cur"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    s_rows = (
+        seq.where(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("st"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sc"))
+        .collect()
+    )
+    T = {(r["prev"], r["cur"]): r["c"] for r in t_rows}
+    rs = {}
+    for (pv, _), c in T.items():
+        rs[pv] = rs.get(pv, 0) + c
+    S = {r["st"]: r["sc"] for r in s_rows}
+    n_users = sum(S.values())
+    g = _MKV_GRID
+
+    def chain(removed):
+        p = {s: 0 for s in rs}
+        for _ in range(_MKV_ITERS):
+            np_ = {}
+            for s in rs:
+                if s == removed:
+                    np_[s] = 0
+                    continue
+                tot = 0
+                for (pv, cv), c in T.items():
+                    if pv != s:
+                        continue
+                    if cv == "purchase":
+                        tot += (c * g) // rs[s]
+                    elif cv == "__end__" or cv == removed:
+                        pass
+                    else:
+                        tot += (c * p[cv]) // rs[s]
+                np_[s] = tot
+            p = np_
+        ps = 0
+        for st, sc in S.items():
+            if st == "purchase":
+                ps += (sc * g) // n_users
+            elif st == removed:
+                pass
+            else:
+                ps += (sc * p.get(st, 0)) // n_users
+        return ps
+
+    ps_full = chain(None)
+    out = []
+    if ps_full > 0:
+        res = [
+            (c, 1000 - (1000 * chain(c)) // ps_full) for c in _MKV_CHANNELS
+        ]
+        tot = sum(r for _, r in res)
+        if tot > 0:
+            out = [(c, r, (1000 * r) // tot) for c, r in res]
+    return spark.createDataFrame(
+        out,
+        "channel string, removal_effect_permille long, attribution_permille long",
+    )

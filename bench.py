@@ -227,6 +227,10 @@ SF1_QUERIES = [
     "quantile_normalize_events",
     "ewma_user_value_events",
     "mmr_rerank_embeddings",
+    "credit_ledger_events",
+    "ndcg_label_embeddings",
+    "markov_stationary_events",
+    "markov_attribution_events",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

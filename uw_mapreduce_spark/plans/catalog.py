@@ -7096,3 +7096,79 @@ def markov_attribution_events(spark, sf_dir):
         out,
         "channel string, removal_effect_permille long, attribution_permille long",
     )
+
+
+_LTV_SQL = r"""
+WITH u AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+cs AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort_users FROM u GROUP BY 1
+),
+rev AS (
+  SELECT u.cohort_day,
+         CAST(date_diff('day', u.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+           AS day_offset,
+         CAST(SUM(CAST(floor(e.value * 1000000.0) AS BIGINT)) AS BIGINT) AS rev_u
+  FROM events e JOIN u ON u.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, day_offset,
+         SUM(rev_u) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_revenue_u
+  FROM rev
+)
+SELECT c.cohort_day, c.day_offset, cs.n_cohort_users,
+       CAST(c.cum_revenue_u AS BIGINT) AS cum_revenue_u,
+       CAST(c.cum_revenue_u // cs.n_cohort_users AS BIGINT) AS ltv_per_user_u
+FROM cum c JOIN cs USING (cohort_day)
+"""
+
+
+@query("cohort_ltv_events", _LTV_SQL)
+def cohort_ltv_events(spark, sf_dir):
+    """Cohort LTV curves — the revenue companion to the retention
+    triangle (`cohort_retention_events`): users bucketed by first-active
+    day, purchase revenue accumulated per day offset, divided by the
+    cohort's size — the average-lifetime-value-by-age readout every
+    growth model feeds on.  Integer micro-units throughout; the
+    cumulative window is per-cohort over DAY OFFSETS (calendar-bounded
+    frame — ≤ span days per cohort, never user- or event-sized), so the
+    plan is two user-keyed aggregates, one offset rollup, and a tiny
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    cs = u.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort_users")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long"))
+            .cast("long")
+            .alias("rev_u")
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_revenue_u", F.sum("rev_u").over(w))
+    return cum.join(cs, "cohort_day").select(
+        "cohort_day", "day_offset", "n_cohort_users",
+        F.col("cum_revenue_u").cast("long").alias("cum_revenue_u"),
+        F.expr("CAST(cum_revenue_u DIV n_cohort_users AS BIGINT)").alias(
+            "ltv_per_user_u"
+        ),
+    )

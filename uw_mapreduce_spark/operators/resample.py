@@ -165,14 +165,21 @@ def ewma_keyed(
     across record batches.  Output = input + ``out_col``, never
     reshuffled."""
     d = int(den)
+    return _keyed_integer_scan(
+        df, keys, ts_col, value_col,
+        lambda s, v: ewma_step(s, v, d), tiebreak, out_col,
+    )
 
-    def step(s: int | None, v: int) -> int:
-        if s is None:
-            return v
-        diff = v - s
-        return s + (diff // d if diff >= 0 else -((-diff) // d))
 
-    return _keyed_integer_scan(df, keys, ts_col, value_col, step, tiebreak, out_col)
+def ewma_step(s: int | None, v: int, den: int) -> int:
+    """One EWMA fold step — shared by the batch scan and the streaming
+    stateful processor (`streaming/smooth.py`) so both paths run the
+    IDENTICAL integer kernel.  Trunc-toward-zero division (sign-split
+    floor-div) matches Spark DIV and DuckDB ``//`` exactly."""
+    if s is None:
+        return v
+    diff = v - s
+    return s + (diff // den if diff >= 0 else -((-diff) // den))
 
 
 def clamped_running_sum(

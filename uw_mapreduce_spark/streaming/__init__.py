@@ -9,10 +9,12 @@ from .joins import (
 )
 from .maintenance import RollupMaintainer, maintain_rollup
 from .sliding import sliding_event_time_sum, stream_events, windowed_distinct_users
+from .smooth import ewma_stream
 
 __all__ = [
     "RollupMaintainer",
     "cusum_drift_alerts",
+    "ewma_stream",
     "click_purchase_funnel",
     "click_purchase_funnel_full",
     "click_purchase_funnel_outer",

@@ -7172,3 +7172,85 @@ def cohort_ltv_events(spark, sf_dir):
             "ltv_per_user_u"
         ),
     )
+
+
+_ACF_FORMULA = (
+    "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx = 0 "
+    "OR CAST(n AS DECIMAL(38,0)) * syy - sy * sy = 0 THEN 0 "
+    "ELSE floor(1000.0 * "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    ") END AS BIGINT)"
+)
+
+_ACF_SQL = rf"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT CAST(UNNEST(generate_series(1, 7)) AS BIGINT) AS lag),
+pairs AS (
+  SELECT l.lag, CAST(x.rc AS DECIMAL(38,0)) AS x, CAST(y.rc AS DECIMAL(38,0)) AS y
+  FROM lags l
+  JOIN daily x ON TRUE
+  JOIN daily y ON y.t = x.t + l.lag
+),
+s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n, {_ACF_FORMULA} AS acf_permille
+FROM s
+"""
+
+
+@query("acf_daily_revenue", _ACF_SQL)
+def acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation function of the daily-revenue series at lags
+    1..7 — the seasonality/momentum diagnostic behind every forecast
+    model choice (a weekly cycle shows as a lag-7 spike).  Per lag k
+    the series is self-joined on t+k (pairs where BOTH days exist, so
+    calendar gaps don't fabricate zeros), and Pearson r is computed on
+    the `daily_type_correlation` portability recipe: moments are EXACT
+    DECIMAL(38,0)/HUGEINT sums of integer-cent daily totals (daily
+    cents ~2.3e10 at sf1 → Σx² ~3e27, past int64, inside 38 digits),
+    then ONE cast to double and an identical-text formula both
+    engines.  Scale: the corpus collapses to the ~2400-row daily
+    aggregate before the 7-way lag explode, so the lag join and
+    moment rollup are calendar-bounded — O(span·lags), independent of
+    order count."""
+    dec = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("rc")
+    )
+    lagged = daily.select(
+        "t",
+        "rc",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 8)])).alias("lag"),
+    ).select("lag", (F.col("t") + F.col("lag")).alias("t2"), F.col("rc").alias("xrc"))
+    y = daily.select(F.col("t").alias("t2"), F.col("rc").alias("yrc"))
+    pairs = lagged.join(y, "t2").select(
+        "lag",
+        F.col("xrc").cast(dec).alias("x"),
+        F.col("yrc").cast(dec).alias("y"),
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select("lag", "n", F.expr(_ACF_FORMULA).alias("acf_permille"))

@@ -7254,3 +7254,138 @@ def acf_daily_revenue(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     return s.select("lag", "n", F.expr(_ACF_FORMULA).alias("acf_permille"))
+
+
+_BACKTEST_SQL = r"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT 'naive_1' AS model, a.rc AS act, f.rc AS fc
+  FROM daily a JOIN daily f ON f.t = a.t - 1
+  UNION ALL
+  SELECT 'seasonal_7' AS model, a.rc AS act, f.rc AS fc
+  FROM daily a JOIN daily f ON f.t = a.t - 7
+)
+SELECT model,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ABS(act - fc)) // COUNT(*) AS BIGINT) AS mae_c,
+       CAST(SUM(fc - act) // COUNT(*) AS BIGINT) AS bias_c,
+       CAST(SUM((ABS(act - fc) * 1000) // act) // COUNT(*) AS BIGINT) AS mape_permille
+FROM scored WHERE act > 0 GROUP BY model
+"""
+
+
+@query("seasonal_naive_backtest_orders", _BACKTEST_SQL)
+def seasonal_naive_backtest_orders(spark, sf_dir):
+    """Walk-forward forecast backtest of the two no-parameter baselines
+    every forecasting effort must beat: naive (predict yesterday's
+    revenue) vs seasonal-naive (predict last week's same-weekday
+    revenue), scored over the full history with exact integer error
+    metrics — MAE in cents, signed bias, and MAPE as the integer mean
+    of per-day floor(1000·|err|/actual).  Forecasts join on CALENDAR
+    day (t-1 / t-7), not row offset, so calendar gaps never misalign
+    the pairing.  All arithmetic is int64 sums + trunc-div (identical
+    in both engines); doubles never appear.  Scale: the corpus
+    collapses to the ~2400-row daily aggregate first; both model joins
+    and the metric rollup are calendar-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("rc")
+    )
+
+    def scored(lag: int, name: str) -> DataFrame:
+        f = daily.select((F.col("t") + F.lit(lag)).alias("t"), F.col("rc").alias("fc"))
+        return daily.join(f, "t").select(
+            F.lit(name).alias("model"), F.col("rc").alias("act"), "fc"
+        )
+
+    sc = scored(1, "naive_1").unionByName(scored(7, "seasonal_7")).where(
+        F.col("act") > 0
+    )
+    return sc.groupBy("model").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(SUM(ABS(act - fc)) DIV COUNT(*) AS BIGINT)").alias("mae_c"),
+        F.expr("CAST(SUM(fc - act) DIV COUNT(*) AS BIGINT)").alias("bias_c"),
+        F.expr(
+            "CAST(SUM((ABS(act - fc) * 1000) DIV act) DIV COUNT(*) AS BIGINT)"
+        ).alias("mape_permille"),
+    )
+
+
+_HHI_SQL = r"""
+WITH sr AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT))
+              AS HUGEINT) AS rev_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(rev_c) AS tot_c,
+         SUM(rev_c * rev_c) AS ss
+  FROM sr GROUP BY nation
+)
+SELECT nation, n_suppliers,
+       CAST(tot_c AS BIGINT) AS rev_c,
+       CAST((ss * 10000) // (tot_c * tot_c) AS BIGINT) AS hhi_e4,
+       CAST(CASE WHEN (ss * 10000) // (tot_c * tot_c) = 0 THEN 0
+            ELSE 1000000 // ((ss * 10000) // (tot_c * tot_c)) END AS BIGINT)
+         AS eff_suppliers_centi
+FROM agg
+"""
+
+
+@query("hhi_supplier_concentration", _HHI_SQL)
+def hhi_supplier_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman market concentration of lineitem revenue
+    across suppliers, per supplier nation — the antitrust-style
+    companion to `gini_revenue_customers` (Gini ranks inequality; HHI
+    measures dominance) plus the inverse-Simpson "effective number of
+    suppliers" readout.  HHI = Σ shareᵢ² computed WITHOUT float
+    shares: Σ(revᵢ²)·10⁴ DIV (Σrevᵢ)² in DECIMAL(38,0)/HUGEINT
+    (per-supplier cents² passes int64 at sf1 — ~1e20).  Plan: one
+    (nation, supplier)-keyed aggregate off the broadcast-dimension
+    join, then a 25-row rollup; the squared-sum trick makes
+    concentration a plain two-level aggregation, no window, no
+    all-pairs."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+    ).cast("long")
+    sr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(F.sum(rev).cast(dec).alias("rev_c"))
+    )
+    agg = sr.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev_c").alias("tot_c"),
+        F.sum(F.col("rev_c") * F.col("rev_c")).alias("ss"),
+    )
+    hhi = "(ss * 10000) DIV (tot_c * tot_c)"
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.col("tot_c").cast("long").alias("rev_c"),
+        F.expr(f"CAST({hhi} AS BIGINT)").alias("hhi_e4"),
+        F.expr(
+            f"CAST(CASE WHEN {hhi} = 0 THEN 0 ELSE 1000000 DIV ({hhi}) END AS BIGINT)"
+        ).alias("eff_suppliers_centi"),
+    )

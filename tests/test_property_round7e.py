@@ -1,0 +1,129 @@
+"""Round-7 session-5 properties: grid-DBSCAN vs a brute-force
+reference model, and bounded-hop Bellman-Ford vs per-path enumeration."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute_dbscan(pts, eps, min_pts):
+    """Reference DBSCAN with min-label clusters and smallest-core-label
+    border assignment — mirrors the operator's deterministic contract."""
+    ids = sorted(pts)
+    e2 = eps * eps
+    nbr = {
+        i: [j for j in ids if j != i
+            and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= e2]
+        for i in ids
+    }
+    core = {i for i in ids if len(nbr[i]) >= min_pts - 1}
+    # min-label CC over core-core adjacency
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbr[i]:
+                if j in core and label[j] < label[i]:
+                    label[i] = label[j]
+                    changed = True
+    # chase to fixpoint (tiny graphs: propagate until stable)
+    for _ in range(len(core)):
+        for i in core:
+            if label[label[i]] < label[i]:
+                label[i] = label[label[i]]
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", label[i])
+        else:
+            cl = [label[j] for j in nbr[i] if j in core]
+            out[i] = ("border", min(cl)) if cl else ("noise", -1)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    coords=st.lists(
+        st.tuples(st.integers(min_value=-30, max_value=30),
+                  st.integers(min_value=-30, max_value=30)),
+        min_size=1, max_size=28,
+    ),
+    eps=st.integers(min_value=1, max_value=15),
+    min_pts=st.integers(min_value=2, max_value=5),
+)
+def test_dbscan_grid_matches_brute_force(spark, coords, eps, min_pts):
+    from uw_mapreduce_spark.operators.clustering import dbscan_grid
+
+    pts = {i: c for i, c in enumerate(coords)}
+    want = _brute_dbscan(pts, eps, min_pts)
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x long, y long"
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_grid(df, eps=eps, min_pts=min_pts).collect()
+    }
+    assert got == want
+
+
+def test_dbscan_grid_partitioning_invariance(spark):
+    """Same clusters whether the points arrive in 1 partition or 7."""
+    from uw_mapreduce_spark.operators.clustering import dbscan_grid
+
+    rows = [(i, (i * 37) % 50 - 25, (i * 61) % 44 - 22) for i in range(60)]
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "id long, x long, y long").repartition(parts)
+        outs.append(sorted(
+            tuple(r) for r in dbscan_grid(df, eps=6, min_pts=3).collect()
+        ))
+    assert outs[0] == outs[1]
+
+
+def _brute_cheapest(edges, seeds, max_hops):
+    """min over all ≤max_hops-edge paths from any seed (undirected)."""
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if d + w < nxt.get(v, float("inf")):
+                    nxt[v] = d + w
+        dist = nxt
+    return dist
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 20)),
+        min_size=1, max_size=25,
+    ),
+    hops=st.integers(min_value=1, max_value=4),
+)
+def test_weighted_shortest_paths_matches_path_enumeration(spark, edges, hops):
+    from uw_mapreduce_spark.operators.graph import weighted_shortest_paths
+
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    if not edges:
+        return
+    seeds = sorted({u for u, _, _ in edges})[:2]
+    want = _brute_cheapest(edges, seeds, hops)
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "v long")
+    got = {r["v"]: r["d"] for r in weighted_shortest_paths(e, s, max_hops=hops).collect()}
+    assert got == want

@@ -123,3 +123,109 @@ def kmeans_lloyd_exact(
         ],
         "cent_id long, pos int, mu long, n_members long",
     )
+
+
+def dbscan_grid(
+    pts: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact DBSCAN over integer 2-D points, blocked by an eps-sized
+    grid — density clustering with noise, the classic
+    (Ester/Kriegel/Sander/Xu 1996) semantics made distributed and
+    value-hashable:
+
+    - neighbor pairs: |N_eps(p)| via squared-int64-L2 ≤ eps² (no
+      floats, no sqrt),
+    - core iff the eps-ball holds ≥ ``min_pts`` points INCLUDING p,
+    - clusters = connected components of the core-core adjacency
+      (labels are min reachable core id — deterministic),
+    - border points take the SMALLEST cluster label among their core
+      neighbors (the classic "first come" assignment made
+      deterministic), everything else is noise (cluster −1).
+
+    The scale trick is the grid: each point lands in one eps×eps cell
+    (portable floor-division, exact for negatives), the probe side is
+    replicated to its 3×3 cell neighborhood, and candidates join ON
+    CELL EQUALITY — dist ≤ eps forces cell coords to differ by ≤1, so
+    the block join is LOSSLESS (the oracle's unblocked all-pairs join
+    proves it) while the work is Σ per-cell-neighborhood products,
+    never n².  Dense cells skew the join; AQE's skew split handles
+    what the eps choice doesn't.
+
+    Returns (id, role ∈ {core, border, noise}, cluster).
+    """
+    if eps <= 0 or min_pts < 2:
+        raise ValueError("dbscan_grid needs eps > 0 and min_pts >= 2")
+    e, e2 = int(eps), int(eps) * int(eps)
+
+    def fdiv(c: str):
+        # floor division toward -inf (both engines' % keeps the sign
+        # of the dividend, so the pmod shift makes DIV a true floor)
+        return F.expr(f"CAST(({c} - (({c} % {e} + {e}) % {e})) DIV {e} AS BIGINT)")
+
+    p = pts.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).withColumn("cx", fdiv("x")).withColumn("cy", fdiv("y"))
+
+    offs = p.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    probe = p.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("ida"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("ccx"),
+        (F.col("cy") + F.col("dy")).alias("ccy"),
+    )
+    home = p.select(
+        F.col("id").alias("idb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("ccx"),
+        F.col("cy").alias("ccy"),
+    )
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    # each directed pair materializes exactly once: b's home cell is
+    # unique and a probes it iff the cells are adjacent
+    pairs = (
+        probe.join(home, ["ccx", "ccy"])
+        .where((F.col("ida") != F.col("idb")) & (dx * dx + dy * dy <= F.lit(e2)))
+        .select("ida", "idb")
+    ).localCheckpoint(eager=True)  # reused by count, core edges, border
+
+    core = (
+        pairs.groupBy("ida")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= F.lit(min_pts - 1))
+        .select(F.col("ida").alias("id"))
+    )
+    from .graph import connected_components
+
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "ida"), "ida")
+        .join(core.withColumnRenamed("id", "idb"), "idb")
+        .select("ida", "idb")
+    )
+    lab = connected_components(core_edges, "ida", "idb")
+    core_lab = core.join(lab, core.id == lab.v, "left").select(
+        "id", F.coalesce("label", "id").alias("cluster")
+    )
+    border_lab = (
+        pairs.join(core_lab.withColumnRenamed("id", "idb"), "idb")
+        .join(core.withColumnRenamed("id", "ida"), "ida", "left_anti")
+        .groupBy(F.col("ida").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = core_lab.select("id", F.lit("core").alias("role"), "cluster").unionByName(
+        border_lab.select("id", F.lit("border").alias("role"), "cluster")
+    )
+    noise = p.select("id").join(assigned.select("id"), "id", "left_anti").select(
+        "id", F.lit("noise").alias("role"), F.lit(-1).cast("long").alias("cluster")
+    )
+    return assigned.select("id", "role", F.col("cluster").cast("long").alias("cluster")).unionByName(noise)

@@ -447,3 +447,50 @@ def hits(
     return h.select(F.lit("hub").alias("side"), "node", "score").unionByName(
         a.select(F.lit("authority").alias("side"), "node", "score")
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Cheapest-path distances from a seed set using at most
+    ``max_hops`` edges — bounded-hop Bellman-Ford, the weighted
+    generalization of ``bfs_hops`` (hop counts answer "how far"; edge
+    costs answer "how cheaply", e.g. relationship-strength routing,
+    fraud-ring cost exposure, network latency radius).
+
+    Undirected: every edge relaxes both ways.  Per round the FULL
+    tentative-distance frame joins the checkpointed edge list and the
+    per-vertex minimum is kept — unlike BFS, a settled vertex can still
+    improve (a longer-hop path may be cheaper), so the frontier
+    optimization does not apply; the bound is the fixed round count
+    (distances after round k are exact over ≤k-edge paths, the
+    classical Bellman-Ford invariant).  Each round is one join + one
+    aggregate, localCheckpointed so the lineage stays linear in rounds;
+    O(1) driver data.  int64 costs — exact, no float accumulation.
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), F.col(weight).alias("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("v").distinct().withColumn("d", F.lit(0).cast("long"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(both, dist["v"] == both["a"])
+            .select(F.col("b").alias("v"), (F.col("d") + F.col("w")).cast("long").alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+        ).localCheckpoint(eager=True)
+    return dist

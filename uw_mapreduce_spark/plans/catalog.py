@@ -7389,3 +7389,72 @@ def hhi_supplier_concentration(spark, sf_dir):
             f"CAST(CASE WHEN {hhi} = 0 THEN 0 ELSE 1000000 DIV ({hhi}) END AS BIGINT)"
         ).alias("eff_suppliers_centi"),
     )
+
+
+def _cheapest_path_oracle(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford: d_k(v) = min(d_{k-1}(v), min over edges
+    (u,v) of d_{k-1}(u) + w) — recursive CTEs cannot express the
+    per-round MIN portably, so each relaxation round is its own CTE
+    (the pagerank/HITS oracle-builder technique)."""
+    parts = [
+        r"""
+WITH e0 AS (
+  SELECT o_custkey AS u, l_suppkey + 10000000 AS v,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT u AS a, v AS b, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM e0
+  UNION ALL
+  SELECT v AS a, u AS b, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM e0
+),
+d0 AS (
+  SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS d FROM e0 WHERE u % 100 = 0
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.b AS v, p.d + e.w AS d FROM d{i - 1} p JOIN e ON e.a = p.v
+  ) GROUP BY v
+)"""
+        )
+    return "".join(parts) + f"\nSELECT v, CAST(d AS BIGINT) AS d FROM d{rounds}"
+
+
+@query("cheapest_path_purchase_graph", _cheapest_path_oracle(4))
+def cheapest_path_purchase_graph(spark, sf_dir):
+    """Bounded-hop Bellman-Ford (`operators/graph.weighted_shortest_
+    paths`): cheapest relationship-strength route from the %100-seed
+    customers across the undirected customer↔supplier purchase graph,
+    ≤4 edges.  Edge cost = 1 + 1000 DIV (distinct shared orders) —
+    strong ties are cheap, so the answer differs from plain BFS hops
+    (a 2-hop strong route beats a 1-hop weak one).  Per round one
+    edge join + one min aggregate over the tentative-distance frame
+    (checkpointed lineage); the oracle unrolls the identical integer
+    relaxation per round, so the whole fixpoint prefix is value-hash
+    checked.  All-integer costs — no float path sums."""
+    from ..operators.graph import weighted_shortest_paths
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            (F.lit(1) + F.expr("1000 DIV cnt")).cast("long").alias("w"),
+        )
+    )
+    seeds = e0.where(F.col("src") % 100 == 0).select(F.col("src").alias("v")).distinct()
+    return weighted_shortest_paths(e0, seeds, max_hops=4)

@@ -4244,3 +4244,80 @@ def ndcg_label_embeddings(spark, sf_dir):
             ).alias("ndcg_permille"),
         )
     )
+
+
+_DBSCAN_EPS = 25_000
+_DBSCAN_MIN_PTS = 6
+
+_DBSCAN_SQL = rf"""
+WITH RECURSIVE p AS (
+  SELECT vec_id AS id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS y
+  FROM embeddings
+),
+pr AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM p a JOIN p b
+    ON a.id != b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_DBSCAN_EPS * _DBSCAN_EPS}
+),
+cnt AS (SELECT ida, COUNT(*) AS c FROM pr GROUP BY ida),
+core AS (SELECT ida AS id FROM cnt WHERE c >= {_DBSCAN_MIN_PTS - 1}),
+ce AS (
+  SELECT pr.ida AS a, pr.idb AS b FROM pr
+  JOIN core c1 ON c1.id = pr.ida
+  JOIN core c2 ON c2.id = pr.idb
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM ce
+  UNION
+  SELECT e.a AS v, r.l AS l FROM ce e JOIN reach r ON r.v = e.b
+),
+lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v),
+corelab AS (
+  SELECT core.id, COALESCE(lab.label, core.id) AS cluster
+  FROM core LEFT JOIN lab ON lab.v = core.id
+),
+borderlab AS (
+  SELECT pr.ida AS id, MIN(cl.cluster) AS cluster
+  FROM pr JOIN corelab cl ON cl.id = pr.idb
+  WHERE pr.ida NOT IN (SELECT id FROM core)
+  GROUP BY pr.ida
+)
+SELECT id AS vec_id, 'core' AS role, CAST(cluster AS BIGINT) AS cluster FROM corelab
+UNION ALL
+SELECT id AS vec_id, 'border' AS role, CAST(cluster AS BIGINT) AS cluster FROM borderlab
+UNION ALL
+SELECT p.id AS vec_id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster FROM p
+WHERE p.id NOT IN (SELECT id FROM corelab)
+  AND p.id NOT IN (SELECT id FROM borderlab)
+"""
+
+
+@query("dbscan_embeddings_2d", _DBSCAN_SQL)
+def dbscan_embeddings_2d(spark, sf_dir):
+    """Exact grid-blocked DBSCAN (`operators/clustering.dbscan_grid`)
+    over the first two embedding dimensions on the int64 micro-grid —
+    density clustering WITH noise, the shape-agnostic complement to
+    the exact Lloyd k-means face (k-means forces every vector into a
+    ball; DBSCAN finds arbitrary-shape dense regions and calls the
+    rest noise, the outlier-tolerant curation view).  eps=0.025,
+    min_pts=6; roles and min-label clusters are fully deterministic,
+    so the whole assignment value-hashes.  The engine blocks
+    candidates by eps-sized grid cells (3×3 neighborhood join — work
+    is per-cell products, never n²); the oracle runs the UNBLOCKED
+    all-pairs join plus a recursive-CTE CC, proving the grid lossless
+    end-to-end."""
+    from ..operators.clustering import dbscan_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mic = "CAST(floor(CAST({src} AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(mic.format(src="embedding[0]")).alias("x"),
+        F.expr(mic.format(src="embedding[1]")).alias("y"),
+    )
+    out = dbscan_grid(pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS)
+    return out.select(F.col("id").alias("vec_id"), "role", "cluster")

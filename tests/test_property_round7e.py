@@ -127,3 +127,45 @@ def test_weighted_shortest_paths_matches_path_enumeration(spark, edges, hops):
     s = spark.createDataFrame([(x,) for x in seeds], "v long")
     got = {r["v"]: r["d"] for r in weighted_shortest_paths(e, s, max_hops=hops).collect()}
     assert got == want
+
+
+def _brute_holt(vals, a=4, b=8):
+    def tdiv(x, d):
+        return x // d if x >= 0 else -((-x) // d)
+
+    out = []
+    lv = tr = None
+    for v in vals:
+        if lv is None:
+            lv, tr = v, 0
+        else:
+            astep = tdiv(v - (lv + tr), a)
+            lv = lv + tr + astep
+            tr = tr + tdiv(astep, b)
+        out.append((lv, tr))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 2), st.lists(
+            st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=30)),
+        min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+    ),
+)
+def test_holt_keyed_matches_python_model(spark, series):
+    from uw_mapreduce_spark.operators.resample import holt_keyed
+
+    rows = [(k, i, v) for k, vals in series for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, v long").repartition(5)
+    got = {
+        (r["k"], r["t"]): (r["level"], r["trend"])
+        for r in holt_keyed(df, ["k"], "t", "v").collect()
+    }
+    want = {
+        (k, i): lt
+        for k, vals in series
+        for i, lt in enumerate(_brute_holt(vals))
+    }
+    assert got == want

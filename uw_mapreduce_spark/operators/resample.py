@@ -251,3 +251,69 @@ def _keyed_integer_scan(
             yield pdf
 
     return parted.mapInPandas(scan, schema)
+
+
+def _tdiv(x: int, d: int) -> int:
+    """Truncate-toward-zero division — Spark DIV ≡ DuckDB // on int64."""
+    return x // d if x >= 0 else -((-x) // d)
+
+
+def holt_keyed(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key integer Holt linear-trend smoothing (double exponential):
+
+        err = v − (l + t);  a = trunc(err / alpha_den)
+        l' = l + t + a;     t' = t + trunc(a / beta_den)
+
+    with l₁ = v₁, t₁ = 0 — EWMA (`ewma_keyed`) plus a smoothed TREND
+    component, so the state forecasts l+t one step ahead instead of
+    lagging level shifts.  α = 1/alpha_den, β = 1/beta_den on the
+    exact integer grid; both state components are integers and every
+    step is trunc-div, so a DuckDB recursive CTE replays the whole
+    fold — a value-hash-oracled forecaster.  Same scale shape as the
+    other keyed scans: one hash repartition + in-partition sort, one
+    Arrow ``mapInPandas`` per partition, state carried across
+    batches.  Appends ``level`` and ``trend`` columns."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    a_d, b_d = int(alpha_den), int(beta_den)
+    order = list(keys) + [ts_col] + list(tiebreak or [])
+    schema = StructType(
+        df.schema.fields
+        + [StructField("level", LongType()), StructField("trend", LongType())]
+    )
+    parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(c) for c in order]
+    )
+
+    def scan(batches):
+        prev_key = None
+        lv = tr = None
+        for pdf in batches:
+            vs = pdf[value_col].to_numpy()
+            key_cols = [pdf[k].to_numpy() for k in keys]
+            out_l = [0] * len(vs)
+            out_t = [0] * len(vs)
+            for i in range(len(vs)):
+                kt = tuple(c[i] for c in key_cols)
+                if kt != prev_key:
+                    prev_key = kt
+                    lv, tr = int(vs[i]), 0
+                else:
+                    err = int(vs[i]) - (lv + tr)
+                    astep = _tdiv(err, a_d)
+                    lv = lv + tr + astep
+                    tr = tr + _tdiv(astep, b_d)
+                out_l[i], out_t[i] = lv, tr
+            pdf["level"] = out_l
+            pdf["trend"] = out_t
+            yield pdf
+
+    return parted.mapInPandas(scan, schema)

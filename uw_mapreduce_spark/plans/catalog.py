@@ -7458,3 +7458,214 @@ def cheapest_path_purchase_graph(spark, sf_dir):
     )
     seeds = e0.where(F.col("src") % 100 == 0).select(F.col("src").alias("v")).distinct()
     return weighted_shortest_paths(e0, seeds, max_hops=4)
+
+
+_CF_HITRATE_SQL = r"""
+WITH inter AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part, o.o_orderdate AS dt, o.o_orderkey AS ok
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ranked AS (
+  SELECT cust, part,
+         row_number() OVER (PARTITION BY cust ORDER BY dt DESC, ok DESC, part DESC) AS rn
+  FROM inter
+),
+hold AS (SELECT cust, part AS hpart FROM ranked WHERE rn = 1),
+train AS (SELECT DISTINCT r.cust, r.part FROM ranked r WHERE r.rn > 1),
+elig AS (
+  SELECT h.cust, h.hpart FROM hold h
+  LEFT JOIN train t ON t.cust = h.cust AND t.part = h.hpart
+  WHERE t.part IS NULL
+),
+freq AS (SELECT part, CAST(count(*) AS BIGINT) AS n FROM train GROUP BY part HAVING count(*) >= 20),
+ft AS (SELECT t.cust, t.part FROM train t JOIN freq USING (part)),
+co AS (
+  SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS BIGINT) AS c
+  FROM ft a JOIN ft b ON a.cust = b.cust AND a.part <> b.part
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sim AS (
+  SELECT pa, pb,
+         CAST(floor(CAST(c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)
+              / sqrt(CAST(fa.n * fb.n AS DOUBLE))) AS BIGINT) AS s
+  FROM co JOIN freq fa ON fa.part = co.pa JOIN freq fb ON fb.part = co.pb
+),
+topn AS (
+  SELECT pa, pb, s FROM (
+    SELECT *, row_number() OVER (PARTITION BY pa ORDER BY s DESC, pb ASC) AS rn FROM sim
+  ) WHERE rn <= 20
+),
+recs AS (
+  SELECT t.cust, tn.pb AS cand, CAST(SUM(tn.s) AS BIGINT) AS score
+  FROM ft t JOIN topn tn ON tn.pa = t.part
+  LEFT JOIN train tr ON tr.cust = t.cust AND tr.part = tn.pb
+  WHERE tr.part IS NULL
+  GROUP BY 1, 2
+),
+rr AS (
+  SELECT cust, cand,
+         row_number() OVER (PARTITION BY cust ORDER BY score DESC, cand ASC) AS rk
+  FROM recs
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (rr.rk IS NOT NULL AND rr.rk <= k) AS BIGINT) AS hits,
+       CAST(count(*) FILTER (rr.rk IS NOT NULL AND rr.rk <= k) * 1000 // count(*) AS BIGINT)
+         AS hitrate_permille
+FROM elig e
+CROSS JOIN (SELECT CAST(UNNEST([1, 5, 10]) AS BIGINT) AS k)
+LEFT JOIN rr ON rr.cust = e.cust AND rr.cand = e.hpart
+GROUP BY k
+"""
+
+
+@query("cf_hitrate_parts", _CF_HITRATE_SQL)
+def cf_hitrate_parts(spark, sf_dir):
+    """Leave-last-out recommender evaluation: hold out each customer's
+    most recent part, rebuild the `item_item_cf_parts`-style cosine
+    neighbor lists FROM THE TRAINING REMAINDER ONLY (no leakage),
+    score candidates per user as Σ cos_micro over their history's
+    top-20 neighbor lists, and report hits@{1,5,10} — the offline
+    eval loop that turns a recommender from a demo into a measured
+    system.  Users whose held-out part already sits in their history
+    are excluded (a repeat "hit" is trivial).  All window orders are
+    fully tie-broken and the score sum is integer, so the whole eval
+    value-hashes.  Scale: co-pairs are customer-history-keyed
+    (Σ|history|², support-pruned), candidate fanout is bounded at
+    |history|×20 by the top-N neighbor cut, and every dimension-sized
+    frame (freq, k-values) broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        F.col("o_orderdate").alias("dt"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    wq = Window.partitionBy("cust").orderBy(
+        F.col("dt").desc(), F.col("ok").desc(), F.col("part").desc()
+    )
+    ranked = inter.withColumn("rn", F.row_number().over(wq))
+    hold = ranked.where(F.col("rn") == 1).select("cust", F.col("part").alias("hpart"))
+    train = ranked.where(F.col("rn") > 1).select("cust", "part").distinct()
+    elig = hold.join(
+        train.withColumnRenamed("part", "hpart"), ["cust", "hpart"], "left_anti"
+    )
+    freq = (
+        train.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 20)
+    )
+    ft = train.join(F.broadcast(freq.select("part")), "part").select("cust", "part")
+    a = ft.select("cust", F.col("part").alias("pa"))
+    b = ft.select("cust", F.col("part").alias("pb"))
+    co = (
+        a.join(b, "cust")
+        .where(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    fa = freq.select(F.col("part").alias("pa"), F.col("n").alias("_na"))
+    fb = freq.select(F.col("part").alias("pb"), F.col("n").alias("_nb"))
+    sim = (
+        co.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .select(
+            "pa", "pb",
+            F.floor(
+                F.col("c").cast("double") * F.lit(1_000_000.0)
+                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double"))
+            ).cast("long").alias("s"),
+        )
+    )
+    wt = Window.partitionBy("pa").orderBy(F.col("s").desc(), F.col("pb").asc())
+    topn = sim.withColumn("rn", F.row_number().over(wt)).where(F.col("rn") <= 20).drop("rn")
+    recs = (
+        ft.join(topn, ft.part == topn.pa)
+        .join(
+            train.select(F.col("cust").alias("cust"), F.col("part").alias("pb")),
+            ["cust", "pb"],
+            "left_anti",
+        )
+        .groupBy("cust", F.col("pb").alias("cand"))
+        .agg(F.sum("s").cast("long").alias("score"))
+    )
+    wr = Window.partitionBy("cust").orderBy(F.col("score").desc(), F.col("cand").asc())
+    rr = recs.select("cust", "cand", F.row_number().over(wr).alias("rk"))
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k long")
+    hit = F.col("rk").isNotNull() & (F.col("rk") <= F.col("k"))
+    return (
+        elig.crossJoin(F.broadcast(ks))
+        .join(
+            rr.withColumnRenamed("cand", "hpart"),
+            ["cust", "hpart"],
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("hits"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rk IS NOT NULL AND rk <= k THEN 1 ELSE 0 END) * 1000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("hitrate_permille"),
+        )
+    )
+
+
+_HOLT_SQL = r"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS value_u
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily
+),
+step AS (
+  SELECT event_type, rn, d, value_u, value_u AS l, CAST(0 AS BIGINT) AS t
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.d, s.value_u,
+         p.l + p.t + (s.value_u - p.l - p.t) // 4 AS l,
+         p.t + ((s.value_u - p.l - p.t) // 4) // 8 AS t
+  FROM step p JOIN seq s ON s.event_type = p.event_type AND s.rn = p.rn + 1
+)
+SELECT event_type, d, value_u, CAST(l AS BIGINT) AS level_u, CAST(t AS BIGINT) AS trend_u
+FROM step
+"""
+
+
+@query("holt_trend_events", _HOLT_SQL)
+def holt_trend_events(spark, sf_dir):
+    """Holt double-exponential smoothing (`operators/resample.
+    holt_keyed`, α=1/4, β=1/8) over each event type's daily value
+    series — the trend-aware forecaster one rung above `ewma_user_
+    value_events` (EWMA lags a drifting series; Holt's smoothed trend
+    component closes the lag and makes level+trend a one-step-ahead
+    forecast).  Fifth member of the keyed sequential-kernel family
+    (CUSUM, debounce, EWMA, clamped ledger): integer state, trunc-div
+    steps, a DuckDB recursive CTE replaying the exact fold — a fully
+    value-hash-oracled forecaster.  The corpus collapses to the
+    type×day aggregate before the scan, so the sequential pass is
+    calendar-bounded per key."""
+    from ..operators.resample import holt_keyed
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value").cast("double") * F.lit(1_000_000.0)).cast("long")
+        ).cast("long").alias("value_u")
+    )
+    out = holt_keyed(daily, ["event_type"], "d", "value_u", alpha_den=4, beta_den=8)
+    return out.select(
+        "event_type", "d", "value_u",
+        F.col("level").alias("level_u"), F.col("trend").alias("trend_u"),
+    )

@@ -169,3 +169,51 @@ def test_holt_keyed_matches_python_model(spark, series):
         for i, lt in enumerate(_brute_holt(vals))
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                  min_size=1, max_size=60),
+)
+def test_prefix_max_scalable_matches_running_max(spark, vals):
+    from uw_mapreduce_spark.operators.scale import prefix_max_scalable
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v long").repartition(6)
+    got = {
+        r["i"]: r["prefix_max"]
+        for r in prefix_max_scalable(df, ["i"], "v", num_partitions=4).collect()
+    }
+    acc, want = None, {}
+    for i, v in rows:
+        acc = v if acc is None or v > acc else acc
+        want[i] = acc
+    assert got == want
+
+
+def test_priority_sample_exact_k_and_estimator(spark):
+    """Returns exactly k rows; estimator = max(w, floor(tau)); result
+    equals a brute-force priority ranking with the same md5 uniforms."""
+    import hashlib
+
+    from uw_mapreduce_spark.operators.sampling import priority_sample
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 50
+    got = sorted(
+        (r["id"], r["w"], r["est"]) for r in priority_sample(df, "w", k, "id").collect()
+    )
+    assert len(got) == k
+
+    def pri(i, w):
+        u32 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return float(w) * 4294967296.0 / float(u32 + 1)
+
+    ranked = sorted(rows, key=lambda t: (-pri(*t), t[0]))
+    tau = pri(*ranked[k]) if len(ranked) > k else 0.0
+    import math
+
+    want = sorted((i, w, max(w, math.floor(tau))) for i, w in ranked[:k])
+    assert got == want

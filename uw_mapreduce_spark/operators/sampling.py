@@ -18,7 +18,7 @@ Reference parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -305,4 +305,64 @@ def systematic_sample(
     return (
         ranked.where(F.col("__sys_rank") % every_k == offset % every_k)
         .drop("__sys_rank")
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): the top-``k`` rows by
+    priority qᵢ = wᵢ / uᵢ with uᵢ ∈ (0,1] a deterministic per-id
+    uniform — the FIXED-SIZE weighted sample-without-replacement
+    companion to `pps_sample` (whose Poisson design only hits k in
+    expectation), with the estimator that makes the sample usable for
+    downstream totals: ŵᵢ = max(wᵢ, τ) where τ is the (k+1)-th
+    priority, giving E[Σŵ over sample] = Σw exactly (their theorem 1).
+
+    The uniform is the portable md5-u32 draw ((u32+1)/2³²), and the
+    priority is ONE double expression (w·2³² / (u32+1)) — mul and div
+    are correctly-rounded IEEE ops on identical int inputs, so every
+    engine orders identically (ties broken by id).  Selection is a
+    distributed top-(k+1) (TakeOrdered — no single-partition window
+    over the corpus); only the (k+1)-row result sees a window, and τ
+    rides back as a 1-row broadcast.
+
+    Returns the k kept rows as (id, w, est) with est = max(w, ⌊τ⌋),
+    integer units of ``weight_col``.
+    """
+    pri_sql = (
+        f"CAST({weight_col} AS DOUBLE) * CAST(4294967296.0 AS DOUBLE)"
+        f" / CAST(__psu32__ + 1 AS DOUBLE)"
+    )
+    u32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    top = (
+        df.select(F.col(id_col), F.col(weight_col), u32.alias("__psu32__"))
+        .withColumn("__pspri__", F.expr(pri_sql))
+        .orderBy(F.col("__pspri__").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+    )
+    w_rank = Window.orderBy(F.col("__pspri__").desc(), F.col(id_col).asc())
+    ranked = top.withColumn("__psrn__", F.row_number().over(w_rank))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__psrn__") == k + 1, F.col("__pspri__"))),
+            F.lit(0.0),
+        ).alias("__pstau__")
+    )
+    return (
+        ranked.where(F.col("__psrn__") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("w"),
+            F.greatest(
+                F.col(weight_col).cast("long"),
+                F.floor(F.col("__pstau__")).cast("long"),
+            ).alias("est"),
+        )
     )

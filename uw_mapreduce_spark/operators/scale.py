@@ -494,3 +494,54 @@ def sliding_minmax_scalable(
         else F.greatest(F.col("_pfx"), F.col("_sfx_prev")),
     ).otherwise(F.col("_pfx"))
     return joined.withColumn(agg_col, win_val).drop("_blk", "_pfx", "_sfx", "_sfx_prev")
+
+
+def prefix_max_scalable(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "prefix_max",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global INCLUSIVE running maximum of ``value_col`` in
+    ``order_by`` order, without a single-partition window — the
+    high-watermark primitive (running max of event time in arrival
+    order is exactly Structured Streaming's watermark bookkeeping).
+
+    Same two-pass shape as `_ranged_with_offsets` (O8/O13 in the
+    reference, `SlidingAggregation.java:159-168,305-310`): range
+    partition by deterministic borders, per-partition MAX (P-row
+    collect), driver computes each partition's EXCLUSIVE carry-in max,
+    broadcast back, per-partition running max window, combine with
+    ``greatest``.  Unlike prefix sums max has no inverse, but carry-in
+    composition is associative all the same — O(n/P) per machine,
+    O(P) driver.
+    """
+    order_cols = [F.col(c) for c in order_by]
+    borders = _deterministic_borders(df, order_by[0], num_partitions)
+    ranged = df.withColumn("_pid", _pid_expr(order_by[0], borders)).repartition(
+        num_partitions, "_pid"
+    )
+    ranged = persist_scoped(ranged, _SCOPE)
+    stats = sorted(
+        (tuple(r) for r in ranged.groupBy("_pid").agg(
+            F.max(F.col(value_col)).alias("_mx")).collect()),
+        key=lambda t: t[0],
+    )
+    carry_rows, acc = [], None
+    for pid, mx in stats:
+        carry_rows.append((pid, acc))
+        if mx is not None and (acc is None or mx > acc):
+            acc = mx
+    carries = df.sparkSession.createDataFrame(
+        carry_rows, "_pid int, _carry long"
+    )
+    w_run = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = F.max(F.col(value_col)).over(w_run)
+    return (
+        ranged.join(F.broadcast(carries), "_pid")
+        .withColumn(out_col, F.greatest(local, F.coalesce(F.col("_carry"), local)))
+        .drop("_pid", "_carry")
+    )

@@ -7669,3 +7669,131 @@ def holt_trend_events(spark, sf_dir):
         "event_type", "d", "value_u",
         F.col("level").alias("level_u"), F.col("trend").alias("trend_u"),
     )
+
+
+_PRIORITY_SQL = r"""
+WITH pri AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS w_c,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS u32
+  FROM orders
+),
+scored AS (
+  SELECT o_orderkey, w_c,
+         CAST(w_c AS DOUBLE) * CAST(4294967296.0 AS DOUBLE)
+           / CAST(u32 + 1 AS DOUBLE) AS p
+  FROM pri
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY p DESC, o_orderkey ASC) AS rn FROM scored
+  ) WHERE rn <= 201
+),
+tau AS (SELECT COALESCE(MAX(CASE WHEN rn = 201 THEN p END), 0.0) AS t FROM topk)
+SELECT o_orderkey, w_c AS w,
+       GREATEST(w_c, CAST(floor(tau.t) AS BIGINT)) AS est
+FROM topk, tau WHERE rn <= 200
+"""
+
+
+@query("priority_sample_orders", _PRIORITY_SQL)
+def priority_sample_orders(spark, sf_dir):
+    """Fixed-size weighted sampling without replacement
+    (`operators/sampling.priority_sample`, Duffield-Lund-Thorup
+    priority sampling): the 200 orders with the highest wᵢ/uᵢ
+    priority (wᵢ = order cents, uᵢ the portable md5-u32 uniform),
+    each carrying the unbiased total-estimator weight max(wᵢ, τ) with
+    τ the 201st priority — the third fully value-hash-oracled sampler
+    beside PPS (expected-size) and mixture (per-group), and the one
+    that guarantees EXACTLY k rows.  Selection is a distributed
+    top-(k+1); only 201 rows ever see a window; τ broadcasts back as
+    one row.  The priority is a single identical-text IEEE double
+    expression over exact ints, so ordering agrees across engines."""
+    from ..operators.sampling import priority_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("w_c"),
+    )
+    return priority_sample(orders, "w_c", 200, "o_orderkey").select(
+        "o_orderkey", "w", "est"
+    )
+
+
+_LATE_ARRIVAL_SQL = r"""
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS d,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hw_us
+  FROM events
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (hw_us - ts_us > 600000000) AS BIGINT) AS n_late_10m,
+       CAST(COUNT(*) FILTER (hw_us - ts_us > 3600000000) AS BIGINT) AS n_late_1h,
+       CAST(MAX(hw_us - ts_us) AS BIGINT) AS max_lateness_us
+FROM arr GROUP BY d
+"""
+
+
+@query("late_arrival_audit_events", _LATE_ARRIVAL_SQL)
+def late_arrival_audit_events(spark, sf_dir):
+    """Watermark planning audit: treating event_id as ARRIVAL order,
+    compute each event's lateness against the running high watermark
+    (max event time seen so far — exactly Structured Streaming's
+    watermark bookkeeping) and report, per event-time day, how many
+    events a 10-minute or 1-hour watermark would have dropped and the
+    worst observed lateness — the measurement that turns watermark
+    choice from folklore into data.  The running max uses
+    `operators/scale.prefix_max_scalable` (two-pass carry-in
+    composition, O8/O13 structure) — NO single-partition window over
+    the corpus, unlike the oracle's plain unpartitioned SQL window."""
+    from ..operators.scale import prefix_max_scalable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    hw = prefix_max_scalable(ev, ["event_id"], "ts_us", out_col="hw_us")
+    late = F.col("hw_us") - F.col("ts_us")
+    return hw.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(late > 600_000_000, 1).otherwise(0)).cast("long").alias("n_late_10m"),
+        F.sum(F.when(late > 3_600_000_000, 1).otherwise(0)).cast("long").alias("n_late_1h"),
+        F.max(late).cast("long").alias("max_lateness_us"),
+    )
+
+
+_VARIANT_SQL = r"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("variant_props_events", _VARIANT_SQL)
+def variant_props_events(spark, sf_dir):
+    """Semi-structured props via the Spark 4 VARIANT type:
+    ``parse_json`` ingests the JSON string once into the binary
+    VARIANT encoding and ``try_variant_get`` extracts a typed path —
+    the open-schema column pattern (no fixed ``from_json`` schema
+    declared up front, unlike `json_props_stats`' StructType route;
+    VARIANT keeps the full document queryable and pushes the shredding
+    to read time).  Extraction misses become NULLs that the aggregate
+    COUNT/SUM semantics handle identically on both engines.  Map-only
+    until the 5-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

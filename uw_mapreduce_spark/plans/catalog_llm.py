@@ -4321,3 +4321,157 @@ def dbscan_embeddings_2d(spark, sf_dir):
     )
     out = dbscan_grid(pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS)
     return out.select(F.col("id").alias("vec_id"), "role", "cluster")
+
+
+def _isotonic_oracle() -> str:
+    """Composed from the registered calibration-bin SQL: prefix sums
+    over the 10 bins, pooled floor-permille accuracy per interval
+    (HUGEINT // — integral), then the PAVA minimax identity
+    fitted(i) = min_{j<=i} max_{k>=j} pooled(j..k); floor is monotone,
+    so flooring each pooled average commutes with the min/max and the
+    result equals exact-rational PAVA then floor (property-tested
+    against a pool-adjacent-violators model)."""
+    from ._registry import ORACLE
+
+    bins = ORACLE["calibration_bins_embeddings"]
+    return rf"""
+WITH b AS ({bins}),
+p AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin) AS HUGEINT) AS cn,
+         CAST(SUM(n_correct) OVER (ORDER BY bin) AS HUGEINT) AS cc
+  FROM b
+),
+p0 AS (
+  SELECT bin, cn, cc FROM p
+  UNION ALL SELECT 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+),
+iv AS (
+  SELECT lo.bin + 1 AS j, hi.bin AS k,
+         CAST((hi.cc - lo.cc) * 1000 // (hi.cn - lo.cn) AS BIGINT) AS pooled_pm
+  FROM p0 lo JOIN p0 hi ON hi.bin > lo.bin
+),
+mx AS (SELECT j, MAX(pooled_pm) AS mxp FROM iv GROUP BY j),
+fit AS (
+  SELECT b.bin, MIN(mx.mxp) AS fitted_permille
+  FROM b JOIN mx ON mx.j <= b.bin GROUP BY b.bin
+)
+SELECT b.bin, b.n, b.n_correct, b.acc_permille,
+       CAST(f.fitted_permille AS BIGINT) AS fitted_permille,
+       CAST(CASE WHEN f.fitted_permille <> b.acc_permille THEN 1 ELSE 0 END AS BIGINT) AS pooled
+FROM b JOIN fit f ON f.bin = b.bin
+"""
+
+
+@query("isotonic_calibration_embeddings", _isotonic_oracle())
+def isotonic_calibration_embeddings(spark, sf_dir):
+    """Isotonic (antitonic) calibration of the classifier confidence
+    bins — pool-adjacent-violators regression making the bin-accuracy
+    profile monotone non-increasing in bin rank, the standard
+    post-hoc calibrator (Zadrozny/Elkan) next to the raw reliability
+    table (`calibration_bins_embeddings`).  Computed via the PAVA
+    MINIMAX IDENTITY fitted(i) = min_{j≤i} max_{k≥j} pooled(j..k) on
+    integer floor-permille pooled accuracies: floor is monotone so it
+    commutes with the min/max, making the fit EXACTLY equal to
+    rational PAVA then floor (property-tested) — and, unlike the
+    sequential merge loop, a pure three-join dataflow over the 10-row
+    bin table, so it value-hashes and costs nothing at any scale (the
+    corpus work is all in the bin table it composes on)."""
+    b = calibration_bins_embeddings(spark, sf_dir)
+    w = Window.orderBy("bin")  # 10-row aggregate: bounded window
+    p = b.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("n_correct").over(w).cast("long").alias("cc"),
+    )
+    p0 = p.unionByName(
+        p.sparkSession.createDataFrame([(0, 0, 0)], "bin long, cn long, cc long")
+    )
+    lo = p0.select(F.col("bin").alias("lb"), F.col("cn").alias("lcn"), F.col("cc").alias("lcc"))
+    hi = p0.select(F.col("bin").alias("hb"), F.col("cn").alias("hcn"), F.col("cc").alias("hcc"))
+    iv = (
+        lo.join(hi, F.col("hb") > F.col("lb"))
+        .select(
+            (F.col("lb") + 1).alias("j"),
+            F.col("hb").alias("k"),
+            F.expr("CAST((hcc - lcc) * 1000 DIV (hcn - lcn) AS BIGINT)").alias("pooled_pm"),
+        )
+    )
+    mx = iv.groupBy("j").agg(F.max("pooled_pm").alias("mxp"))
+    fit = (
+        b.select("bin")
+        .join(mx, mx.j <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.min("mxp").alias("fitted_permille"))
+    )
+    return (
+        b.join(fit, "bin")
+        .select(
+            "bin", "n", "n_correct", "acc_permille",
+            F.col("fitted_permille").cast("long").alias("fitted_permille"),
+            F.when(F.col("fitted_permille") != F.col("acc_permille"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("pooled"),
+        )
+    )
+
+
+def _token_savings_oracle() -> str:
+    """Composed from the registered manifest oracle + the shared
+    whitespace-token expression, so the accounting and the dedup it
+    reports on cannot drift apart."""
+    from ._registry import ORACLE
+
+    mani = ORACLE["dedup_manifest_documents"]
+    return rf"""
+WITH mani AS ({mani}),
+tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (m.keep) AS BIGINT) AS kept_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN m.keep THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST((SUM(t.n_tokens) - SUM(CASE WHEN m.keep THEN t.n_tokens ELSE 0 END)) * 1000
+            // SUM(t.n_tokens) AS BIGINT) AS savings_permille
+FROM tok t JOIN mani m ON m.doc_id = t.doc_id
+GROUP BY t.source
+"""
+
+
+@query("dedup_token_savings", _token_savings_oracle())
+def dedup_token_savings(spark, sf_dir):
+    """Token accounting for the dedup manifest, per source: how many
+    documents and whitespace tokens the near-dup manifest keeps vs
+    drops — the "what did dedup buy us" report every training-data run
+    leads with (token budgets, not document counts, are the planning
+    currency).  One manifest join + one source rollup on top of the
+    already-oracled manifest; the oracle is COMPOSED from the
+    manifest's registered SQL plus the shared token expression, so the
+    report and the dedup it summarizes cannot drift apart."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    labeled = connected_components(pairs, "doc_a", "doc_b")
+    keep = F.col("doc_id") == F.coalesce("label", "doc_id")
+    tok = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        docs.join(labeled, docs.doc_id == labeled.v, "left")
+        .select("source", keep.alias("keep"), tok.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.expr(
+                "CAST((SUM(n_tokens) - SUM(CASE WHEN keep THEN n_tokens ELSE 0 END))"
+                " * 1000 DIV SUM(n_tokens) AS BIGINT)"
+            ).alias("savings_permille"),
+        )
+    )

@@ -85,6 +85,14 @@ HEADLINE = [
     # normalizer (the two with real shuffle shapes worth tracking).
     "mannwhitney_ab_events",
     "quantile_normalize_events",
+    # round-7 session 5: grid-blocked DBSCAN (cell join + CC), the
+    # leave-last-out recommender eval (train-remainder CF rebuild), the
+    # weighted-relaxation graph walk, and the scalable running-max
+    # watermark audit.
+    "dbscan_embeddings_2d",
+    "cf_hitrate_parts",
+    "cheapest_path_purchase_graph",
+    "late_arrival_audit_events",
 ]
 
 
@@ -231,6 +239,19 @@ SF1_QUERIES = [
     "ndcg_label_embeddings",
     "markov_stationary_events",
     "markov_attribution_events",
+    # round-7 session 5: 10x datapoints for the new families — DBSCAN's
+    # eps-cell candidate join, the CF-eval pair join + top-20 fanout,
+    # Bellman-Ford rounds, the prefix-max two-pass, the Holt keyed scan,
+    # the distributed top-k priority sampler, VARIANT parse (map-only),
+    # and the HHI two-level rollup.
+    "dbscan_embeddings_2d",
+    "cf_hitrate_parts",
+    "cheapest_path_purchase_graph",
+    "late_arrival_audit_events",
+    "holt_trend_events",
+    "priority_sample_orders",
+    "variant_props_events",
+    "hhi_supplier_concentration",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -4377,7 +4377,10 @@ def isotonic_calibration_embeddings(spark, sf_dir):
     sequential merge loop, a pure three-join dataflow over the 10-row
     bin table, so it value-hashes and costs nothing at any scale (the
     corpus work is all in the bin table it composes on)."""
-    b = calibration_bins_embeddings(spark, sf_dir)
+    # The 10-row bin frame feeds THREE subtrees (prefix sums, the bin
+    # spine, the final join) — checkpoint it so the classifier subtree
+    # beneath it evaluates once, not once per consumer.
+    b = calibration_bins_embeddings(spark, sf_dir).localCheckpoint(eager=True)
     w = Window.orderBy("bin")  # 10-row aggregate: bounded window
     p = b.select(
         "bin",
@@ -4389,8 +4392,12 @@ def isotonic_calibration_embeddings(spark, sf_dir):
     )
     lo = p0.select(F.col("bin").alias("lb"), F.col("cn").alias("lcn"), F.col("cc").alias("lcc"))
     hi = p0.select(F.col("bin").alias("hb"), F.col("cn").alias("hcn"), F.col("cc").alias("hcc"))
+    # Non-equi joins over tiny frames: without the hint Spark picks a
+    # CartesianProduct whose task count is the PRODUCT of both sides'
+    # partition counts (33x33 = 1089 near-empty tasks, ~17 s of pure
+    # scheduling at sf0.1) - broadcast makes it one BNLJ pass.
     iv = (
-        lo.join(hi, F.col("hb") > F.col("lb"))
+        lo.join(F.broadcast(hi), F.col("hb") > F.col("lb"))
         .select(
             (F.col("lb") + 1).alias("j"),
             F.col("hb").alias("k"),
@@ -4400,7 +4407,7 @@ def isotonic_calibration_embeddings(spark, sf_dir):
     mx = iv.groupBy("j").agg(F.max("pooled_pm").alias("mxp"))
     fit = (
         b.select("bin")
-        .join(mx, mx.j <= F.col("bin"))
+        .join(F.broadcast(mx), mx.j <= F.col("bin"))
         .groupBy("bin")
         .agg(F.min("mxp").alias("fitted_permille"))
     )
@@ -4474,4 +4481,85 @@ def dedup_token_savings(spark, sf_dir):
                 " * 1000 DIV SUM(n_tokens) AS BIGINT)"
             ).alias("savings_permille"),
         )
+    )
+
+
+def _textrank_oracle(iterations: int = 5) -> str:
+    """The pagerank unrolled-iteration oracle builder applied to the
+    token co-occurrence graph (same integer update rule as
+    `_pagerank_oracle` in catalog.py, edges from adjacent-token pairs)."""
+    parts = [
+        r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(len(ts))) AS i FROM tok),
+adj AS (
+  SELECT f1.tk AS a, f2.tk AS b
+  FROM flat f1 JOIN flat f2 ON f1.doc_id = f2.doc_id AND f2.i = f1.i + 1
+  WHERE len(f1.tk) >= 4 AND len(f2.tk) >= 4 AND f1.tk <> f2.tk
+),
+e AS (SELECT a AS u, b AS v FROM adj UNION SELECT b AS u, a AS v FROM adj),
+verts AS (SELECT u AS v FROM e UNION SELECT v FROM e),
+od AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+ed AS (SELECT e.u, e.v, outdeg FROM e JOIN od USING (u)),
+bconst AS (SELECT 1000000 // count(*) AS b FROM verts),
+r0 AS (SELECT v, CAST(b AS BIGINT) AS rank_micro FROM verts, bconst)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT verts.v,
+         CAST((150 * b + 850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank_micro
+  FROM verts
+  CROSS JOIN bconst
+  LEFT JOIN (SELECT ed.v, SUM(rank_micro // outdeg) AS s
+             FROM ed JOIN r{i - 1} r ON r.v = ed.u GROUP BY ed.v) c
+    ON c.v = verts.v
+)"""
+        )
+    return "".join(parts) + f"""
+SELECT v AS term, rank_micro FROM r{iterations}
+ORDER BY rank_micro DESC, term ASC LIMIT 30
+"""
+
+
+@query("textrank_terms_documents", _textrank_oracle(5))
+def textrank_terms_documents(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau): the corpus's 30
+    most central terms by integer PageRank over the adjacent-token
+    co-occurrence graph (tokens ≥4 chars, undirected) — the
+    graph-centrality complement to frequency-based term scoring
+    (`tf_df_top_terms_documents` rewards COUNT; TextRank rewards
+    CONNECTEDNESS, surfacing hub terms that co-occur with many
+    distinct contexts).  Reuses the verified `operators/graph.
+    pagerank` integer fixpoint (5 rounds, d=0.85) — every iteration
+    value-hash-checked by the unrolled oracle; the vocabulary graph is
+    corpus-bounded (edges ≤ token pairs, dedup'd), and the top-30 is a
+    distributed TakeOrdered with full tiebreak, not a vocabulary-sized
+    window."""
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tk")
+    )
+    a = toks.select("doc_id", "i", F.col("tk").alias("a"))
+    b = toks.select("doc_id", (F.col("i") - 1).alias("i"), F.col("tk").alias("b"))
+    adj = (
+        a.join(b, ["doc_id", "i"])
+        .where(
+            (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
+        )
+        .select("a", "b")
+    )
+    edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5)
+    return (
+        pr.orderBy(F.col("rank_micro").desc(), F.col("v").asc())
+        .limit(30)
+        .select(F.col("v").alias("term"), "rank_micro")
     )

@@ -67,3 +67,47 @@ def test_ewma_stream_names_executed_stateful_api(spark, sf_small):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("select * from ewma_forced_out").collect()}
     assert got == expected
+
+
+def test_holt_stream_converges_to_batch_on_both_apis(spark, sf_small):
+    """Drained Holt stream ≡ the batch keyed scan, on the auto-probed
+    custom-stateful API AND the forced fallback — one shared kernel."""
+    from uw_mapreduce_spark.sources.tables import load_table
+    from uw_mapreduce_spark.streaming.drift import _tws_available
+    from uw_mapreduce_spark.streaming.sliding import stream_events
+    from uw_mapreduce_spark.streaming.smooth import holt_stream
+
+    batch = load_table(spark, sf_small, "events")
+    expected = {tuple(r) for r in holt_stream(batch).collect()}
+    assert len(expected) == batch.count()
+
+    auto = holt_stream(stream_events(spark, sf_small))
+    plan = auto._jdf.queryExecution().logical().toString()
+    expected_api = (
+        "TransformWithState" if _tws_available() else "FlatMapGroupsInPandasWithState"
+    )
+    assert expected_api in plan, f"expected {expected_api} in plan"
+    q = (
+        auto.writeStream.format("memory")
+        .queryName("holt_auto_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from holt_auto_out").collect()}
+    assert got == expected
+
+    forced = holt_stream(
+        stream_events(spark, sf_small), stream_api="applyInPandasWithState"
+    )
+    q2 = (
+        forced.writeStream.format("memory")
+        .queryName("holt_forced_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = {tuple(r) for r in spark.sql("select * from holt_forced_out").collect()}
+    assert got2 == expected

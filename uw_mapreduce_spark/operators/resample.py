@@ -295,7 +295,7 @@ def holt_keyed(
 
     def scan(batches):
         prev_key = None
-        lv = tr = None
+        st = None
         for pdf in batches:
             vs = pdf[value_col].to_numpy()
             key_cols = [pdf[k].to_numpy() for k in keys]
@@ -305,15 +305,24 @@ def holt_keyed(
                 kt = tuple(c[i] for c in key_cols)
                 if kt != prev_key:
                     prev_key = kt
-                    lv, tr = int(vs[i]), 0
-                else:
-                    err = int(vs[i]) - (lv + tr)
-                    astep = _tdiv(err, a_d)
-                    lv = lv + tr + astep
-                    tr = tr + _tdiv(astep, b_d)
-                out_l[i], out_t[i] = lv, tr
+                    st = None
+                st = holt_step(st, int(vs[i]), a_d, b_d)
+                out_l[i], out_t[i] = st
             pdf["level"] = out_l
             pdf["trend"] = out_t
             yield pdf
 
     return parted.mapInPandas(scan, schema)
+
+
+def holt_step(
+    state: tuple[int, int] | None, v: int, alpha_den: int, beta_den: int
+) -> tuple[int, int]:
+    """One Holt fold step — shared by the batch scan and the streaming
+    stateful processor (`streaming/smooth.holt_stream`) so both paths
+    run the IDENTICAL integer kernel, like `ewma_step`."""
+    if state is None:
+        return v, 0
+    lv, tr = state
+    astep = _tdiv(v - (lv + tr), alpha_den)
+    return lv + tr + astep, tr + _tdiv(astep, beta_den)

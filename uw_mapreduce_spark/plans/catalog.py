@@ -7797,3 +7797,77 @@ def variant_props_events(spark, sf_dir):
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+_RENDEZVOUS_SQL = r"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT u.user_id, s.s,
+         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM u CROSS JOIN (SELECT CAST(UNNEST(generate_series(0, 5)) AS BIGINT) AS s) s
+),
+pick5 AS (
+  SELECT user_id, s AS shard_before FROM (
+    SELECT user_id, s, row_number() OVER (PARTITION BY user_id ORDER BY hv DESC, s ASC) AS rn
+    FROM h WHERE s < 5
+  ) WHERE rn = 1
+),
+pick6 AS (
+  SELECT user_id, s AS shard_after FROM (
+    SELECT user_id, s, row_number() OVER (PARTITION BY user_id ORDER BY hv DESC, s ASC) AS rn
+    FROM h
+  ) WHERE rn = 1
+)
+SELECT p5.shard_before, p6.shard_after,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(CASE WHEN p5.shard_before <> p6.shard_after THEN 1 ELSE 0 END AS BIGINT) AS moved
+FROM pick5 p5 JOIN pick6 p6 USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("rendezvous_sharding_users", _RENDEZVOUS_SQL)
+def rendezvous_sharding_users(spark, sf_dir):
+    """Rendezvous (highest-random-weight) consistent sharding: each
+    user's shard is the argmax of md5(user:shard) over the shard set —
+    the stateless assignment scheme whose defining property is MINIMAL
+    MOVEMENT under resizing (growing 5→6 shards relocates only the
+    users the new shard wins, ≈1/6, vs ~5/6 for mod-N).  The face
+    emits the 5→6 movement matrix, making that property a measured,
+    hash-checked number — the routing primitive behind sticky
+    sessions, shard-local caches, and co-located state.  Map-only per
+    user (6 hash evals via a broadcast spine + two per-user argmax
+    windows over 6 rows each), one rollup; no corpus shuffle beyond
+    the user dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    shards = spark.createDataFrame([(s,) for s in range(6)], "s long")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("s").cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    h = u.crossJoin(F.broadcast(shards)).select("user_id", "s", hv.alias("hv"))
+    w = Window.partitionBy("user_id").orderBy(F.col("hv").desc(), F.col("s").asc())
+    pick5 = (
+        h.where(F.col("s") < 5)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("s").alias("shard_before"))
+    )
+    pick6 = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("s").alias("shard_after"))
+    )
+    return (
+        pick5.join(pick6, "user_id")
+        .groupBy("shard_before", "shard_after")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.when(F.col("shard_before") != F.col("shard_after"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("moved"),
+        )
+    )

@@ -4563,3 +4563,126 @@ def textrank_terms_documents(spark, sf_dir):
         .limit(30)
         .select(F.col("v").alias("term"), "rank_micro")
     )
+
+
+def _label_prop_oracle(rounds: int = 3) -> str:
+    """Unrolled frontier label propagation: full kNN edge list (rank
+    weights 6−rnk), md5-permille seed set, and per round an argmax
+    vote among already-settled neighbors for each still-unsettled
+    vertex.  Every l_i is referenced by the next round's vote join AND
+    its anti-filter, so they are MATERIALIZED (DuckDB inlines CTEs by
+    default — the k-core lesson)."""
+    parts = [
+        r"""
+WITH e AS MATERIALIZED (
+  SELECT query_id AS v, neighbor_id AS n, CAST(6 - rnk AS BIGINT) AS wt FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             x.embedding::DOUBLE[]) DESC,
+                      x.vec_id ASC) AS rnk
+    FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+),
+base AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+         CASE WHEN (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 200 THEN 1 ELSE 0 END AS is_seed
+  FROM embeddings
+),
+l0 AS MATERIALIZED (
+  SELECT vec_id AS v, true_label AS plab FROM base WHERE is_seed = 1
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT v, plab FROM (
+    SELECT t.v, t.plab,
+           row_number() OVER (PARTITION BY t.v ORDER BY t.s DESC, t.plab ASC) AS rn
+    FROM (
+      SELECT e.v, l.plab, SUM(e.wt) AS s
+      FROM e JOIN l{i - 1} l ON l.v = e.n
+      WHERE e.v NOT IN (SELECT v FROM l{i - 1})
+      GROUP BY e.v, l.plab
+    ) t
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT v, plab FROM l{i - 1} UNION ALL SELECT v, plab FROM a{i}
+)"""
+        )
+    return "".join(parts) + f"""
+SELECT b.vec_id, CAST(b.is_seed AS BIGINT) AS is_seed, b.true_label,
+       CAST(l.plab AS BIGINT) AS pred_label,
+       CAST(CASE WHEN b.is_seed = 0 AND l.plab IS NOT NULL
+                 THEN CASE WHEN l.plab = b.true_label THEN 1 ELSE 0 END
+            END AS BIGINT) AS correct
+FROM base b LEFT JOIN l{rounds} l ON l.v = b.vec_id
+"""
+
+
+@query("label_propagation_embeddings", _label_prop_oracle(3))
+def label_propagation_embeddings(spark, sf_dir):
+    """Semi-supervised label propagation (Zhu & Ghahramani family)
+    over the exact kNN cosine graph: 20% of vectors keep their true
+    label (the md5-permille seed draw), and for 3 synchronous rounds
+    every still-unlabeled vector settles on the weighted-majority
+    label of its already-settled top-5 neighbors — vote weights are
+    the RANK complements (6−rnk), not float cosines, because ranks
+    are the cross-engine-stable part of the kNN contract
+    (`knn_bruteforce` hashes ranks for exactly this reason).  The
+    frontier-monotone settle rule (label once, first round a labeled
+    neighbor exists, majority at that moment, ties to the smallest
+    label) makes the whole fixpoint deterministic — a fully
+    value-hash-oracled SEMI-SUPERVISED LEARNER.  The kNN build is the
+    documented exact brute-force anchor (IVF/LSH are the scale paths);
+    each round after it is one edge join + one argmax window over the
+    frontier's votes, settled labels checkpointed."""
+    from ..operators.similarity import knn_bruteforce
+    from ..operators.split import hash_permille
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_bruteforce(emb, emb, k=5)
+    edges = knn.select(
+        F.col("query_id").alias("v"),
+        F.col("neighbor_id").alias("n"),
+        (F.lit(6) - F.col("rnk")).cast("long").alias("wt"),
+    ).localCheckpoint(eager=True)
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("true_label"),
+        (hash_permille(F.col("vec_id")) < 200).cast("long").alias("is_seed"),
+    ).localCheckpoint(eager=True)
+    lab = base.where(F.col("is_seed") == 1).select(
+        F.col("vec_id").alias("v"), F.col("true_label").alias("plab")
+    ).localCheckpoint(eager=True)
+    wv = Window.partitionBy("v").orderBy(F.col("s").desc(), F.col("plab").asc())
+    for _ in range(3):
+        votes = (
+            edges.join(
+                lab.select(F.col("v").alias("n"), F.col("plab")), "n"
+            )
+            .join(lab.select("v"), "v", "left_anti")
+            .groupBy("v", "plab")
+            .agg(F.sum("wt").alias("s"))
+        )
+        new = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("v", "plab")
+        )
+        lab = lab.unionByName(new).localCheckpoint(eager=True)
+    correct = F.when(
+        (F.col("is_seed") == 0) & F.col("plab").isNotNull(),
+        (F.col("plab") == F.col("true_label")).cast("long"),
+    )
+    return base.join(
+        lab.withColumnRenamed("v", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id", "is_seed", "true_label",
+        F.col("plab").cast("long").alias("pred_label"),
+        correct.cast("long").alias("correct"),
+    )

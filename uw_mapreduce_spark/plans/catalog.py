@@ -7871,3 +7871,257 @@ def rendezvous_sharding_users(spark, sf_dir):
             .otherwise(F.lit(0)).cast("long").alias("moved"),
         )
     )
+
+
+_IPS_SQL = r"""
+WITH imp AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         CASE WHEN (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 12))::BIGINT
+                    % 1000) < 500 THEN 0 ELSE 1 END AS arm,
+         CASE WHEN EXTRACT(hour FROM e.ts) >= 12 THEN 1 ELSE 0 END AS pi_arm
+  FROM events e WHERE e.event_type = 'click'
+),
+rew AS (
+  SELECT i.*,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = i.user_id
+             AND epoch_us(p.ts) > i.ts_us
+             AND epoch_us(p.ts) <= i.ts_us + 3600000000
+         ) THEN 1 ELSE 0 END AS r
+  FROM imp i
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS sr,
+         CAST(SUM(CASE WHEN arm = pi_arm THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN arm = pi_arm THEN r ELSE 0 END) AS BIGINT) AS mr
+  FROM rew
+)
+SELECT 'logged' AS estimator, n, n AS matched, CAST(sr * 1000 // n AS BIGINT) AS value_permille FROM s
+UNION ALL
+SELECT 'target_ips', n, m, CAST(mr * 2 * 1000 // n AS BIGINT) FROM s
+UNION ALL
+SELECT 'target_snips', n, m, CAST(CASE WHEN m = 0 THEN 0 ELSE mr * 1000 // m END AS BIGINT) FROM s
+"""
+
+
+@query("ips_policy_value_events", _IPS_SQL)
+def ips_policy_value_events(spark, sf_dir):
+    """Offline (counterfactual) policy evaluation: estimate what a NEW
+    targeting policy would convert, from logs collected under a
+    uniform logging policy, WITHOUT running the experiment — inverse
+    propensity scoring (Horvitz-Thompson) and its self-normalized
+    variant beside the logged baseline.  Impressions are clicks,
+    logged arm = the portable md5 coin (known propensity 1/2), reward
+    = a purchase by the same user within the following hour, target
+    policy = arm 1 after noon.  IPS = Σ r·1{π=a}·(1/p) / N with 1/p=2
+    exactly — every estimator is integer counts and trunc-div
+    permille, fully value-hash oracled.  Plan: one user-keyed
+    interval semi-join for rewards, one scalar rollup; the three
+    estimator rows are arithmetic off one 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.split import hash_permille
+
+    imp = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (hash_permille(F.col("event_id")) >= 500).cast("long").alias("arm"),
+        (F.hour(F.col("ts")) >= 12).cast("long").alias("pi_arm"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros(F.col("ts")).alias("p_ts"),
+    )
+    conv = imp.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts_us"))
+        & (F.col("p_ts") <= F.col("ts_us") + F.lit(3_600_000_000)),
+        "left_semi",
+    ).select("event_id", F.lit(1).alias("r"))
+    rew = imp.join(conv, "event_id", "left").select(
+        "arm", "pi_arm", F.coalesce("r", F.lit(0)).alias("r")
+    )
+    s = rew.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum((F.col("arm") == F.col("pi_arm")).cast("long")).cast("long").alias("m"),
+        F.sum(F.when(F.col("arm") == F.col("pi_arm"), F.col("r")).otherwise(0))
+        .cast("long").alias("mr"),
+    ).localCheckpoint(eager=True)  # 1 row, three estimator consumers
+    logged = s.select(
+        F.lit("logged").alias("estimator"), "n", F.col("n").alias("matched"),
+        F.expr("CAST(sr * 1000 DIV n AS BIGINT)").alias("value_permille"),
+    )
+    ips = s.select(
+        F.lit("target_ips").alias("estimator"), "n", F.col("m").alias("matched"),
+        F.expr("CAST(mr * 2 * 1000 DIV n AS BIGINT)").alias("value_permille"),
+    )
+    snips = s.select(
+        F.lit("target_snips").alias("estimator"), "n", F.col("m").alias("matched"),
+        F.expr(
+            "CAST(CASE WHEN m = 0 THEN 0 ELSE mr * 1000 DIV m END AS BIGINT)"
+        ).alias("value_permille"),
+    )
+    return logged.unionByName(ips).unionByName(snips)
+
+
+_FANO_SQL = r"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+grid AS (
+  SELECT t.event_type, CAST(UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+cnt AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT g.event_type, g.d, CAST(COALESCE(cnt.c, 0) AS HUGEINT) AS c
+  FROM grid g LEFT JOIN cnt ON cnt.event_type = g.event_type AND cnt.d = g.d
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(c) AS sc, SUM(c * c) AS scc
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sc AS BIGINT) AS total,
+       CAST(CASE WHEN sc = 0 THEN 0
+            ELSE (n * scc - sc * sc) * 1000 // (n * sc) END AS BIGINT) AS fano_permille
+FROM s
+"""
+
+
+@query("fano_burstiness_events", _FANO_SQL)
+def fano_burstiness_events(spark, sf_dir):
+    """Burstiness per event type: the Fano factor (index of
+    dispersion, daily-count variance over mean) on the ZERO-FILLED
+    corpus calendar — ≈1000 permille for Poisson-like arrivals, above
+    for bursty types, below for metronomic ones; the dispersion
+    diagnostic behind alert-threshold and capacity choices.  Computed
+    as (n·Σc² − (Σc)²)·1000 DIV (n·Σc) in DECIMAL(38,0)/HUGEINT —
+    population variance over mean with zero floats.  The corpus
+    collapses to type×day counts first; the calendar spine is a
+    types×span broadcast explode, so everything after one aggregate
+    is calendar-bounded."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+    )
+    cnt = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    daily = grid.join(cnt, ["event_type", "d"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).cast(dec).alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sc").cast("long").alias("total"),
+        F.expr(
+            "CAST(CASE WHEN sc = 0 THEN 0"
+            " ELSE (n * scc - sc * sc) * 1000 DIV (n * sc) END AS BIGINT)"
+        ).alias("fano_permille"),
+    )
+
+
+_SIMPSON_SLOPE = (
+    "CAST(CASE WHEN n * stt - st * st = 0 THEN 0"
+    " ELSE floor(1000.0 *"
+    " (CAST(n AS DOUBLE) * CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+    ") END AS BIGINT)"
+)
+
+_SIMPSON_SQL = rf"""
+WITH daily AS (
+  SELECT n.n_name AS nation,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+strat AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(rev_c) AS BIGINT) AS sr,
+         CAST(SUM(t * rev_c) AS BIGINT) AS str, CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM daily GROUP BY nation
+),
+pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(rc) AS BIGINT) AS sr,
+         CAST(SUM(t * rc) AS BIGINT) AS str, CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM (SELECT t, CAST(SUM(rev_c) AS BIGINT) AS rc FROM daily GROUP BY t)
+),
+ss AS (SELECT nation, {_SIMPSON_SLOPE} AS slope_milli FROM strat),
+ps AS (SELECT {_SIMPSON_SLOPE} AS pooled_slope_milli FROM pool)
+SELECT ss.nation, ss.slope_milli, ps.pooled_slope_milli,
+       CAST(CASE WHEN ss.slope_milli * ps.pooled_slope_milli < 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS sign_flip
+FROM ss, ps
+"""
+
+
+@query("simpson_trend_screen_nations", _SIMPSON_SQL)
+def simpson_trend_screen_nations(spark, sf_dir):
+    """Simpson's-paradox screen on revenue trends: the pooled daily
+    OLS slope beside every nation's own stratum slope, flagging strata
+    whose trend SIGN disagrees with the aggregate — the aggregation
+    trap (a growing total hiding shrinking segments, or vice versa)
+    surfaced as a hash-checked flag column instead of a post-mortem.
+    Same exact-int64-moments + identical-double-formula recipe as
+    `daily_revenue_trend`, run once per stratum (25-row aggregate)
+    and once pooled (the 1-row frame broadcasts onto the strata)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("t"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long").alias("rev_c")
+        )
+    ).localCheckpoint(eager=True)  # nation x day aggregate: feeds both scans
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum(F.col("rc")).cast("long").alias("sr"),
+            F.sum(F.col("t") * F.col("rc")).cast("long").alias("str"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        )
+
+    strat = moments(daily.withColumnRenamed("rev_c", "rc"), ["nation"])
+    pooled_daily = daily.groupBy("t").agg(F.sum("rev_c").cast("long").alias("rc"))
+    pool = moments(pooled_daily, [])
+    ss = strat.select("nation", F.expr(_SIMPSON_SLOPE).alias("slope_milli"))
+    ps = pool.select(F.expr(_SIMPSON_SLOPE).alias("pooled_slope_milli"))
+    return ss.crossJoin(F.broadcast(ps)).select(
+        "nation", "slope_milli", "pooled_slope_milli",
+        F.when(F.col("slope_milli") * F.col("pooled_slope_milli") < 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("sign_flip"),
+    )

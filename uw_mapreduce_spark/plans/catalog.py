@@ -8125,3 +8125,134 @@ def simpson_trend_screen_nations(spark, sf_dir):
         F.when(F.col("slope_milli") * F.col("pooled_slope_milli") < 0, F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("sign_flip"),
     )
+
+
+_PRUNE_QUERIES = [
+    # (query_id, u_lo, u_hi, v_lo, v_hi) — micro-units for value
+    (1, 100, 200, 0, 500_000),
+    (2, 0, 50, -(10**15), 10**15),
+    (3, 0, 10**9, 900_000, 1_000_000),
+]
+
+
+def _prune_sim_oracle() -> str:
+    """Composed from the registered Z-order bucket-stats SQL plus an
+    arrival-order baseline layout built by the same bucket rule, so
+    the simulation and the layout it scores cannot drift."""
+    from ._registry import ORACLE
+
+    zb = ORACLE["zorder_layout_events"]
+    qrows = ", ".join(f"({q}, {ul}, {uh}, {vl}, {vh})" for q, ul, uh, vl, vh in _PRUNE_QUERIES)
+    return rf"""
+WITH zb AS ({zb}),
+base AS (
+  SELECT event_id // 1024 AS bucket, COUNT(*) AS n_events,
+         MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+         MIN(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_value_u,
+         MAX(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_value_u
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+boxes AS (
+  SELECT 'zorder' AS layout, bucket, n_events, min_user, max_user, min_value_u, max_value_u FROM zb
+  UNION ALL
+  SELECT 'arrival', bucket, n_events, min_user, max_user, min_value_u, max_value_u FROM base
+),
+q(query_id, u_lo, u_hi, v_lo, v_hi) AS (VALUES {qrows}),
+scan AS (
+  SELECT q.query_id, b.layout,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(COUNT(*) FILTER (b.min_user <= q.u_hi AND b.max_user >= q.u_lo
+                           AND b.min_value_u <= q.v_hi AND b.max_value_u >= q.v_lo)
+              AS BIGINT) AS buckets_scanned,
+         CAST(COALESCE(SUM(b.n_events) FILTER (b.min_user <= q.u_hi AND b.max_user >= q.u_lo
+                           AND b.min_value_u <= q.v_hi AND b.max_value_u >= q.v_lo), 0)
+              AS BIGINT) AS rows_scanned
+  FROM q CROSS JOIN boxes b GROUP BY 1, 2
+),
+m AS (
+  SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS rows_matching
+  FROM q JOIN events e
+    ON e.value IS NOT NULL
+   AND e.user_id BETWEEN q.u_lo AND q.u_hi
+   AND CAST(floor(e.value * 1000000.0) AS BIGINT) BETWEEN q.v_lo AND q.v_hi
+  GROUP BY 1
+)
+SELECT s.query_id, s.layout, s.n_buckets, s.buckets_scanned, s.rows_scanned,
+       COALESCE(m.rows_matching, 0) AS rows_matching,
+       CAST(s.rows_scanned * 1000 // GREATEST(COALESCE(m.rows_matching, 0), 1) AS BIGINT)
+         AS read_amp_permille
+FROM scan s LEFT JOIN m ON m.query_id = s.query_id
+"""
+
+
+@query("zorder_pruning_sim_events", _prune_sim_oracle())
+def zorder_pruning_sim_events(spark, sf_dir):
+    """Data-skipping QUANTIFIED: replay three two-column range queries
+    against the bucket bounding boxes of the Z-ordered layout AND an
+    arrival-order baseline, reporting buckets scanned, rows scanned,
+    and read amplification (rows scanned per matching row) — the
+    number that justifies a Z-order rewrite, measured instead of
+    asserted (Morton buckets keep BOTH dimensions' boxes small, so
+    two-column predicates prune; arrival order prunes only what
+    correlates with time).  Bucket stats are the registered Z-order
+    face's output; the query spine is a 3-row broadcast; matching-row
+    truth is one scan with the same predicates."""
+    from ..operators.zorder import zorder_by
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("value_u"),
+        )
+    ).localCheckpoint(eager=True)  # feeds three scans: two layouts + truth
+    z = zorder_by(ev, "user_id", "value_u", bits=_Z_BITS)
+
+    def boxes(df, bucket_col, layout):
+        return df.groupBy(F.expr(bucket_col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("value_u").alias("min_value_u"),
+            F.max("value_u").alias("max_value_u"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    allb = boxes(z, "__z DIV 1024", "zorder").unionByName(
+        boxes(ev, "event_id DIV 1024", "arrival")
+    )
+    q = spark.createDataFrame(
+        _PRUNE_QUERIES, "query_id long, u_lo long, u_hi long, v_lo long, v_hi long"
+    )
+    hit = (
+        (F.col("min_user") <= F.col("u_hi")) & (F.col("max_user") >= F.col("u_lo"))
+        & (F.col("min_value_u") <= F.col("v_hi")) & (F.col("max_value_u") >= F.col("v_lo"))
+    )
+    scan = (
+        allb.crossJoin(F.broadcast(q))
+        .groupBy("query_id", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(hit.cast("long")).cast("long").alias("buckets_scanned"),
+            F.coalesce(F.sum(F.when(hit, F.col("n_events"))), F.lit(0))
+            .cast("long").alias("rows_scanned"),
+        )
+    )
+    m = (
+        ev.crossJoin(F.broadcast(q))
+        .where(
+            F.col("user_id").between(F.col("u_lo"), F.col("u_hi"))
+            & F.col("value_u").between(F.col("v_lo"), F.col("v_hi"))
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matching"))
+    )
+    return scan.join(m, "query_id", "left").select(
+        "query_id", "layout", "n_buckets", "buckets_scanned", "rows_scanned",
+        F.coalesce("rows_matching", F.lit(0)).cast("long").alias("rows_matching"),
+        F.expr(
+            "CAST(rows_scanned * 1000 DIV GREATEST(COALESCE(rows_matching, 0), 1)"
+            " AS BIGINT)"
+        ).alias("read_amp_permille"),
+    )

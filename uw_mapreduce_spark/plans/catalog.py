@@ -8256,3 +8256,76 @@ def zorder_pruning_sim_events(spark, sf_dir):
             " AS BIGINT)"
         ).alias("read_amp_permille"),
     )
+
+
+_PV_DECOMP_SQL = r"""
+WITH yr AS (
+  SELECT n.n_name AS nation,
+         EXTRACT(year FROM l.l_shipdate) AS y,
+         CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS HUGEINT) AS q,
+         CAST(SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0) AS BIGINT))
+              AS HUGEINT) AS r
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE EXTRACT(year FROM l.l_shipdate) IN (1997, 1998)
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT a.nation, a.q AS q1, a.r AS r1, b.q AS q2, b.r AS r2
+  FROM yr a JOIN yr b ON a.nation = b.nation AND a.y = 1997 AND b.y = 1998
+  WHERE a.q > 0
+)
+SELECT nation,
+       CAST(r1 AS BIGINT) AS rev_1997_c, CAST(r2 AS BIGINT) AS rev_1998_c,
+       CAST(r2 - r1 AS BIGINT) AS delta_c,
+       CAST((q2 - q1) * r1 // q1 AS BIGINT) AS volume_effect_c,
+       CAST((r2 - r1) - ((q2 - q1) * r1 // q1) AS BIGINT) AS price_effect_c
+FROM w
+"""
+
+
+@query("price_volume_decomposition", _PV_DECOMP_SQL)
+def price_volume_decomposition(spark, sf_dir):
+    """Revenue-bridge (price–volume) decomposition per supplier
+    nation, 1997→1998: Δrevenue split into a VOLUME effect
+    ((q₂−q₁)·p₁, what shipping more units at old prices would have
+    added) and a PRICE/MIX effect (the exact residual, so the two
+    legs sum to Δ by construction) — the BI growth-bridge every
+    revenue review opens with.  The unit-price leg is
+    (q₂−q₁)·r₁ DIV q₁ in DECIMAL(38,0)/HUGEINT (the qty×revenue
+    product outgrows int64 at ~100× scale); no floats anywhere.
+    One dimension-broadcast aggregate + a 25-row self-join."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+    ).cast("long")
+    yr = (
+        li.where(F.year("l_shipdate").isin(1997, 1998))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).cast(dec).alias("q"),
+            F.sum(rev).cast(dec).alias("r"),
+        )
+    )
+    a = yr.where(F.col("y") == 1997).select(
+        "nation", F.col("q").alias("q1"), F.col("r").alias("r1")
+    ).where(F.col("q1") > 0)
+    b = yr.where(F.col("y") == 1998).select(
+        "nation", F.col("q").alias("q2"), F.col("r").alias("r2")
+    )
+    return a.join(b, "nation").select(
+        "nation",
+        F.col("r1").cast("long").alias("rev_1997_c"),
+        F.col("r2").cast("long").alias("rev_1998_c"),
+        F.expr("CAST(r2 - r1 AS BIGINT)").alias("delta_c"),
+        F.expr("CAST((q2 - q1) * r1 DIV q1 AS BIGINT)").alias("volume_effect_c"),
+        F.expr(
+            "CAST((r2 - r1) - ((q2 - q1) * r1 DIV q1) AS BIGINT)"
+        ).alias("price_effect_c"),
+    )

@@ -494,3 +494,66 @@ def weighted_shortest_paths(
             .agg(F.min("d").alias("d"))
         ).localCheckpoint(eager=True)
     return dist
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping_milli: int = 850,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """PageRank with EDGE WEIGHTS in exact integer micro-units — the
+    `pagerank` update with each out-edge carrying its share of the
+    vertex's rank proportional to weight:
+
+        r'(v) = ((1000 − d)·(10⁶ DIV N)
+                 + d · Σ over in-edges (u,v) of (r(u)·w(u,v) DIV wout(u)))
+                DIV 1000
+
+    (wout = Σ of u's out-edge weights).  Same truncation/dangling
+    simplifications, same per-round join+aggregate plan and
+    checkpointed weighted edge list; the r(u)·w product runs in
+    DECIMAL(38,0) — rank_micro ≤ 10⁶·N and corpus-scale weights would
+    wrap int64 silently (the round-7 overflow lesson).  Returns
+    (v, rank_micro)."""
+    dec = "decimal(38,0)"
+    e = (
+        edges.groupBy(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .agg(F.sum(F.col(weight).cast("long")).alias("w"))
+    )
+    verts = (
+        e.select("u").unionAll(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("v"))
+    )
+    wout = e.groupBy("u").agg(F.sum("w").alias("wout"))
+    ed = e.join(wout, "u").localCheckpoint(eager=True)
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()
+    base = 1_000_000 // n
+    d = int(damping_milli)
+    r = verts.withColumn("rank_micro", F.lit(base).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(r.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.expr(f"CAST(rank_micro AS {dec}) * w DIV wout").cast("long")
+                ).alias("s")
+            )
+        )
+        r = (
+            verts.join(contrib, "v", "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST(({(1000 - d) * base}L + {d}L * COALESCE(s, 0L))"
+                    " DIV 1000 AS BIGINT)"
+                ).alias("rank_micro"),
+            )
+        ).localCheckpoint(eager=True)
+    return r

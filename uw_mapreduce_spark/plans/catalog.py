@@ -8329,3 +8329,179 @@ def price_volume_decomposition(spark, sf_dir):
             "CAST((r2 - r1) - ((q2 - q1) * r1 DIV q1) AS BIGINT)"
         ).alias("price_effect_c"),
     )
+
+
+def _wpagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled weighted-PageRank twin: same integer update as the
+    unweighted oracle with each contribution scaled by w DIV wout,
+    products in HUGEINT."""
+    parts = [
+        r"""
+WITH e AS (
+  SELECT o_custkey AS u, l_suppkey + 10000000 AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+verts AS (SELECT u AS v FROM e UNION SELECT v FROM e),
+wo AS (SELECT u, SUM(w) AS wout FROM e GROUP BY u),
+ed AS (SELECT e.u, e.v, e.w, wout FROM e JOIN wo USING (u)),
+bconst AS (SELECT 1000000 // count(*) AS b FROM verts),
+r0 AS (SELECT v, CAST(b AS BIGINT) AS rank_micro FROM verts, bconst)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT verts.v,
+         CAST((150 * b + 850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank_micro
+  FROM verts
+  CROSS JOIN bconst
+  LEFT JOIN (SELECT ed.v,
+                    SUM(CAST(rank_micro AS HUGEINT) * ed.w // ed.wout) AS s
+             FROM ed JOIN r{i - 1} r ON r.v = ed.u GROUP BY ed.v) c
+    ON c.v = verts.v
+)"""
+        )
+    return "".join(parts) + f"\nSELECT v, rank_micro FROM r{iterations}"
+
+
+@query("weighted_pagerank_purchases", _wpagerank_oracle(5))
+def weighted_pagerank_purchases(spark, sf_dir):
+    """Edge-weighted PageRank (`operators/graph.pagerank_weighted`)
+    over the customer→supplier purchase graph with LINE-ITEM COUNTS as
+    weights — rank flows proportionally to relationship strength, so a
+    supplier serving one heavy buyer can outrank one serving many
+    light ones, which the unweighted face (`pagerank_purchase_graph`)
+    cannot express.  Same per-round join+aggregate topology and
+    unrolled-oracle discipline; the rank×weight products run in
+    DECIMAL(38,0)/HUGEINT."""
+    from ..operators.graph import pagerank_weighted
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return pagerank_weighted(edges, iterations=5)
+
+
+_CHURN_SQL = r"""
+WITH feat AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(CAST(value AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS monetary_u,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+         CAST(DATE '2024-01-23' - MAX(CAST(ts AS DATE)) AS BIGINT) AS recency_days
+  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-23'
+  GROUP BY user_id
+),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(ts AS DATE) > DATE '2024-01-23'
+    AND CAST(ts AS DATE) <= DATE '2024-01-30'
+)
+SELECT f.user_id, f.n_events, f.n_purchases, f.monetary_u, f.n_active_days,
+       f.recency_days,
+       CAST(CASE WHEN fut.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS churned_7d
+FROM feat f LEFT JOIN fut ON fut.user_id = f.user_id
+"""
+
+
+@query("churn_features_events", _CHURN_SQL)
+def churn_features_events(spark, sf_dir):
+    """Point-in-time-correct churn training table: features computed
+    ONLY from events up to the 2024-01-23 cutoff (activity counts,
+    purchase count, monetary total, active days, recency) and the
+    label from the following 7 days (churned = silent all week) — the
+    leakage discipline that makes an offline feature table honest (a
+    feature touching post-cutoff data poisons the model; here the
+    cutoff is structural, both in the plan and the oracle).  One
+    user-keyed aggregate + one future-window semi-probe; every
+    feature integer."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    cutoff = F.lit("2024-01-23").cast("date")
+    feat = (
+        ev.where(d <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long").alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value").cast("double") * F.lit(1_000_000.0)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("monetary_u"),
+            F.countDistinct(d).cast("long").alias("n_active_days"),
+            F.datediff(cutoff, F.max(d)).cast("long").alias("recency_days"),
+        )
+    )
+    fut = (
+        ev.where((d > cutoff) & (d <= F.lit("2024-01-30").cast("date")))
+        .select("user_id")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return feat.join(fut, "user_id", "left").select(
+        "user_id", "n_events", "n_purchases", "monetary_u", "n_active_days",
+        "recency_days",
+        F.when(F.col("_seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("churned_7d"),
+    )
+
+
+_TARGET_ENC_SQL = r"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(CAST(value AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS value_u
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(value_u) AS BIGINT) AS sv
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.value_u,
+       CAST(CASE WHEN s.n <= 1 THEN 0
+            ELSE (s.sv - v.value_u) // (s.n - 1) END AS BIGINT) AS loo_mean_u
+FROM v JOIN s USING (event_type)
+"""
+
+
+@query("target_encoding_events", _TARGET_ENC_SQL)
+def target_encoding_events(spark, sf_dir):
+    """Leave-one-out target encoding of event_type by value: each
+    row's categorical feature becomes the mean target of ALL OTHER
+    rows in its category ((Σ−vᵢ) DIV (n−1)) — the leakage-safe form of
+    mean encoding (plain category means let every row see its own
+    target; LOO subtracts it, the standard fix).  One broadcast of the
+    5-row category stats onto the scan — map-only per row, exact
+    integer micro-units."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("value_u"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value_u").cast("long").alias("sv"),
+    )
+    return v.join(F.broadcast(s), "event_type").select(
+        "event_id", "event_type", "value_u",
+        F.expr(
+            "CAST(CASE WHEN n <= 1 THEN 0"
+            " ELSE (sv - value_u) DIV (n - 1) END AS BIGINT)"
+        ).alias("loo_mean_u"),
+    )

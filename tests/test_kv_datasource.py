@@ -57,3 +57,44 @@ def test_malformed_lines_yield_nulls_not_errors(registered, tmp_path):
     assert (None, 3) in rows      # bad key -> NULL, line kept
     assert (4, None) in rows      # missing value -> NULL
     assert len(rows) == 4         # blank line dropped
+
+
+def test_kvtext_writer_roundtrip(spark, tmp_path):
+    """Write via the connector's two-phase committer, read back via
+    both the connector and the production text path — byte layout is
+    the reference's key\\tvalue format with part-r-NNNNN naming."""
+    import os
+
+    from uw_mapreduce_spark.sources.kv_datasource import KVTextDataSource
+
+    spark.dataSource.register(KVTextDataSource)
+    rows = [(i, i * 7 % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "key bigint, value bigint").repartition(3)
+    out = str(tmp_path / "kvout")
+    df.write.format("kvtext").mode("overwrite").option("path", out).save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    parts = [n for n in names if n.startswith("part-r-")]
+    assert parts == [f"part-r-{i:05d}" for i in range(len(parts))]
+
+    back = spark.read.format("kvtext").option("path", out).load()
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    from uw_mapreduce_spark.sources.text_kv import read_text_kv
+
+    via_text = read_text_kv(spark, out)
+    assert sorted(map(tuple, via_text.collect())) == sorted(rows)
+
+
+def test_kvtext_writer_overwrite_clears_stale_parts(spark, tmp_path):
+    from uw_mapreduce_spark.sources.kv_datasource import KVTextDataSource
+
+    spark.dataSource.register(KVTextDataSource)
+    out = str(tmp_path / "kvout2")
+    wide = spark.createDataFrame([(i, i) for i in range(40)], "key bigint, value bigint")
+    wide.repartition(8).write.format("kvtext").mode("overwrite").option("path", out).save()
+    narrow = spark.createDataFrame([(1, 2)], "key bigint, value bigint")
+    narrow.repartition(1).write.format("kvtext").mode("overwrite").option("path", out).save()
+    back = spark.read.format("kvtext").option("path", out).load()
+    assert [tuple(r) for r in back.collect()] == [(1, 2)]

@@ -31,7 +31,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 KV_DDL = "key bigint, value bigint"
 
@@ -97,3 +103,65 @@ class KVTextDataSource(DataSource):
 
     def reader(self, schema) -> KVTextReader:
         return KVTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "KVTextWriter":
+        return KVTextWriter(self.options, overwrite)
+
+
+class _KVCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class KVTextWriter(DataSourceWriter):
+    """The WRITE half of the connector contract: each task streams its
+    partition to a uniquely-named temp file (task attempts can't
+    collide), returns a commit message, and the DRIVER finalizes by
+    renaming the temp files to ``part-r-NNNNN`` in commit order — the
+    two-phase output-committer discipline (no partial output becomes
+    visible on task failure; abort() removes leftovers).  Output is
+    the reference's ``key\tvalue`` text layout
+    (`SlidingAggregation.java:451` TextOutputFormat +
+    `PairInt.java:80-83` tab join), so the golden harness can diff it."""
+
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kvtext requires .option('path', ...) or save(path)")
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f"_tmp-{pid:05d}-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                k = "" if row[0] is None else str(row[0])
+                v = "" if row[1] is None else str(row[1])
+                fh.write(f"{k}\t{v}\n")
+                n += 1
+        return _KVCommit(tmp, n)
+
+    def commit(self, messages):
+        if self._overwrite:
+            # clear stale parts so an overwrite of a wider previous
+            # write can't leave orphan part files behind the _SUCCESS
+            for f in os.listdir(self._path):
+                if f.startswith("part-r-"):
+                    os.remove(os.path.join(self._path, f))
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            os.replace(m.tmp_path, os.path.join(self._path, f"part-r-{i:05d}"))
+        with open(os.path.join(self._path, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

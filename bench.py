@@ -93,6 +93,14 @@ HEADLINE = [
     "cf_hitrate_parts",
     "cheapest_path_purchase_graph",
     "late_arrival_audit_events",
+    # session-5 second wave: vocabulary-graph TextRank, weighted
+    # PageRank, kNN-graph label propagation (exact anchor), IPS
+    # counterfactual eval, and the data-skipping simulation.
+    "textrank_terms_documents",
+    "weighted_pagerank_purchases",
+    "label_propagation_embeddings",
+    "ips_policy_value_events",
+    "zorder_pruning_sim_events",
 ]
 
 
@@ -252,6 +260,19 @@ SF1_QUERIES = [
     "priority_sample_orders",
     "variant_props_events",
     "hhi_supplier_concentration",
+    # session-5 second wave at 10x (label_propagation stays out: its
+    # kNN build is the documented exact quadratic anchor, like
+    # semantic_dedup's; IVF is the scale path).
+    "textrank_terms_documents",
+    "weighted_pagerank_purchases",
+    "ips_policy_value_events",
+    "zorder_pruning_sim_events",
+    "churn_features_events",
+    "target_encoding_events",
+    "price_volume_decomposition",
+    "fano_burstiness_events",
+    "simpson_trend_screen_nations",
+    "rendezvous_sharding_users",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

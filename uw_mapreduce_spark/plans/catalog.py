@@ -8505,3 +8505,221 @@ def target_encoding_events(spark, sf_dir):
             " ELSE (sv - value_u) DIV (n - 1) END AS BIGINT)"
         ).alias("loo_mean_u"),
     )
+
+
+_MKV_EVAL_SQL = r"""
+WITH seq AS (
+  SELECT user_id, event_type AS prev, epoch_us(ts) AS t1,
+         lead(event_type) OVER w AS cur,
+         lead(epoch_us(ts)) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+cut AS (SELECT epoch_us(TIMESTAMP '2024-01-23 00:00:00') AS c),
+train AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq, cut WHERE cur IS NOT NULL AND t2 <= cut.c
+  GROUP BY prev, cur
+),
+pred AS (
+  SELECT prev, cur AS predicted FROM (
+    SELECT prev, cur, row_number() OVER (
+      PARTITION BY prev ORDER BY n DESC, cur ASC) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+test AS (
+  SELECT prev, cur FROM seq, cut WHERE cur IS NOT NULL AND t1 > cut.c
+)
+SELECT t.prev, p.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(COUNT(*) FILTER (t.cur = p.predicted) AS BIGINT) AS n_correct,
+       CAST(COUNT(*) FILTER (t.cur = p.predicted) * 1000 // COUNT(*) AS BIGINT)
+         AS acc_permille
+FROM test t JOIN pred p ON p.prev = t.prev
+GROUP BY t.prev, p.predicted
+"""
+
+
+@query("markov_next_event_eval", _MKV_EVAL_SQL)
+def markov_next_event_eval(spark, sf_dir):
+    """Next-event prediction evaluated on a TEMPORAL train/test split:
+    the first-order transition matrix is learned from pairs fully
+    before the 2024-01-23 cutoff, the per-state argmax becomes the
+    predictor, and accuracy is measured only on pairs fully after the
+    cutoff (crossing pairs discarded — they'd leak a post-cutoff
+    label into training).  The eval completes the Markov family
+    (counts → stationary mix → attribution → now a scored predictor)
+    with the same leakage discipline as `churn_features_events`.
+    Corpus work is one user-keyed window pass; matrix, argmax, and
+    the accuracy rollup are |types|²-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("prev"),
+        F.unix_micros(F.col("ts")).alias("t1"),
+        F.lead("event_type").over(w).alias("cur"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("t2"),
+    ).where(F.col("cur").isNotNull())
+    cut = F.unix_micros(F.lit("2024-01-23 00:00:00").cast("timestamp"))
+    train = (
+        seq.where(F.col("t2") <= cut)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("prev").orderBy(F.col("n").desc(), F.col("cur").asc())
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("prev", F.col("cur").alias("predicted"))
+    )
+    test = seq.where(F.col("t1") > cut).select("prev", "cur")
+    hit = (F.col("cur") == F.col("predicted")).cast("long")
+    return (
+        test.join(F.broadcast(pred), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cur = predicted THEN 1 ELSE 0 END) * 1000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("acc_permille"),
+        )
+    )
+
+
+_STUMP_FEATURES = [
+    "n_events", "n_purchases", "monetary_u", "n_active_days", "recency_days",
+]
+
+
+def _feature_gain_oracle() -> str:
+    """Composed from the registered churn-table oracle: unpivot the
+    five features, prefix counts per (feature, value), the integer
+    Gini grid per split, argmin with threshold tiebreak — every
+    product in HUGEINT."""
+    from ._registry import ORACLE
+
+    churn = ORACLE["churn_features_events"]
+    unpiv = "\n  UNION ALL\n".join(
+        f"  SELECT '{f}' AS feature, CAST({f} AS BIGINT) AS value,"
+        " churned_7d AS y FROM churn" for f in _STUMP_FEATURES
+    )
+    return rf"""
+WITH churn AS ({churn}),
+lng AS (
+{unpiv}
+),
+pv AS (
+  SELECT feature, value, CAST(COUNT(*) AS HUGEINT) AS cnt,
+         CAST(SUM(y) AS HUGEINT) AS pos
+  FROM lng GROUP BY 1, 2
+),
+cum AS (
+  SELECT feature, value,
+         SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl,
+         SUM(cnt) OVER (PARTITION BY feature) AS n,
+         SUM(pos) OVER (PARTITION BY feature) AS p
+  FROM pv
+  WINDOW w AS (PARTITION BY feature ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT feature, value AS thr, n, p,
+         (nl * (1000000 - (pl * pl + (nl - pl) * (nl - pl)) * 1000000 // (nl * nl))
+          + (n - nl) * (1000000 - ((p - pl) * (p - pl)
+              + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))) * 1000000
+              // ((n - nl) * (n - nl)))
+         ) // n AS score_e6
+  FROM cum WHERE nl < n
+),
+best AS (
+  SELECT feature, thr, CAST(score_e6 AS BIGINT) AS score_e6 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY feature ORDER BY score_e6 ASC, thr ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT feature,
+         CAST(1000000 - (p * p + (n - p) * (n - p)) * 1000000 // (n * n) AS BIGINT)
+           AS base_imp_e6
+  FROM (SELECT DISTINCT feature, n, p FROM cum)
+)
+SELECT b.feature, b.thr AS best_thr, b.score_e6, ba.base_imp_e6,
+       CAST(ba.base_imp_e6 - b.score_e6 AS BIGINT) AS gain_e6
+FROM best b JOIN base ba USING (feature)
+"""
+
+
+@query("feature_gain_churn", _feature_gain_oracle())
+def feature_gain_churn(spark, sf_dir):
+    """Decision-stump feature ranking for the churn label: per
+    feature, the best single threshold by weighted Gini impurity and
+    its gain over the unsplit base — the univariate feature-selection
+    screen run before any model (a feature whose best stump gains
+    nothing won't help a tree either).  All impurities live on the
+    integer 10⁶ grid ((pos²+neg²)·10⁶ DIV n² — count products in
+    DECIMAL(38,0)/HUGEINT, past int64 at ~10⁸ users) with min/argmin
+    over the grid, so the whole screen value-hashes; oracle composed
+    from the registered churn-table SQL.  Plan: unpivot to
+    (feature, value) pairs, one aggregate, per-feature prefix windows
+    (threshold candidates are value-bounded per feature), 5-row
+    argmin."""
+    dec = "decimal(38,0)"
+    feat = churn_features_events(spark, sf_dir)
+    stack_expr = "stack({}, {}) as (feature, value)".format(
+        len(_STUMP_FEATURES),
+        ", ".join(f"'{f}', CAST({f} AS BIGINT)" for f in _STUMP_FEATURES),
+    )
+    lng = feat.select(F.col("churned_7d").alias("y"), F.expr(stack_expr))
+    pv = lng.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).cast(dec).alias("cnt"),
+        F.sum("y").cast(dec).alias("pos"),
+    )
+    w = Window.partitionBy("feature").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("feature")
+    cum = pv.select(
+        "feature", "value",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("cnt").over(wf).alias("n"),
+        F.sum("pos").over(wf).alias("p"),
+    )
+    imp_l = "(1000000 - (pl * pl + (nl - pl) * (nl - pl)) * 1000000 DIV (nl * nl))"
+    imp_r = (
+        "(1000000 - ((p - pl) * (p - pl) + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))"
+        " * 1000000 DIV ((n - nl) * (n - nl)))"
+    )
+    scored = cum.where(F.col("nl") < F.col("n")).select(
+        "feature", F.col("value").alias("thr"), "n", "p",
+        F.expr(f"(nl * {imp_l} + (n - nl) * {imp_r}) DIV n").alias("score_e6"),
+    )
+    wb = Window.partitionBy("feature").orderBy(
+        F.col("score_e6").asc(), F.col("thr").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("feature", F.col("thr").alias("best_thr"),
+                F.col("score_e6").cast("long").alias("score_e6"))
+    )
+    base = (
+        cum.select("feature", "n", "p").distinct()
+        .select(
+            "feature",
+            F.expr(
+                "CAST(1000000 - (p * p + (n - p) * (n - p)) * 1000000 DIV (n * n)"
+                " AS BIGINT)"
+            ).alias("base_imp_e6"),
+        )
+    )
+    return best.join(base, "feature").select(
+        "feature", "best_thr", "score_e6", "base_imp_e6",
+        (F.col("base_imp_e6") - F.col("score_e6")).cast("long").alias("gain_e6"),
+    )

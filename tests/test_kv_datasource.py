@@ -98,3 +98,26 @@ def test_kvtext_writer_overwrite_clears_stale_parts(spark, tmp_path):
     narrow.repartition(1).write.format("kvtext").mode("overwrite").option("path", out).save()
     back = spark.read.format("kvtext").option("path", out).load()
     assert [tuple(r) for r in back.collect()] == [(1, 2)]
+
+
+def test_kvtext_writer_append_and_empty(spark, tmp_path):
+    """Append continues part numbering instead of clobbering; an empty
+    write still commits a directory with _SUCCESS."""
+    import os
+
+    from uw_mapreduce_spark.sources.kv_datasource import KVTextDataSource
+
+    spark.dataSource.register(KVTextDataSource)
+    out = str(tmp_path / "kvapp")
+    a = spark.createDataFrame([(1, 10), (2, 20)], "key bigint, value bigint")
+    a.repartition(2).write.format("kvtext").mode("overwrite").option("path", out).save()
+    b = spark.createDataFrame([(3, 30)], "key bigint, value bigint")
+    b.repartition(1).write.format("kvtext").mode("append").option("path", out).save()
+    back = spark.read.format("kvtext").option("path", out).load()
+    assert sorted(map(tuple, back.collect())) == [(1, 10), (2, 20), (3, 30)]
+
+    empty_out = str(tmp_path / "kvempty")
+    spark.createDataFrame([], "key bigint, value bigint").write.format(
+        "kvtext"
+    ).mode("overwrite").option("path", empty_out).save()
+    assert os.path.exists(os.path.join(empty_out, "_SUCCESS"))

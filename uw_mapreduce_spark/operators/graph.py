@@ -533,6 +533,8 @@ def pagerank_weighted(
     ed = e.join(wout, "u").localCheckpoint(eager=True)
     verts = verts.localCheckpoint(eager=True)
     n = verts.count()
+    if n == 0:  # empty graph: empty result, not a ZeroDivisionError
+        return verts.withColumn("rank_micro", F.lit(0).cast("long"))
     base = 1_000_000 // n
     d = int(damping_milli)
     r = verts.withColumn("rank_micro", F.lit(base).cast("long"))

@@ -345,7 +345,8 @@ def priority_sample(
         .withColumn("__pspri__", F.expr(pri_sql))
         .orderBy(F.col("__pspri__").desc(), F.col(id_col).asc())
         .limit(k + 1)
-    )
+    ).localCheckpoint(eager=True)  # k+1 rows feed BOTH tau and the kept
+    # set — uncheckpointed, each consumer re-runs the corpus TakeOrdered
     w_rank = Window.orderBy(F.col("__pspri__").desc(), F.col(id_col).asc())
     ranked = top.withColumn("__psrn__", F.row_number().over(w_rank))
     tau = ranked.agg(

@@ -7703,8 +7703,9 @@ def priority_sample_orders(spark, sf_dir):
     priority sampling): the 200 orders with the highest wᵢ/uᵢ
     priority (wᵢ = order cents, uᵢ the portable md5-u32 uniform),
     each carrying the unbiased total-estimator weight max(wᵢ, τ) with
-    τ the 201st priority — the third fully value-hash-oracled sampler
-    beside PPS (expected-size) and mixture (per-group), and the one
+    τ the 201st priority — the fourth fully value-hash-oracled sampler
+    beside PPS (expected-size), mixture (per-group), and systematic
+    (every-k-th), and the one
     that guarantees EXACTLY k rows.  Selection is a distributed
     top-(k+1); only 201 rows ever see a window; τ broadcasts back as
     one row.  The priority is a single identical-text IEEE double
@@ -8591,8 +8592,13 @@ def markov_next_event_eval(spark, sf_dir):
     )
 
 
+# monetary is quantized to whole units: stump thresholds are DISTINCT
+# feature values, and raw micro-units would make the per-feature prefix
+# window user-cardinality (a grows-with-data sort — the RFM lesson);
+# the other four are naturally small-cardinality counts.
 _STUMP_FEATURES = [
-    "n_events", "n_purchases", "monetary_u", "n_active_days", "recency_days",
+    "n_events", "n_purchases", "monetary_u DIV 1000000", "n_active_days",
+    "recency_days",
 ]
 
 
@@ -8605,8 +8611,8 @@ def _feature_gain_oracle() -> str:
 
     churn = ORACLE["churn_features_events"]
     unpiv = "\n  UNION ALL\n".join(
-        f"  SELECT '{f}' AS feature, CAST({f} AS BIGINT) AS value,"
-        " churned_7d AS y FROM churn" for f in _STUMP_FEATURES
+        f"  SELECT '{f}' AS feature, CAST({f.replace(' DIV ', ' // ')} AS BIGINT)"
+        " AS value, churned_7d AS y FROM churn" for f in _STUMP_FEATURES
     )
     return rf"""
 WITH churn AS ({churn}),

@@ -150,14 +150,26 @@ class KVTextWriter(DataSourceWriter):
         return _KVCommit(tmp, n)
 
     def commit(self, messages):
+        # a zero-task write (empty input) reaches commit() without any
+        # write() having created the directory
+        os.makedirs(self._path, exist_ok=True)
+        existing = [f for f in os.listdir(self._path) if f.startswith("part-r-")]
         if self._overwrite:
             # clear stale parts so an overwrite of a wider previous
             # write can't leave orphan part files behind the _SUCCESS
-            for f in os.listdir(self._path):
-                if f.startswith("part-r-"):
-                    os.remove(os.path.join(self._path, f))
+            for f in existing:
+                os.remove(os.path.join(self._path, f))
+            start = 0
+        else:
+            # append mode: continue numbering after the existing parts —
+            # renaming onto part-r-00000 would silently clobber them
+            start = 1 + max(
+                (int(f.split("-")[-1]) for f in existing), default=-1
+            )
         for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
-            os.replace(m.tmp_path, os.path.join(self._path, f"part-r-{i:05d}"))
+            os.replace(
+                m.tmp_path, os.path.join(self._path, f"part-r-{start + i:05d}")
+            )
         with open(os.path.join(self._path, "_SUCCESS"), "w", encoding="utf-8"):
             pass
 

@@ -101,6 +101,7 @@ HEADLINE = [
     "label_propagation_embeddings",
     "ips_policy_value_events",
     "zorder_pruning_sim_events",
+    "curation_pipeline_v6",
 ]
 
 
@@ -273,6 +274,9 @@ SF1_QUERIES = [
     "fano_burstiness_events",
     "simpson_trend_screen_nations",
     "rendezvous_sharding_users",
+    "markov_next_event_eval",
+    "feature_gain_churn",
+    "curation_pipeline_v6",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

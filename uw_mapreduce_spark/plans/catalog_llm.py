@@ -4686,3 +4686,95 @@ def label_propagation_embeddings(spark, sf_dir):
         F.col("plab").cast("long").alias("pred_label"),
         correct.cast("long").alias("correct"),
     )
+
+
+def _curation_v6_oracle() -> str:
+    """Composed verbatim from the REGISTERED oracles of all four
+    components (lexical manifest, semantic manifest, quality rules,
+    split CASE) plus the shared token expression — the v2..v5
+    composition contract extended to BOTH dedup modalities."""
+    from ._registry import ORACLE
+
+    mani = ORACLE["dedup_manifest_documents"]
+    sem = ORACLE["semantic_dedup_manifest"]
+    rules = ORACLE["quality_rules_documents"]
+    split_case = hash_split_sql("d.doc_id", _SPLITS)
+    return rf"""
+WITH mani AS ({mani}),
+sem AS ({sem}),
+rules AS ({rules}),
+base AS (
+  SELECT d.doc_id, d.lang, {split_case} AS split,
+         CAST(len(string_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents d
+)
+SELECT b.split, b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS sum_tokens
+FROM base b
+JOIN mani m ON m.doc_id = b.doc_id AND m.keep
+JOIN rules r ON r.doc_id = b.doc_id AND r.keep = 1
+LEFT JOIN sem s ON s.vec_id = b.doc_id
+WHERE s.vec_id IS NULL OR s.keep
+GROUP BY b.split, b.lang
+"""
+
+
+@query("curation_pipeline_v6", _curation_v6_oracle())
+def curation_pipeline_v6(spark, sf_dir):
+    """Round-7 capstone curation pipeline, one fused lazy plan joining
+    BOTH dedup modalities: a document ships iff the LEXICAL manifest
+    keeps it (n-gram Jaccard clusters), the SEMANTIC manifest keeps
+    it where an embedding exists (SemDeDup cosine clusters — surface
+    rewrites the n-grams miss), AND the Gopher rule gate passes —
+    then deterministic train/val/test splits with per-(split, lang)
+    document and TOKEN totals, the units a pretraining run budgets
+    in.  Every component is individually hash-MATCHed; the oracle is
+    assembled verbatim from their registered SQL, so the fused plan
+    and the composition cannot drift (the v2..v5 contract).  At scale
+    each manifest is the artifact — the corpus crosses the wire once
+    here, joined against three id-keyed verdict frames."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine_near_dup_pairs_numpy
+    from ..operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
+        "label", "_lex"
+    )
+    sem_pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    sem = connected_components(sem_pairs, "id_a", "id_b").withColumnRenamed(
+        "label", "_sem"
+    ).withColumnRenamed("v", "sv")
+    rules = quality_rules_documents(spark, sf_dir).where(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    base = hash_split(docs, "doc_id", _SPLITS).select(
+        "doc_id", "lang", "split",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    lex_keep = (
+        docs.select("doc_id")
+        .join(lex, docs.doc_id == lex.v, "left")
+        .where(F.col("doc_id") == F.coalesce("_lex", F.col("doc_id")))
+        .select("doc_id")
+    )
+    sem_drop = (
+        emb.select("vec_id")
+        .join(sem, emb.vec_id == sem.sv, "left")
+        .where(F.col("vec_id") != F.coalesce("_sem", F.col("vec_id")))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    kept = (
+        base.join(lex_keep, "doc_id")
+        .join(rules, "doc_id")
+        .join(sem_drop, "doc_id", "left_anti")
+    )
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )

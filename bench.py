@@ -277,6 +277,8 @@ SF1_QUERIES = [
     "markov_next_event_eval",
     "feature_gain_churn",
     "curation_pipeline_v6",
+    # blocked-BLAS self-kNN made the propagation graph buildable at 10x
+    "label_propagation_embeddings",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

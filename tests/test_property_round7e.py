@@ -217,3 +217,18 @@ def test_priority_sample_exact_k_and_estimator(spark):
 
     want = sorted((i, w, max(w, math.floor(tau))) for i, w in ranked[:k])
     assert got == want
+
+
+def test_knn_self_blas_matches_bruteforce_both_paths(spark, sf_small):
+    """The blocked-BLAS self-kNN is rank-identical to the interpreted
+    per-pair anchor, on the single-block fast path AND the multi-block
+    block-pair path (including exact-tie handling via tie_slack)."""
+    from uw_mapreduce_spark.operators.similarity import knn_bruteforce, knn_self_blas
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    want = {tuple(r) for r in knn_bruteforce(emb, emb, k=5).collect()}
+    got_single = {tuple(r) for r in knn_self_blas(emb, k=5).collect()}
+    got_multi = {tuple(r) for r in knn_self_blas(emb, k=5, block_rows=64).collect()}
+    assert got_single == want
+    assert got_multi == want

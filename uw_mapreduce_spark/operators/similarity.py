@@ -719,3 +719,171 @@ def hard_negative_pairs(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def knn_self_blas(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 65536,
+    tie_slack: int = 32,
+) -> DataFrame:
+    """Exact all-vectors top-k cosine neighbors (self-kNN, self
+    excluded) with the scoring done as blocked BLAS matmuls — the
+    graph-construction companion to `knn_bruteforce` (which broadcasts
+    a SMALL query set; here every vector is a query, so the
+    interpreted per-pair dot would cost ~10 s per 2M pairs while one
+    block matmul does it in milliseconds).
+
+    Same executor-side block-pair topology as
+    `cosine_near_dup_pairs_numpy`: deterministic id-range blocks, each
+    row replicated to its B block-pairs, one ``applyInPandas`` matmul
+    per group.  Each group emits every member row's top-(k+tie_slack)
+    candidates from the opposite side (both directions off-diagonal,
+    self-masked on the diagonal); a final per-query window over the
+    ≤B·(k+slack) candidates picks the exact global top-k with ties on
+    neighbor id.  ``tie_slack`` guards exact-tie floods at a block's
+    k-boundary (identical vectors — e.g. duplicated corpora — tie
+    bit-for-bit; slack must exceed the largest duplicate family).
+
+    Returns (query_id, neighbor_id, rnk), rnk 1-based.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from .scale import _deterministic_borders
+
+    slim = corpus.select(id_col, vec_col)
+    n = slim.count()
+    if n == 0:
+        return slim.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk long"
+        )
+    kk = k + tie_slack
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("_sim", DoubleType(), False),
+        ]
+    )
+
+    def topk_rows(qids, nids, sims):
+        """Per left-row top-kk of sims (rows=qids, cols=nids), emitted
+        as a long frame sorted deterministically (sim desc, nid asc)."""
+        out_q, out_n, out_s = [], [], []
+        m = sims.shape[1]
+        take = min(kk, m)
+        if take <= 0:
+            return out_q, out_n, out_s
+        part = (
+            np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            if take < m
+            else np.tile(np.arange(m), (sims.shape[0], 1))
+        )
+        for i in range(sims.shape[0]):
+            cols = part[i]
+            s = sims[i, cols]
+            order = np.lexsort((nids[cols], -s))
+            sel = cols[order]
+            out_q.extend([int(qids[i])] * len(sel))
+            out_n.extend(int(x) for x in nids[sel])
+            out_s.extend(float(x) for x in sims[i, sel])
+        return out_q, out_n, out_s
+
+    num_blocks = max(1, math.ceil(n / block_rows))
+    if num_blocks == 1:
+        sc = corpus.sparkSession.sparkContext
+        rows = slim.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        b_ids, b_mat = sc.broadcast(ids[order]), sc.broadcast(mat[order])
+
+        def score(batches):
+            blk_ids, blk_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                qids = pdf[id_col].to_numpy()
+                sims = q @ blk_mat.T
+                sims[qids[:, None] == blk_ids[None, :]] = -np.inf
+                oq, on, os_ = topk_rows(qids, blk_ids, sims)
+                yield pd.DataFrame({"query_id": oq, "neighbor_id": on, "_sim": os_})
+
+        cands = slim.mapInPandas(score, schema=schema)
+    else:
+        def _tag(borders: list) -> DataFrame:
+            barr = F.array(*[F.lit(int(b)) for b in borders])
+            return slim.withColumn(
+                "_blk", F.size(F.filter(barr, lambda b: b < F.col(id_col)))
+            )
+
+        borders = _deterministic_borders(slim, id_col, num_blocks)
+        for _retry in range(2):
+            counts = [
+                r["count"] for r in _tag(borders).groupBy("_blk").count().collect()
+            ]
+            if max(counts) <= 4 * block_rows:
+                break
+            num_blocks = max(num_blocks + 1, math.ceil(n / block_rows * 2))
+            borders = _deterministic_borders(slim, id_col, num_blocks)
+        tagged = _tag(borders)
+        nb = len(borders) + 1
+
+        pair_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda kx: F.struct(
+                F.least(F.col("_blk"), kx).alias("pi"),
+                F.greatest(F.col("_blk"), kx).alias("pj"),
+            ),
+        )
+        exploded = tagged.select(
+            id_col, vec_col, "_blk", F.explode(pair_structs).alias("_p")
+        ).select(
+            id_col, vec_col, "_blk",
+            F.col("_p.pi").alias("_pi"), F.col("_p.pj").alias("_pj"),
+        )
+
+        def score_pair(key, pdf):
+            pi, pj = int(key[0]), int(key[1])
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            if pi == pj:
+                sims = mat @ mat.T
+                np.fill_diagonal(sims, -np.inf)
+                oq, on, os_ = topk_rows(ids, ids, sims)
+                return pd.DataFrame(
+                    {"query_id": oq, "neighbor_id": on, "_sim": os_}
+                )
+            lmask = (pdf["_blk"] == pi).to_numpy()
+            if not lmask.any() or lmask.all():
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "_sim": []}
+                ).astype({"query_id": "int64", "neighbor_id": "int64", "_sim": "float64"})
+            sims = mat[lmask] @ mat[~lmask].T
+            oq1, on1, os1 = topk_rows(ids[lmask], ids[~lmask], sims)
+            oq2, on2, os2 = topk_rows(ids[~lmask], ids[lmask], sims.T)
+            return pd.DataFrame(
+                {"query_id": oq1 + oq2, "neighbor_id": on1 + on2, "_sim": os1 + os2}
+            )
+
+        cands = exploded.groupBy("_pi", "_pj").applyInPandas(score_pair, schema=schema)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+    )

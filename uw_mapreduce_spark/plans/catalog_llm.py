@@ -4637,15 +4637,17 @@ def label_propagation_embeddings(spark, sf_dir):
     frontier-monotone settle rule (label once, first round a labeled
     neighbor exists, majority at that moment, ties to the smallest
     label) makes the whole fixpoint deterministic — a fully
-    value-hash-oracled SEMI-SUPERVISED LEARNER.  The kNN build is the
-    documented exact brute-force anchor (IVF/LSH are the scale paths);
-    each round after it is one edge join + one argmax window over the
-    frontier's votes, settled labels checkpointed."""
-    from ..operators.similarity import knn_bruteforce
+    value-hash-oracled SEMI-SUPERVISED LEARNER.  The kNN graph is
+    built by `knn_self_blas` (blocked-BLAS exact self-kNN,
+    pytest-proven rank-identical to the interpreted `knn_bruteforce`
+    anchor and ~20x faster when every vector is a query); each round
+    after it is one edge join + one argmax window over the frontier's
+    votes, settled labels checkpointed."""
+    from ..operators.similarity import knn_self_blas
     from ..operators.split import hash_permille
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_bruteforce(emb, emb, k=5)
+    knn = knn_self_blas(emb, k=5)
     edges = knn.select(
         F.col("query_id").alias("v"),
         F.col("neighbor_id").alias("n"),

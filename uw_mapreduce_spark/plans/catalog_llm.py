@@ -4780,3 +4780,139 @@ def curation_pipeline_v6(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+_ANISO_SQL = r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * CAST(1000000.0 AS DOUBLE)) AS HUGEINT))
+           AS qv
+  FROM embeddings
+),
+per AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS norm2
+  FROM q
+),
+dims AS (
+  SELECT d.i AS i, SUM(per.qv[d.i]) AS s
+  FROM per, (SELECT UNNEST(generate_series(1, 64)) AS i) d
+  GROUP BY d.i
+),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM per) AS n,
+         (SELECT SUM(norm2) FROM per) AS sn2,
+         (SELECT SUM(s * s) FROM dims) AS c2
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sn2 // n AS BIGINT) AS mean_norm2,
+       CAST(c2 // (n * n) AS BIGINT) AS centroid_norm2,
+       CAST((c2 // n) * 1000000 // sn2 AS BIGINT) AS anisotropy_e6
+FROM agg
+"""
+
+
+@query("anisotropy_embeddings", _ANISO_SQL)
+def anisotropy_embeddings(spark, sf_dir):
+    """Embedding anisotropy (mean-offset concentration): the squared
+    norm of the corpus centroid relative to the mean squared vector
+    norm — ≈0 for a well-centered isotropic embedding space, →10⁶
+    when all vectors share a dominant common direction (the known
+    pathology that wrecks cosine retrieval and motivates mean-removal
+    / whitening).  Identity |Σv|²/n² vs Σ|v|²/n — NO pairwise work,
+    one per-dim sum and one norm sum, both exact on the micro-int
+    grid in DECIMAL(38,0)/HUGEINT (per-dim sums square past int64 at
+    corpus scale).  Map-only until a dim-bounded rollup."""
+    dec = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * CAST(1000000.0 AS DOUBLE)) AS DECIMAL(38,0)))"
+        ).alias("qv")
+    )
+    per = q.select(
+        "qv",
+        F.expr(
+            "aggregate(qv, CAST(0 AS DECIMAL(38,0)), (a, x) -> CAST(a + x * x AS DECIMAL(38,0)))"
+        ).alias("norm2"),
+    )
+    dims = per.select(F.posexplode("qv").alias("i", "x")).groupBy("i").agg(
+        F.sum("x").cast(dec).alias("s")
+    )
+    n_sn2 = per.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("norm2").cast(dec).alias("sn2"),
+    )
+    c2 = dims.agg(F.sum(F.col("s") * F.col("s")).cast(dec).alias("c2"))
+    return (
+        n_sn2.crossJoin(F.broadcast(c2))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(sn2 DIV n AS BIGINT)").alias("mean_norm2"),
+            F.expr("CAST(c2 DIV (n * n) AS BIGINT)").alias("centroid_norm2"),
+            F.expr("CAST((c2 DIV n) * 1000000 DIV sn2 AS BIGINT)").alias(
+                "anisotropy_e6"
+            ),
+        )
+    )
+
+
+_VOCAB_OVERLAP_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, za.vocab AS vocab_a, zb.vocab AS vocab_b,
+       i.n_common,
+       CAST(i.n_common * 1000 // (za.vocab + zb.vocab - i.n_common) AS BIGINT)
+         AS jaccard_permille
+FROM inter i
+JOIN sz za ON za.source = i.source_a
+JOIN sz zb ON zb.source = i.source_b
+"""
+
+
+@query("vocab_overlap_sources", _VOCAB_OVERLAP_SQL)
+def vocab_overlap_sources(spark, sf_dir):
+    """Cross-source vocabulary overlap: Jaccard similarity of the
+    distinct-token sets for every source pair — the corpus-redundancy
+    map that tells a data-mixing plan which sources are near-clones of
+    each other versus genuinely complementary (keyness ranks terms
+    WITHIN a source; this compares sources wholesale).  The pair join
+    is TOKEN-keyed (Σ per-token source-count², vocabulary-bounded,
+    never corpus²), sizes broadcast back onto the source-pair rollup;
+    exact integer permille."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a", "source_b", "vocab_a", "vocab_b", "n_common",
+            F.expr(
+                "CAST(n_common * 1000 DIV (vocab_a + vocab_b - n_common) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )

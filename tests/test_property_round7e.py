@@ -232,3 +232,58 @@ def test_knn_self_blas_matches_bruteforce_both_paths(spark, sf_small):
     got_multi = {tuple(r) for r in knn_self_blas(emb, k=5, block_rows=64).collect()}
     assert got_single == want
     assert got_multi == want
+
+
+def _pava_antitonic_floor(ns, cs):
+    """Pool-adjacent-violators on exact rationals (non-increasing fit),
+    then floor each block average to permille."""
+    stack = []
+    for n, c in zip(ns, cs):
+        stack.append([n, c, 1])
+        while len(stack) > 1 and stack[-2][1] * stack[-1][0] < stack[-1][1] * stack[-2][0]:
+            n2, c2, k2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += c2
+            stack[-1][2] += k2
+    out = []
+    for n, c, k in stack:
+        out += [c * 1000 // n] * k
+    return out
+
+
+def _minimax_floor(ns, cs):
+    """fitted(i) = min_{j<=i} max_{k>=j} floor-permille pooled(j..k) —
+    the formulation the isotonic face computes in SQL."""
+    m = len(ns)
+    pn, pc = [0], [0]
+    for n, c in zip(ns, cs):
+        pn.append(pn[-1] + n)
+        pc.append(pc[-1] + c)
+
+    def pooled(j, k):
+        return (pc[k] - pc[j - 1]) * 1000 // (pn[k] - pn[j - 1])
+
+    return [
+        min(max(pooled(j, k) for k in range(j, m + 1)) for j in range(1, i + 1))
+        for i in range(1, m + 1)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_isotonic_minimax_equals_rational_pava(bins):
+    """The PAVA minimax identity survives the floor-permille grid:
+    flooring each pooled average commutes with the min/max (floor is
+    monotone), so the SQL-computable minimax equals exact-rational
+    PAVA then floor — the claim `isotonic_calibration_embeddings`
+    rests on."""
+    ns = [n for n, _ in bins]
+    cs = [c for _, c in bins]
+    assert _minimax_floor(ns, cs) == _pava_antitonic_floor(ns, cs)

@@ -8729,3 +8729,159 @@ def feature_gain_churn(spark, sf_dir):
         "feature", "best_thr", "score_e6", "base_imp_e6",
         (F.col("base_imp_e6") - F.col("score_e6")).cast("long").alias("gain_e6"),
     )
+
+
+_CLUSTCOEF_SQL = r"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+  FROM ps p1 JOIN ps p2
+    ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS v FROM t UNION ALL SELECT y AS v FROM t UNION ALL SELECT z AS v FROM t
+  ) GROUP BY v
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY v
+)
+SELECT deg.v, deg.d, COALESCE(tri.n_triangles, 0) AS n_triangles,
+       CAST(CASE WHEN deg.d < 2 THEN 0
+            ELSE COALESCE(tri.n_triangles, 0) * 2000 // (deg.d * (deg.d - 1)) END
+            AS BIGINT) AS clustering_permille
+FROM deg LEFT JOIN tri ON tri.v = deg.v
+"""
+
+
+@query("clustering_coefficient_suppliers", _CLUSTCOEF_SQL)
+def clustering_coefficient_suppliers(spark, sf_dir):
+    """Local clustering coefficient per supplier: triangles through a
+    vertex over its possible wedges, 2·T·1000 DIV (d(d−1)) — how
+    clique-like each supplier's co-shipping neighborhood is (the
+    small-world diagnostic beside raw triangle counts).  Composes the
+    degree-ordered wedge-counting triangle operator with one degree
+    aggregate — still no hub blow-up; integer permille."""
+    from ..operators.graph import triangle_counts
+
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    pairs = ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2)).select(
+        F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
+    )
+    und = pairs.distinct().localCheckpoint(eager=True)  # feeds triangles + degrees
+    tri = triangle_counts(und).withColumnRenamed("v", "tv")
+    deg = (
+        und.select(F.col("src").alias("v"))
+        .unionAll(und.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.join(tri, deg.v == tri.tv, "left").select(
+        "v", "d",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr(
+            "CAST(CASE WHEN d < 2 THEN 0"
+            " ELSE COALESCE(n_triangles, 0) * 2000 DIV (d * (d - 1)) END AS BIGINT)"
+        ).alias("clustering_permille"),
+    )
+
+
+_ASSORT_SQL = r"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+  FROM ps p1 JOIN ps p2
+    ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY v
+),
+pairs AS (
+  SELECT da.d AS x, db.d AS y FROM e
+  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+  UNION ALL
+  SELECT db.d AS x, da.d AS y FROM e
+  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+            ELSE floor(1000.0 *
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END
+         AS BIGINT) AS assortativity_permille
+FROM s
+"""
+
+
+@query("degree_assortativity_suppliers", _ASSORT_SQL)
+def degree_assortativity_suppliers(spark, sf_dir):
+    """Degree assortativity of the supplier co-shipping graph: Pearson
+    correlation of endpoint degrees over every edge (both directions,
+    the standard symmetrization) — positive means hubs link to hubs
+    (social-network-like), negative means hub-and-spoke
+    (infrastructure-like); the one-number summary of the graph's
+    mixing structure.  The ACF/Pearson portability recipe: exact
+    int64 degree moments over the edge list, one identical-text
+    double formula.  Two degree joins + one moment rollup — no
+    wedge or pair blow-up at all."""
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    e = (
+        ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    joined = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    pairs = joined.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    # degree products pass int64 on hub-heavy graphs (d_max² · |E|):
+    # moments run in DECIMAL(38,0)/HUGEINT, one cast to double below
+    px, py = F.col("x").cast(dec), F.col("y").cast(dec)
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(px).alias("sx"),
+        F.sum(py).alias("sy"),
+        F.sum(px * py).alias("sxy"),
+        F.sum(px * px).alias("sxx"),
+        F.sum(py * py).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0 "
+            "ELSE floor(1000.0 * "
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ") END AS BIGINT)"
+        ).alias("assortativity_permille"),
+    )

@@ -102,6 +102,8 @@ HEADLINE = [
     "ips_policy_value_events",
     "zorder_pruning_sim_events",
     "curation_pipeline_v6",
+    "vocab_overlap_sources",
+    "clustering_coefficient_suppliers",
 ]
 
 
@@ -279,6 +281,11 @@ SF1_QUERIES = [
     "curation_pipeline_v6",
     # blocked-BLAS self-kNN made the propagation graph buildable at 10x
     "label_propagation_embeddings",
+    "anisotropy_embeddings",
+    "vocab_overlap_sources",
+    "clustering_coefficient_suppliers",
+    "degree_assortativity_suppliers",
+    "popularity_hitrate_parts",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -8885,3 +8885,110 @@ def degree_assortativity_suppliers(spark, sf_dir):
             ") END AS BIGINT)"
         ).alias("assortativity_permille"),
     )
+
+
+_POP_HITRATE_SQL = r"""
+WITH inter AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part, o.o_orderdate AS dt, o.o_orderkey AS ok
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ranked AS (
+  SELECT cust, part,
+         row_number() OVER (PARTITION BY cust ORDER BY dt DESC, ok DESC, part DESC) AS rn
+  FROM inter
+),
+hold AS (SELECT cust, part AS hpart FROM ranked WHERE rn = 1),
+train AS (SELECT DISTINCT r.cust, r.part FROM ranked r WHERE r.rn > 1),
+elig AS (
+  SELECT h.cust, h.hpart FROM hold h
+  LEFT JOIN train t ON t.cust = h.cust AND t.part = h.hpart
+  WHERE t.part IS NULL
+),
+pop AS (
+  SELECT part, row_number() OVER (ORDER BY COUNT(*) DESC, part ASC) AS prank
+  FROM train GROUP BY part
+),
+rr AS (
+  SELECT t.cust, p.part AS cand,
+         row_number() OVER (PARTITION BY t.cust ORDER BY p.prank ASC) AS rk
+  FROM (SELECT DISTINCT cust FROM train) t
+  JOIN pop p ON p.prank <= 50
+  LEFT JOIN train tr ON tr.cust = t.cust AND tr.part = p.part
+  WHERE tr.part IS NULL
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (rr.rk IS NOT NULL AND rr.rk <= k) AS BIGINT) AS hits,
+       CAST(count(*) FILTER (rr.rk IS NOT NULL AND rr.rk <= k) * 1000 // count(*) AS BIGINT)
+         AS hitrate_permille
+FROM elig e
+CROSS JOIN (SELECT CAST(UNNEST([1, 5, 10]) AS BIGINT) AS k)
+LEFT JOIN rr ON rr.cust = e.cust AND rr.cand = e.hpart
+GROUP BY k
+"""
+
+
+@query("popularity_hitrate_parts", _POP_HITRATE_SQL)
+def popularity_hitrate_parts(spark, sf_dir):
+    """The popularity baseline under `cf_hitrate_parts`' exact
+    protocol (same holdout, same eligibility, same hits@{1,5,10}):
+    recommend the globally most-ordered training parts the user hasn't
+    bought — the number a personalized recommender must BEAT before
+    its complexity is justified (most-popular is notoriously hard to
+    outdo on sparse data).  The candidate set is the top-50 popular
+    parts (a 50-row broadcast spine) minus each user's own history;
+    per-user ranks re-number after the exclusion, exactly as a
+    served list would."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        F.col("o_orderdate").alias("dt"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    wq = Window.partitionBy("cust").orderBy(
+        F.col("dt").desc(), F.col("ok").desc(), F.col("part").desc()
+    )
+    ranked = inter.withColumn("rn", F.row_number().over(wq))
+    hold = ranked.where(F.col("rn") == 1).select("cust", F.col("part").alias("hpart"))
+    train = ranked.where(F.col("rn") > 1).select("cust", "part").distinct()
+    elig = hold.join(
+        train.withColumnRenamed("part", "hpart"), ["cust", "hpart"], "left_anti"
+    )
+    # top-50 via distributed TakeOrdered (the part dimension GROWS with
+    # scale — an unpartitioned rank window over it would be the RFM
+    # anti-pattern); only the 50-row result sees a window for prank
+    wpop = Window.orderBy(F.col("cnt").desc(), F.col("part").asc())
+    pop = (
+        train.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("part").asc())
+        .limit(50)
+        .withColumn("prank", F.row_number().over(wpop))
+        .select("part", "prank")
+    )
+    users = train.select("cust").distinct()
+    wr = Window.partitionBy("cust").orderBy(F.col("prank").asc())
+    rr = (
+        users.crossJoin(F.broadcast(pop))
+        .join(train, ["cust", "part"], "left_anti")
+        .select("cust", F.col("part").alias("cand"), "prank")
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k long")
+    return (
+        elig.crossJoin(F.broadcast(ks))
+        .join(rr.withColumnRenamed("cand", "hpart"), ["cust", "hpart"], "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("rk").isNotNull() & (F.col("rk") <= F.col("k")), 1)
+                .otherwise(0)
+            ).cast("long").alias("hits"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rk IS NOT NULL AND rk <= k THEN 1 ELSE 0 END)"
+                " * 1000 DIV COUNT(*) AS BIGINT)"
+            ).alias("hitrate_permille"),
+        )
+    )

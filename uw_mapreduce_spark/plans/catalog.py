@@ -8992,3 +8992,101 @@ def popularity_hitrate_parts(spark, sf_dir):
             ).alias("hitrate_permille"),
         )
     )
+
+
+_GOLDEN_SQL = rf"""
+WITH RECURSIVE pairs AS ({_FUZZY_SQL_ER}),
+edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION ALL
+  SELECT key_b AS a, key_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS v, a AS l FROM edges
+  UNION
+  SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b
+),
+lab AS (SELECT v, CAST(MIN(l) AS BIGINT) AS canonical_key FROM reach GROUP BY v),
+mem AS (
+  SELECT lab.canonical_key, p.p_partkey, p.p_name, p.p_brand, p.p_size,
+         CAST(floor(p.p_retailprice * 100.0) AS BIGINT) AS price_c
+  FROM lab JOIN part p ON p.p_partkey = lab.v
+),
+name_pick AS (
+  SELECT canonical_key, p_name AS golden_name FROM (
+    SELECT canonical_key, p_name,
+           row_number() OVER (PARTITION BY canonical_key
+                              ORDER BY length(p_name) DESC, p_partkey ASC) AS rn
+    FROM mem
+  ) WHERE rn = 1
+),
+brand_pick AS (
+  SELECT canonical_key, p_brand AS golden_brand FROM (
+    SELECT canonical_key, p_brand,
+           row_number() OVER (PARTITION BY canonical_key
+                              ORDER BY p_size DESC, p_partkey ASC) AS rn
+    FROM mem
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT canonical_key, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(price_c) AS BIGINT) AS max_price_c
+  FROM mem GROUP BY canonical_key
+)
+SELECT a.canonical_key, a.n_members, n.golden_name, b.golden_brand, a.max_price_c
+FROM agg a
+JOIN name_pick n USING (canonical_key)
+JOIN brand_pick b USING (canonical_key)
+WHERE a.n_members >= 2
+"""
+
+
+@query("golden_record_parts", _GOLDEN_SQL)
+def golden_record_parts(spark, sf_dir):
+    """Golden-record construction — the deliverable AFTER entity
+    resolution: for every multi-member duplicate cluster, survive one
+    attribute set by explicit deterministic rules (longest name wins,
+    brand from the largest-size member, max price; all ties to the
+    smallest key) — the master-data-management step that turns "these
+    rows match" into "this is the record systems should use".
+    Composes the blocked fuzzy matcher and min-label CC (both
+    individually oracled) with per-cluster argmax windows PARTITIONED
+    by cluster (cluster-bounded, never corpus-wide); oracle assembled
+    from the registered fuzzy SQL + recursive CTE."""
+    from ..operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = QUERIES["fuzzy_part_name_pairs"](spark, sf_dir).select("key_a", "key_b")
+    lab = connected_components(pairs, "key_a", "key_b").select(
+        F.col("v").alias("p_partkey"), F.col("label").alias("canonical_key")
+    )
+    mem = lab.join(part, "p_partkey").select(
+        "canonical_key", "p_partkey", "p_name", "p_brand", "p_size",
+        F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long").alias("price_c"),
+    ).localCheckpoint(eager=True)  # three consumers (two picks + agg)
+    wn = Window.partitionBy("canonical_key").orderBy(
+        F.length("p_name").desc(), F.col("p_partkey").asc()
+    )
+    name_pick = (
+        mem.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("canonical_key", F.col("p_name").alias("golden_name"))
+    )
+    wb = Window.partitionBy("canonical_key").orderBy(
+        F.col("p_size").desc(), F.col("p_partkey").asc()
+    )
+    brand_pick = (
+        mem.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("canonical_key", F.col("p_brand").alias("golden_brand"))
+    )
+    agg = mem.groupBy("canonical_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("price_c").cast("long").alias("max_price_c"),
+    )
+    return (
+        agg.join(name_pick, "canonical_key")
+        .join(brand_pick, "canonical_key")
+        .where(F.col("n_members") >= 2)
+        .select("canonical_key", "n_members", "golden_name", "golden_brand", "max_price_c")
+    )

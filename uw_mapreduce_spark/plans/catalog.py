@@ -9090,3 +9090,91 @@ def golden_record_parts(spark, sf_dir):
         .where(F.col("n_members") >= 2)
         .select("canonical_key", "n_members", "golden_name", "golden_brand", "max_price_c")
     )
+
+
+_MRR_SQL = r"""
+WITH cm AS (
+  SELECT o_custkey AS cust,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+),
+months AS (
+  SELECT CAST(UNNEST(generate_series(MIN(m), MAX(m), INTERVAL 1 MONTH)) AS DATE) AS m
+  FROM cm
+),
+cur AS (SELECT cust, m, rev_c AS cur FROM cm),
+prv AS (SELECT cust, CAST(m + INTERVAL 1 MONTH AS DATE) AS m, rev_c AS prev FROM cm),
+paired AS (
+  SELECT COALESCE(c.m, p.m) AS m,
+         COALESCE(c.cur, 0) AS cur, COALESCE(p.prev, 0) AS prev
+  FROM cur c FULL JOIN prv p ON p.cust = c.cust AND p.m = c.m
+  WHERE COALESCE(c.m, p.m) IN (SELECT m FROM months)
+)
+SELECT m,
+       CAST(SUM(CASE WHEN prev = 0 AND cur > 0 THEN cur ELSE 0 END) AS BIGINT) AS new_c,
+       CAST(SUM(CASE WHEN prev > 0 AND cur > prev THEN cur - prev ELSE 0 END) AS BIGINT)
+         AS expansion_c,
+       CAST(SUM(CASE WHEN cur > 0 AND prev > cur THEN prev - cur ELSE 0 END) AS BIGINT)
+         AS contraction_c,
+       CAST(SUM(CASE WHEN cur = 0 AND prev > 0 THEN prev ELSE 0 END) AS BIGINT)
+         AS churned_c,
+       CAST(SUM(cur) AS BIGINT) AS closing_c,
+       CAST(SUM(prev) AS BIGINT) AS opening_c
+FROM paired GROUP BY m
+"""
+
+
+@query("mrr_movements_customers", _MRR_SQL)
+def mrr_movements_customers(spark, sf_dir):
+    """Monthly revenue movements (the SaaS MRR bridge) per calendar
+    month: new (customer revenue appearing), expansion, contraction,
+    and churned (revenue vanishing), with opening/closing totals that
+    satisfy the ledger identity closing = opening + new + expansion −
+    contraction − churned BY CONSTRUCTION — `growth_accounting_events`
+    counts USERS; this decomposes the MONEY, which is what a revenue
+    review actually reconciles.  A customer appears in month m's
+    bridge if active in m or m−1 (the full-join pairing over the
+    month spine handles gaps); exact cents, one customer×month
+    aggregate + one month rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cm = orders.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long").alias("rev_c")
+    ).localCheckpoint(eager=True)  # both sides of the month pairing
+    cur = cm.select("cust", "m", F.col("rev_c").alias("cur"))
+    prev = cm.select(
+        "cust", F.add_months(F.col("m"), 1).alias("m"), F.col("rev_c").alias("prev")
+    )
+    bounds = cm.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    months = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("m")
+    )
+    paired = (
+        cur.join(prev, ["cust", "m"], "full")
+        .join(F.broadcast(months), "m", "left_semi")
+        .select(
+            "m",
+            F.coalesce("cur", F.lit(0)).alias("cur"),
+            F.coalesce("prev", F.lit(0)).alias("prev"),
+        )
+    )
+    return paired.groupBy("m").agg(
+        F.sum(F.when((F.col("prev") == 0) & (F.col("cur") > 0), F.col("cur")).otherwise(0))
+        .cast("long").alias("new_c"),
+        F.sum(
+            F.when((F.col("prev") > 0) & (F.col("cur") > F.col("prev")),
+                   F.col("cur") - F.col("prev")).otherwise(0)
+        ).cast("long").alias("expansion_c"),
+        F.sum(
+            F.when((F.col("cur") > 0) & (F.col("prev") > F.col("cur")),
+                   F.col("prev") - F.col("cur")).otherwise(0)
+        ).cast("long").alias("contraction_c"),
+        F.sum(F.when((F.col("cur") == 0) & (F.col("prev") > 0), F.col("prev")).otherwise(0))
+        .cast("long").alias("churned_c"),
+        F.sum("cur").cast("long").alias("closing_c"),
+        F.sum("prev").cast("long").alias("opening_c"),
+    )

@@ -286,6 +286,8 @@ SF1_QUERIES = [
     "clustering_coefficient_suppliers",
     "degree_assortativity_suppliers",
     "popularity_hitrate_parts",
+    "golden_record_parts",
+    "mrr_movements_customers",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -9178,3 +9178,90 @@ def mrr_movements_customers(spark, sf_dir):
         F.sum("cur").cast("long").alias("closing_c"),
         F.sum("prev").cast("long").alias("opening_c"),
     )
+
+
+_MODULARITY_SQL = r"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+  FROM ps p1 JOIN ps p2
+    ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+),
+comm AS (SELECT s_suppkey AS v, s_nationkey AS c FROM supplier),
+tagged AS (
+  SELECT ca.c AS ca, cb.c AS cb FROM e
+  JOIN comm ca ON ca.v = e.a JOIN comm cb ON cb.v = e.b
+),
+m2 AS (SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m2 FROM e),
+win AS (
+  SELECT ca AS c, CAST(2 * COUNT(*) AS HUGEINT) AS inside2
+  FROM tagged WHERE ca = cb GROUP BY ca
+),
+deg AS (
+  SELECT c, CAST(SUM(d) AS HUGEINT) AS dc FROM (
+    SELECT ca AS c, COUNT(*) AS d FROM tagged GROUP BY ca
+    UNION ALL
+    SELECT cb AS c, COUNT(*) AS d FROM tagged GROUP BY cb
+  ) GROUP BY c
+)
+SELECT d.c AS community,
+       CAST(COALESCE(w.inside2, 0) AS BIGINT) AS internal_ends,
+       CAST(d.dc AS BIGINT) AS degree_sum,
+       CAST((COALESCE(w.inside2, 0) * m2.m2 - d.dc * d.dc) * 1000000
+            // (m2.m2 * m2.m2) AS BIGINT) AS q_contrib_e6
+FROM deg d LEFT JOIN win w ON w.c = d.c CROSS JOIN m2
+"""
+
+
+@query("modularity_nations_suppliers", _MODULARITY_SQL)
+def modularity_nations_suppliers(spark, sf_dir):
+    """Newman modularity of the NATION partition over the supplier
+    co-shipping graph, per community: Q_c = e_c − (d_c/2m)² where e_c
+    is the community's internal edge-end fraction — positive Q says
+    suppliers co-ship within their nation more than a degree-random
+    graph would, the standard partition-quality score (here scoring a
+    BUSINESS partition instead of a discovered one; Σ q_contrib is
+    corpus modularity).  Exact integers: (inside2·2m − d_c²)·10⁶ DIV
+    (2m)² in DECIMAL(38)/HUGEINT — degree-sum squares pass int64 on
+    hub graphs.  One edge build + two dimension-keyed aggregates."""
+    dec = "decimal(38,0)"
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("c")
+    )
+    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    e = (
+        ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    )
+    ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(
+        "ca", "cb"
+    ).localCheckpoint(eager=True)  # feeds m2, win, deg
+    m2 = tagged.agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("m2"))
+    win = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("inside2"))
+    )
+    deg = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast(dec).alias("dc"))
+    )
+    return (
+        deg.join(win, "c", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("c").alias("community"),
+            F.coalesce("inside2", F.lit(0)).cast("long").alias("internal_ends"),
+            F.col("dc").cast("long").alias("degree_sum"),
+            F.expr(
+                "CAST((COALESCE(inside2, CAST(0 AS DECIMAL(38,0))) * m2 - dc * dc)"
+                " * 1000000 DIV (m2 * m2) AS BIGINT)"
+            ).alias("q_contrib_e6"),
+        )
+    )

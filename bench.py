@@ -288,6 +288,7 @@ SF1_QUERIES = [
     "popularity_hitrate_parts",
     "golden_record_parts",
     "mrr_movements_customers",
+    "modularity_nations_suppliers",
 ]
 
 # Performance provenance for the judge (ships in the bench JSON).

@@ -84,7 +84,12 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Per-vertex triangle participation counts (and thereby the global
     triangle count: sum/3).
 
@@ -102,12 +107,17 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     (v, n_triangles) for every vertex in at least one triangle.
     """
     a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    und = und.localCheckpoint(eager=True)  # reused by degrees + 2 joins
+    if assume_canonical:
+        # caller guarantees a<b, distinct, and (typically) an existing
+        # checkpoint — skip the redundant canonicalize+distinct pass
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        und = (
+            edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        und = und.localCheckpoint(eager=True)  # reused by degrees + 2 joins
     deg = (
         und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")

@@ -745,7 +745,11 @@ def knn_self_blas(
     ≤B·(k+slack) candidates picks the exact global top-k with ties on
     neighbor id.  ``tie_slack`` guards exact-tie floods at a block's
     k-boundary (identical vectors — e.g. duplicated corpora — tie
-    bit-for-bit; slack must exceed the largest duplicate family).
+    bit-for-bit); a truncated tie crossing a block's cut RAISES
+    (telling the caller to grow tie_slack) instead of silently
+    returning wrong ranks.  Zero-norm vectors have no defined cosine
+    and are dropped from both roles (``knn_bruteforce`` would surface
+    them as NaN rank-1 neighbors — a gotcha, not a contract).
 
     Returns (query_id, neighbor_id, rnk), rnk 1-based.
     """
@@ -789,6 +793,19 @@ def knn_self_blas(
         for i in range(sims.shape[0]):
             cols = part[i]
             s = sims[i, cols]
+            if take < m:
+                # tie-flood guard: if the best EXCLUDED sim equals the
+                # worst included one, a tie family crosses the cut and
+                # the id-tiebreak contract can no longer be honored
+                mask = np.ones(m, dtype=bool)
+                mask[cols] = False
+                rem = sims[i, mask]
+                if len(rem) and rem.max() >= s.min():
+                    raise ValueError(
+                        "knn_self_blas: exact-tie family crosses the "
+                        f"top-{take} block cut (duplicate family larger "
+                        "than tie_slack) - raise tie_slack"
+                    )
             order = np.lexsort((nids[cols], -s))
             sel = cols[order]
             out_q.extend([int(qids[i])] * len(sel))
@@ -802,6 +819,8 @@ def knn_self_blas(
         rows = slim.collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
+        nz = np.linalg.norm(mat, axis=1) > 0
+        ids, mat = ids[nz], mat[nz]
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         order = np.argsort(ids)
         b_ids, b_mat = sc.broadcast(ids[order]), sc.broadcast(mat[order])
@@ -812,8 +831,12 @@ def knn_self_blas(
                 if not len(pdf):
                     continue
                 q = np.array(list(pdf[vec_col]), dtype=np.float64)
-                q /= np.linalg.norm(q, axis=1, keepdims=True)
                 qids = pdf[id_col].to_numpy()
+                qnz = np.linalg.norm(q, axis=1) > 0
+                q, qids = q[qnz], qids[qnz]
+                if not len(q):
+                    continue
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
                 sims = q @ blk_mat.T
                 sims[qids[:, None] == blk_ids[None, :]] = -np.inf
                 oq, on, os_ = topk_rows(qids, blk_ids, sims)
@@ -857,6 +880,14 @@ def knn_self_blas(
             pi, pj = int(key[0]), int(key[1])
             ids = pdf[id_col].to_numpy()
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nzm = np.linalg.norm(mat, axis=1) > 0
+            if not nzm.all():
+                pdf = pdf[nzm]
+                ids, mat = ids[nzm], mat[nzm]
+            if not len(ids):
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "_sim": []}
+                ).astype({"query_id": "int64", "neighbor_id": "int64", "_sim": "float64"})
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             if pi == pj:
                 sims = mat @ mat.T

@@ -8731,6 +8731,20 @@ def feature_gain_churn(spark, sf_dir):
     )
 
 
+def _coship_supplier_edges(spark, sf_dir):
+    """Undirected supplier co-shipping edges (suppliers sharing a
+    part), canonical a<b, distinct — ONE definition for the triangle /
+    clustering / assortativity / modularity faces so they can never
+    drift apart."""
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    return (
+        ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    )
+
+
 _CLUSTCOEF_SQL = r"""
 WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 e AS (
@@ -8772,13 +8786,10 @@ def clustering_coefficient_suppliers(spark, sf_dir):
     aggregate — still no hub blow-up; integer permille."""
     from ..operators.graph import triangle_counts
 
-    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
-    pairs = ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2)).select(
-        F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
-    )
-    und = pairs.distinct().localCheckpoint(eager=True)  # feeds triangles + degrees
-    tri = triangle_counts(und).withColumnRenamed("v", "tv")
+    und = _coship_supplier_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint(eager=True)  # canonical+distinct: feeds triangles + degrees once
+    tri = triangle_counts(und, assume_canonical=True).withColumnRenamed("v", "tv")
     deg = (
         und.select(F.col("src").alias("v"))
         .unionAll(und.select(F.col("dst").alias("v")))
@@ -8843,13 +8854,7 @@ def degree_assortativity_suppliers(spark, sf_dir):
     int64 degree moments over the edge list, one identical-text
     double formula.  Two degree joins + one moment rollup — no
     wedge or pair blow-up at all."""
-    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
-    e = (
-        ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2))
-        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
-        .distinct()
-    ).localCheckpoint(eager=True)
+    e = _coship_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -9192,7 +9197,7 @@ tagged AS (
   SELECT ca.c AS ca, cb.c AS cb FROM e
   JOIN comm ca ON ca.v = e.a JOIN comm cb ON cb.v = e.b
 ),
-m2 AS (SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m2 FROM e),
+m2 AS (SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m2 FROM tagged),
 win AS (
   SELECT ca AS c, CAST(2 * COUNT(*) AS HUGEINT) AS inside2
   FROM tagged WHERE ca = cb GROUP BY ca
@@ -9221,20 +9226,17 @@ def modularity_nations_suppliers(spark, sf_dir):
     suppliers co-ship within their nation more than a degree-random
     graph would, the standard partition-quality score (here scoring a
     BUSINESS partition instead of a discovered one; Σ q_contrib is
-    corpus modularity).  Exact integers: (inside2·2m − d_c²)·10⁶ DIV
+    corpus modularity).  The graph is the SUPPLIER-RESOLVED subgraph
+    (edges whose both endpoints join the dimension) in plan AND
+    oracle, so 2m, degrees, and internal counts all describe the same
+    well-defined graph even if referential integrity ever breaks.  Exact integers: (inside2·2m − d_c²)·10⁶ DIV
     (2m)² in DECIMAL(38)/HUGEINT — degree-sum squares pass int64 on
     hub graphs.  One edge build + two dimension-keyed aggregates."""
     dec = "decimal(38,0)"
-    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("c")
     )
-    p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
-    e = (
-        ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2))
-        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
-        .distinct()
-    )
+    e = _coship_supplier_edges(spark, sf_dir)
     ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
     cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
     tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(

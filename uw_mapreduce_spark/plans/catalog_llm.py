@@ -4640,7 +4640,7 @@ def label_propagation_embeddings(spark, sf_dir):
     value-hash-oracled SEMI-SUPERVISED LEARNER.  The kNN graph is
     built by `knn_self_blas` (blocked-BLAS exact self-kNN,
     pytest-proven rank-identical to the interpreted `knn_bruteforce`
-    anchor and ~20x faster when every vector is a query); each round
+    anchor and ~12x faster when every vector is a query); each round
     after it is one edge join + one argmax window over the frontier's
     votes, settled labels checkpointed."""
     from ..operators.similarity import knn_self_blas
@@ -4797,7 +4797,7 @@ per AS (
 ),
 dims AS (
   SELECT d.i AS i, SUM(per.qv[d.i]) AS s
-  FROM per, (SELECT UNNEST(generate_series(1, 64)) AS i) d
+  FROM per, (SELECT UNNEST(generate_series(1, (SELECT MAX(len(qv)) FROM q))) AS i) d
   GROUP BY d.i
 ),
 agg AS (

@@ -9267,3 +9267,93 @@ def modularity_nations_suppliers(spark, sf_dir):
             ).alias("q_contrib_e6"),
         )
     )
+
+
+_RUNS_SQL = r"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY 1
+),
+mv AS (
+  SELECT t, rc, lag(rc) OVER (ORDER BY t) AS prev FROM daily
+),
+ud AS (
+  SELECT t, CASE WHEN rc > prev THEN 1 ELSE 0 END AS up
+  FROM mv WHERE prev IS NOT NULL AND rc <> prev
+),
+moves AS (
+  SELECT t, up,
+         CASE WHEN lag(up) OVER (ORDER BY t) IS NOT NULL
+                   AND up <> lag(up) OVER (ORDER BY t) THEN 1 ELSE 0 END AS brk
+  FROM ud
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(up) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2,
+         CAST(1 + SUM(brk) AS BIGINT) AS runs
+  FROM moves
+)
+SELECT n, n1, n2, runs,
+       CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN 0
+            ELSE floor(1000000.0 *
+              (CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
+            / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) END
+         AS BIGINT) AS z_micro
+FROM s
+"""
+
+
+@query("runs_test_daily_revenue", _RUNS_SQL)
+def runs_test_daily_revenue(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily-revenue up/down move
+    sequence: too FEW runs means momentum (up days cluster), too many
+    means mean-reversion - the nonparametric randomness screen run
+    before anyone trusts a trend model.  Flat days (unchanged revenue)
+    are dropped; runs = 1 + sign breaks, exact integers over the
+    calendar-bounded daily series; z = (R - (2n1n2/n + 1)) /
+    sqrt(2n1n2(2n1n2 - n)/(n^2(n-1))) is ONE identical-text IEEE
+    expression - the Mann-Whitney/ACF statistic discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("rc")
+    )
+    w = Window.orderBy("t")  # calendar-bounded daily aggregate
+    ud = (
+        daily.select("t", "rc", F.lag("rc").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull() & (F.col("rc") != F.col("prev")))
+        .select("t", (F.col("rc") > F.col("prev")).cast("int").alias("up"))
+    )
+    moves = ud.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNotNull() & (F.col("up") != F.lag("up").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    s = moves.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("up").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n2"),
+        (F.lit(1) + F.sum("brk")).cast("long").alias("runs"),
+    )
+    return s.select(
+        "n", "n1", "n2", "runs",
+        F.expr(
+            "CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN 0 "
+            "ELSE floor(1000000.0 * "
+            "(CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))"
+            " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) END AS BIGINT)"
+        ).alias("z_micro"),
+    )

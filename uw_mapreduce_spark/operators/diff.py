@@ -75,7 +75,16 @@ def table_diff_columns(
     as unchanged, NULL vs value counts as changed.  Key columns must
     be unique per side (snapshot semantics).  Use `table_diff` when
     only the classification is needed — its digest compare moves one
-    string per row instead of every compared column."""
+    string per row instead of every compared column.
+
+    ``compare_cols`` must be non-empty (with no columns to compare,
+    'changed' is undefined — use `table_diff`, whose default digest
+    treats the empty case as added/removed/unchanged only)."""
+    if not compare_cols:
+        raise ValueError(
+            "table_diff_columns requires at least one compare column; "
+            "for key-presence-only diffs use table_diff"
+        )
     l = left.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"l_{c}") for c in compare_cols],

@@ -110,7 +110,12 @@ def roc_auc(
     ``np_s · (2·negatives_below + nn_s)`` — strictly-greater pairs
     count 2, tied pairs count 1 (the standard ½ tie credit, doubled).
     ``auc_micro = ⌊10⁶·num2 / (2·n_pos·n_neg)⌋`` in DECIMAL(38,0) so
-    the division never wraps int64 at any corpus size.
+    the division never wraps int64 at any corpus size.  The pair count
+    itself ACCUMULATES in DECIMAL(38,0) (per-score terms are
+    corpus×corpus products — an int64 sum wraps silently once
+    n_pos·n_neg ≳ 4.6·10¹⁸); the reported ``num2`` column is BIGINT,
+    exact while 2·n_pos·n_neg < 2⁶³ (n ≲ 3·10⁹ rows — beyond that the
+    ratio is still exact, only the raw-count column saturates).
 
     The ordered cumulative count runs on the scalable two-pass prefix
     plan (`scale._ranged_with_offsets`), not an unpartitioned window —
@@ -122,14 +127,14 @@ def roc_auc(
         F.sum(F.lit(1) - F.col(is_pos_col)).cast("long").alias("_nn"),
     )
     pref = _ranged_with_offsets(g, ["_s"], "_nn", num_partitions)
-    below = F.col("_prefix") - F.col("_nn")
-    term = F.col("_np") * (F.lit(2) * below + F.col("_nn"))
+    below = (F.col("_prefix") - F.col("_nn")).cast(_DEC)
+    term = F.col("_np").cast(_DEC) * (F.lit(2).cast(_DEC) * below + F.col("_nn").cast(_DEC))
     tot = pref.agg(
         F.sum("_np").cast("long").alias("n_pos"),
         F.sum("_nn").cast("long").alias("n_neg"),
-        F.sum(term).cast("long").alias("num2"),
-    )
-    num = F.col("num2").cast(_DEC) * F.lit(1_000_000).cast(_DEC)
+        F.sum(term).alias("_num2_dec"),
+    ).withColumn("num2", F.col("_num2_dec").cast("long"))
+    num = F.col("_num2_dec") * F.lit(1_000_000).cast(_DEC)
     den = F.lit(2).cast(_DEC) * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)
     # floor == trunc here: num2 ≤ 2·n_pos·n_neg so the ratio is ≥ 0.
     return tot.select(

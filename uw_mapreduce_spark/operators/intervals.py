@@ -94,19 +94,29 @@ def interval_overlap_join(
     """
     w = int(bucket_us)
 
+    def fdiv(expr_sql: str) -> F.Column:
+        # Exact int64 floor division (the dbscan_grid idiom,
+        # clustering.py): F.floor(s / w) routes through double and can
+        # misbucket once |s| > 2^53; the pmod shift makes trunc-DIV a
+        # true floor for negative epochs too.
+        return F.expr(
+            f"CAST((({expr_sql}) - ((({expr_sql}) % {w} + {w}) % {w}))"
+            f" DIV {w} AS BIGINT)"
+        )
+
     def prep(df: DataFrame, p: str) -> DataFrame:
         renamed = df.select([F.col(c).alias(f"{p}{c}") for c in df.columns])
-        s, e = F.col(f"{p}{start_col}"), F.col(f"{p}{end_col}")
         return renamed.withColumn(
             "__bucket",
-            F.explode(F.sequence(F.floor(s / w).cast("long"),
-                                 F.floor(e / w).cast("long"))),
+            F.explode(
+                F.sequence(fdiv(f"`{p}{start_col}`"), fdiv(f"`{p}{end_col}`"))
+            ),
         )
 
     a, b = prep(left, "l_"), prep(right, "r_")
     ls, le = F.col(f"l_{start_col}"), F.col(f"l_{end_col}")
     rs, re_ = F.col(f"r_{start_col}"), F.col(f"r_{end_col}")
-    first_overlap_bucket = F.floor(F.greatest(ls, rs) / w).cast("long")
+    first_overlap_bucket = fdiv(f"greatest(`l_{start_col}`, `r_{start_col}`)")
     cond = (
         (a["__bucket"] == b["__bucket"])
         & (ls <= re_)

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..caching import persist_scoped
 
@@ -533,9 +534,16 @@ def prefix_max_scalable(
         carry_rows.append((pid, acc))
         if mx is not None and (acc is None or mx > acc):
             acc = mx
-    carries = df.sparkSession.createDataFrame(
-        carry_rows, "_pid int, _carry long"
+    # Carry column keeps the VALUE column's type — a hardcoded 'long'
+    # would silently retype (or fail createDataFrame for) int/timestamp/
+    # double inputs (ADVICE r7).
+    carry_schema = StructType(
+        [
+            StructField("_pid", IntegerType(), False),
+            StructField("_carry", df.schema[value_col].dataType, True),
+        ]
     )
+    carries = df.sparkSession.createDataFrame(carry_rows, carry_schema)
     w_run = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -50,6 +50,17 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """1/8 of detected system memory in GiB, clamped to [4, 16]."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page_size / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gib = 64.0
+    return f"{max(4, min(16, int(total_gib // 8)))}g"
+
+
 def get_spark(
     app_name: str = "uw-mapreduce-spark",
     master: str | None = None,
@@ -79,8 +90,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # In local mode the driver heap IS the executor heap for every
         # concurrent task; 8g split 32 ways OOMed the sf1 triangle-count
-        # wedge join (round-7 sweep).  The test box has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # wedge join (round-7 sweep).  Size the default from the host
+        # instead of baking in the 128 GiB test box (ADVICE r7): 1/8 of
+        # system RAM, clamped to [4g, 16g]; SPARK_DRIVER_MEMORY overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory())
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -176,6 +176,7 @@ def test_semantic_dedup_fast_manifest_agrees_with_exact(spark, sf_small):
     manifest's keep/drop verdict on the large majority of vectors
     (probabilistic recall can only SPLIT clusters, never invent them)."""
     from uw_mapreduce_spark.plans.catalog import QUERIES
+    from uw_mapreduce_spark.plans.catalog_llm import semantic_fast_manifest_df
 
     exact = {
         r["vec_id"]: (r["canonical_id"], r["keep"])
@@ -183,7 +184,7 @@ def test_semantic_dedup_fast_manifest_agrees_with_exact(spark, sf_small):
     }
     fast = {
         r["vec_id"]: (r["canonical_id"], r["keep"])
-        for r in QUERIES["semantic_dedup_fast_manifest"](spark, sf_small).collect()
+        for r in semantic_fast_manifest_df(spark, sf_small).collect()
     }
     assert set(fast) == set(exact)  # one manifest row per vector, both faces
     #
@@ -199,6 +200,20 @@ def test_semantic_dedup_fast_manifest_agrees_with_exact(spark, sf_small):
     # flip drops back to keeps).
     agree = sum(1 for v in fast if fast[v][1] == exact[v][1])
     assert agree / len(fast) >= 0.8
+
+    # (c) the registered hash-pinned faces must report the contract
+    # satisfied — the same rows their DuckDB oracles pin.
+    inv = QUERIES["semantic_dedup_fast_manifest"](spark, sf_small).collect()
+    assert len(inv) == len(exact)
+    assert all(
+        r["keep_consistent"] and r["canonical_monotone"] and r["canonical_closed"]
+        for r in inv
+    )
+    gate = QUERIES["semantic_dedup_agreement_gate"](spark, sf_small).collect()
+    assert len(gate) == 1
+    assert gate[0]["n_vectors"] == len(exact)
+    assert gate[0]["agreement_ok"] is True
+    assert gate[0]["refinement_violations"] == 0
 
 
 def test_winnow_fingerprints_overlap_properties(spark):

@@ -301,6 +301,10 @@ SF1_QUERIES = [
 #   dedup_exact_documents: r5's 1.13 s did NOT reproduce (0.40-0.61 s
 #   best-of-3 = r4 parity) — host noise, no code change.
 BENCH_NOTES = (
+    "r8: sf1 list rotates a deterministic 1/3 slice per round "
+    "(sf1_rotation in this JSON; every face re-measured within 3 rounds); "
+    "failed reps retry once with the exception recorded under 'errors', "
+    "and reps spreading beyond 2x surface raw times under 'rep_spread'. "
     "r7 best-of-3 (REPS=3) re-established the floor: suite 25.2 s vs r5 "
     "25.5 s (27 common queries 23.7 vs 25.5 s = 0.93x) - r6's +19% was host "
     "noise; movers window_analytics 0.19 s, minhash 2.62 s, q5 0.88 s all "
@@ -395,27 +399,58 @@ def main() -> int:
     # also how BASELINE.md defines its reference numbers.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    rep_spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = -1.0
+        rep_times: list[float] = []
         for rep in range(reps):
             if rep:
                 # Fresh-cache semantics per rep, matching BASELINE.md's
                 # min-over-fresh-sessions definition: without this, rep 2
                 # would reuse rep 1's scoped operator caches.
                 spark.catalog.clearCache()
-            t0 = time.time()
-            try:
-                fn(spark, sf_dir).count()
-                dt = round(time.time() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
-            except Exception as e:  # keep the bench line parseable no matter what
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-                # A query that fails any rep (fresh-cache reps included)
-                # is failed, not "fast": discard earlier reps' timings.
+            # A rep that throws gets ONE retry before the query is
+            # recorded failed: a transient (executor hiccup, host
+            # burst) must not erase a correct query's datapoint for
+            # the round (judge r7 item 3 — label_propagation benched
+            # -1.0 on an environmental failure, reran clean).
+            for attempt in (0, 1):
+                t0 = time.time()
+                try:
+                    fn(spark, sf_dir).count()
+                    dt = round(time.time() - t0, 3)
+                    rep_times.append(dt)
+                    best = dt if best < 0 else min(best, dt)
+                    break
+                except Exception as e:
+                    msg = f"{type(e).__name__}: {e}"
+                    print(f"bench error in {name} (attempt {attempt}): {msg}",
+                          file=sys.stderr)
+                    errors[name] = msg.splitlines()[0][:300]
+            else:
+                # Both attempts of this rep failed: the query is
+                # failed, not "fast" — discard earlier reps' timings.
                 best = -1.0
                 break
         timings[name] = best
+        if best >= 0 and name in errors:
+            del errors[name]  # a retry recovered the datapoint
+        if len(rep_times) >= 2 and min(rep_times) > 0 and (
+            max(rep_times) / min(rep_times) > 2.0
+        ):
+            # Variance diagnostic: expose the raw rep times whenever
+            # they spread beyond 2x so a one-off spike (GC, host load)
+            # reads as what it is instead of a plan regression
+            # (judge r7 item 4 — ngram_jaccard swung 5.6 <-> 44.5 s).
+            rep_spread[name] = rep_times
+        # Free operator-scoped localCheckpoint RDDs (heap-resident)
+        # between queries: the suite otherwise accumulates them until
+        # Python GC happens to run, and the resulting JVM heap pressure
+        # is the one systemic source of mid-suite timing spikes.
+        import gc
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     result = {
@@ -426,24 +461,64 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "notes": BENCH_NOTES,
     }
+    if errors:
+        result["errors"] = errors
+    if rep_spread:
+        result["rep_spread"] = rep_spread
 
     # Scale check at synthetic sf1 (10x the default sf0.1): one rep per
     # query — the goal is catching superlinear behavior, not minima.
     # Opt out with SPARK_GRAFT_SKIP_SF1=1 (e.g. for quick local loops).
+    #
+    # The full SF1 list grew past 100 faces (~485 s of round wall-clock
+    # at r7), so each round times a deterministic 1/3 slice, rotated by
+    # the number of BENCH_r*.json files already committed — every face
+    # gets a fresh 10x datapoint at least every 3 rounds, adjacent list
+    # entries (usually one family) land in different slices, and the
+    # per-round sf1 cost stays ~1/3 of the full sweep (judge r7 item 7).
+    # SPARK_GRAFT_SF1_ROTATION=all forces the full list; an integer
+    # forces that slice.
     if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        import glob as _glob
+
+        rot_env = os.environ.get("SPARK_GRAFT_SF1_ROTATION", "")
+        if rot_env == "all":
+            sf1_names = list(SF1_QUERIES)
+            rot = "all"
+        else:
+            here = os.path.dirname(os.path.abspath(__file__))
+            rot = (
+                int(rot_env)
+                if rot_env.isdigit()
+                else len(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+            ) % 3
+            sf1_names = [q for i, q in enumerate(SF1_QUERIES) if i % 3 == rot]
         sf1_dir = ensure_sf1(spark, sf_dir)
         if sf1_dir:
             sf1_timings: dict[str, float] = {}
-            for name in SF1_QUERIES:
+            for name in sf1_names:
                 spark.catalog.clearCache()
-                t0 = time.time()
-                try:
-                    QUERIES[name](spark, sf1_dir).count()
-                    sf1_timings[name] = round(time.time() - t0, 3)
-                except Exception as e:
-                    print(f"bench error in {name}@sf1: {e}", file=sys.stderr)
+                err = None
+                for attempt in (0, 1):  # same one-retry policy as sf0.1
+                    t0 = time.time()
+                    try:
+                        QUERIES[name](spark, sf1_dir).count()
+                        sf1_timings[name] = round(time.time() - t0, 3)
+                        err = None
+                        break
+                    except Exception as e:
+                        err = f"{type(e).__name__}: {e}"
+                        print(f"bench error in {name}@sf1 (attempt {attempt}): {err}",
+                              file=sys.stderr)
+                if err is not None:
                     sf1_timings[name] = -1.0
+                    result.setdefault("errors", {})[f"{name}@sf1"] = (
+                        err.splitlines()[0][:300]
+                    )
+                import gc
+                gc.collect()
             result["sf1_queries"] = sf1_timings
+            result["sf1_rotation"] = rot
             result["sf1_value"] = round(
                 sum(t for t in sf1_timings.values() if t >= 0), 3
             )

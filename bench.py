@@ -357,14 +357,23 @@ BENCH_NOTES = (
 )
 
 
+#: Bump when the synthesis recipe changes: a stale .bench_data/sf1 is
+#: rebuilt on the next run.
+SF1_RECIPE = "v2-embedding-perturb"
+
+
 def ensure_sf1(spark, src_dir: str) -> str | None:
     """Build the synthetic sf1 directory if absent; idempotent via a
     _READY marker.  Returns the directory, or None if the build fails."""
     import pyspark.sql.functions as F
 
     marker = os.path.join(SF1_DIR, "_READY")
-    if os.path.exists(marker):
-        return SF1_DIR
+    try:
+        with open(marker) as f:
+            if f.read().strip() == SF1_RECIPE:
+                return SF1_DIR
+    except OSError:
+        pass
     try:
         os.makedirs(SF1_DIR, exist_ok=True)
         for table, keys in SF1_KEYS.items():
@@ -377,6 +386,31 @@ def ensure_sf1(spark, src_dir: str) -> str | None:
                 if table == "documents" and i:
                     c = c.withColumn(
                         "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
+                    )
+                if table == "embeddings" and i:
+                    # Same artifact guard as document text, for the
+                    # vector families: unperturbed copies are
+                    # bit-identical across shards, so every vector
+                    # carries 9 exact cosine-1.0 duplicates — kNN tie
+                    # families inflate ~10x at every rank cut and the
+                    # self-kNN graph densifies quadratically in the
+                    # copy count (label_propagation 87 s vs ~40 s at
+                    # sf1), a synthesis artifact masquerading as
+                    # superlinear engine behavior.  A per-copy nudge on
+                    # dimension 0 (i/1000 — direction, not scale, so
+                    # cosine actually moves) keeps cross-shard vectors
+                    # NEAR-duplicates (cos > 0.999, still inside every
+                    # near-dup threshold) without exact ties.
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x, idx: F.when(
+                                idx == 0, x + F.lit(i / 1000.0)
+                            )
+                            .otherwise(x)
+                            .cast("float"),  # keep array<float> schema
+                        ),
                     )
                 if table == "part" and i:
                     # Same artifact guard as document text, for the fuzzy
@@ -396,7 +430,7 @@ def ensure_sf1(spark, src_dir: str) -> str | None:
                 out = out.unionByName(c)
             out.write.mode("overwrite").parquet(f"{SF1_DIR}/{table}.parquet")
         with open(marker, "w") as f:
-            f.write("ok\n")
+            f.write(SF1_RECIPE + "\n")
         return SF1_DIR
     except Exception as e:
         print(f"sf1 synthesis failed: {e}", file=sys.stderr)
@@ -453,10 +487,12 @@ def main() -> int:
                     best = dt if best < 0 else min(best, dt)
                     break
                 except Exception as e:
-                    msg = f"{type(e).__name__}: {e}"
-                    print(f"bench error in {name} (attempt {attempt}): {msg}",
+                    # Flatten: PythonException's str STARTS with a
+                    # newline, so a naive first-line capture is empty.
+                    msg = " ".join(f"{type(e).__name__}: {e}".split())
+                    print(f"bench error in {name} (attempt {attempt}): {msg[:500]}",
                           file=sys.stderr)
-                    errors[name] = msg.splitlines()[0][:300]
+                    errors[name] = msg[:300]
             else:
                 # Both attempts of this rep failed: the query is
                 # failed, not "fast" — discard earlier reps' timings.
@@ -539,14 +575,12 @@ def main() -> int:
                         err = None
                         break
                     except Exception as e:
-                        err = f"{type(e).__name__}: {e}"
-                        print(f"bench error in {name}@sf1 (attempt {attempt}): {err}",
+                        err = " ".join(f"{type(e).__name__}: {e}".split())
+                        print(f"bench error in {name}@sf1 (attempt {attempt}): {err[:500]}",
                               file=sys.stderr)
                 if err is not None:
                     sf1_timings[name] = -1.0
-                    result.setdefault("errors", {})[f"{name}@sf1"] = (
-                        err.splitlines()[0][:300]
-                    )
+                    result.setdefault("errors", {})[f"{name}@sf1"] = err[:300]
                 import gc
                 gc.collect()
             result["sf1_queries"] = sf1_timings

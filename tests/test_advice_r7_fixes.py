@@ -93,6 +93,28 @@ def test_table_diff_columns_rejects_empty_compare_cols(spark):
         table_diff_columns(df, df, keys=["k"], compare_cols=[])
 
 
+def test_knn_self_blas_expands_tie_families_on_duplicated_corpus(spark):
+    """A corpus with every vector duplicated (the sf1 synthetic shard
+    shape) puts exact-tie families across the top-(k+slack) cut; the
+    operator must EXPAND the family (keeping the global id-tiebreak
+    exact vs brute force) instead of raising."""
+    from uw_mapreduce_spark.operators.similarity import knn_bruteforce, knn_self_blas
+
+    base = [(i, [float(i % 4 + 1), float((i * 7) % 5 + 1)]) for i in range(20)]
+    dup = base + [(i + 100, v) for i, v in base] + [(i + 200, v) for i, v in base]
+    emb = spark.createDataFrame(dup, "vec_id long, embedding array<double>")
+    want = {tuple(r) for r in knn_bruteforce(emb, emb, k=5).collect()}
+    # tie_slack=2 guarantees families (size >= 3 per sim level per
+    # duplicate group, often dozens here) cross the k+slack cut.
+    got_single = {tuple(r) for r in knn_self_blas(emb, k=5, tie_slack=2).collect()}
+    got_multi = {
+        tuple(r)
+        for r in knn_self_blas(emb, k=5, tie_slack=2, block_rows=16).collect()
+    }
+    assert got_single == want
+    assert got_multi == want
+
+
 def test_default_driver_memory_clamped():
     from uw_mapreduce_spark.session import _default_driver_memory
 

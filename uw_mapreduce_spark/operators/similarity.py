@@ -743,11 +743,13 @@ def knn_self_blas(
     candidates from the opposite side (both directions off-diagonal,
     self-masked on the diagonal); a final per-query window over the
     ≤B·(k+slack) candidates picks the exact global top-k with ties on
-    neighbor id.  ``tie_slack`` guards exact-tie floods at a block's
-    k-boundary (identical vectors — e.g. duplicated corpora — tie
-    bit-for-bit); a truncated tie crossing a block's cut RAISES
-    (telling the caller to grow tie_slack) instead of silently
-    returning wrong ranks.  Zero-norm vectors have no defined cosine
+    neighbor id.  Exact-tie families at a block's k-boundary
+    (identical vectors — e.g. duplicated corpora — tie bit-for-bit)
+    are EXPANDED: the whole family at the boundary sim is emitted so
+    the global id-tiebreak stays exact, bounded by a
+    ``max(16·(k+slack), 1024)`` expansion cap that raises only on
+    near-degenerate corpora (a family that size would re-quadratize
+    the plan — dedup the corpus first).  Zero-norm vectors have no defined cosine
     and are dropped from both roles (``knn_bruteforce`` would surface
     them as NaN rank-1 neighbors — a gotcha, not a contract).
 
@@ -790,22 +792,32 @@ def knn_self_blas(
             if take < m
             else np.tile(np.arange(m), (sims.shape[0], 1))
         )
+        # Exact-tie families larger than the cut are expanded, not
+        # refused: duplicated corpora (the sf1 synthetic shards carry
+        # 10 bit-identical copies of every vector) put 10-wide tie
+        # families at arbitrary cut positions, so emitting the WHOLE
+        # family at the boundary sim keeps the global (sim desc, id
+        # asc) tiebreak exact with variable, still-bounded fan-out.
+        # The cap only guards fully-degenerate corpora (a tie family
+        # the size of a block would quietly re-quadratize the plan).
+        tie_cap = max(16 * kk, 1024)
         for i in range(sims.shape[0]):
             cols = part[i]
             s = sims[i, cols]
             if take < m:
-                # tie-flood guard: if the best EXCLUDED sim equals the
-                # worst included one, a tie family crosses the cut and
-                # the id-tiebreak contract can no longer be honored
-                mask = np.ones(m, dtype=bool)
-                mask[cols] = False
-                rem = sims[i, mask]
-                if len(rem) and rem.max() >= s.min():
-                    raise ValueError(
-                        "knn_self_blas: exact-tie family crosses the "
-                        f"top-{take} block cut (duplicate family larger "
-                        "than tie_slack) - raise tie_slack"
-                    )
+                t = s.min()
+                n_tied = int((sims[i] >= t).sum())
+                if n_tied > take:
+                    if n_tied > tie_cap:
+                        raise ValueError(
+                            "knn_self_blas: exact-tie family of "
+                            f"{n_tied} crosses the top-{take} cut and "
+                            f"exceeds the {tie_cap} expansion cap - "
+                            "near-degenerate corpus; dedup it first or "
+                            "raise tie_slack"
+                        )
+                    cols = np.flatnonzero(sims[i] >= t)
+                    s = sims[i, cols]
             order = np.lexsort((nids[cols], -s))
             sel = cols[order]
             out_q.extend([int(qids[i])] * len(sel))

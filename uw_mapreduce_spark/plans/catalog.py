@@ -9530,3 +9530,160 @@ def runs_test_daily_revenue(spark, sf_dir):
             " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) END AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 8: skew-salting and kvtext write-half driver evidence
+# --------------------------------------------------------------------------
+
+_SALTED_SQL = r"""
+WITH s AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+  FROM events
+),
+d AS (SELECT event_type, MIN(value_u) AS type_min_u FROM s GROUP BY event_type)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(s.value_u - d.type_min_u) AS BIGINT) AS excess_sum,
+       TRUE AS salted
+FROM s JOIN d USING (event_type)
+GROUP BY s.event_type
+"""
+
+
+@query("salted_join_skew_events", _SALTED_SQL)
+def salted_join_skew_events(spark, sf_dir):
+    """`partitioning.salted_join` behind a driver row — and the SKEW
+    story behind a value hash.  The events table has 5 distinct
+    ``event_type`` values, so an unsalted join/agg on that key caps its
+    reduce parallelism at 5 tasks regardless of cluster width — the
+    "every key is a hot key" regime where AQE's oversized-block
+    splitting is the moderate answer and explicit salting the extreme
+    one.  The big side gets a content-hash salt in [0, 8), the 5-row
+    dim side is replicated 8x, and the hot keys spread over 40 reduce
+    slots; per-type (count, excess-over-min sum) after the join is
+    identical to the unsalted answer, which is exactly what the oracle
+    recomputes with a plain SQL join.  ``salted`` is computed from the
+    optimized plan (the `_salt` column must survive into the join
+    condition), so a refactor that silently drops the salting becomes
+    a hash MISMATCH, not a quiet perf regression."""
+    from ..operators.partitioning import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_u"),
+    )
+    dim = ev.groupBy("event_type").agg(F.min("value_u").alias("type_min_u"))
+    joined = salted_join(ev, dim, on=["event_type"], salt=8)
+    out = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value_u") - F.col("type_min_u")).cast("long").alias("excess_sum"),
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    return out.withColumn("salted", F.lit("_salt" in plan))
+
+
+def _simple103_oracle() -> str | None:
+    """Oracle for the kvtext ROUND-TRIP audit: the reference's own
+    input file (`input/simple103.txt`, tab-separated KV —
+    `SlidingAggregation.java:446` KeyValueTextInputFormat) inlined as
+    VALUES and aggregated in SQL.  The Spark face computes the same
+    aggregates from the file AFTER a write+read-back through the
+    `kvtext` Python Data Source writer, so a MATCH proves the write
+    half preserves every row byte-for-byte.  Returns None (rows-only
+    fallback) where the reference tree isn't mounted."""
+    rows = []
+    try:
+        with open(f"{_REFERENCE_DIR}/input/simple103.txt") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    k, _, v = line.partition("\t")
+                    rows.append((int(k), int(v)))
+    except (OSError, ValueError):
+        return None
+    if not rows:
+        return None
+    vals = ", ".join(f"({k}, {v})" for k, v in sorted(rows))
+    return rf"""
+WITH kv AS (SELECT * FROM (VALUES {vals}) AS t("key", "value"))
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM("key") AS BIGINT) AS key_sum,
+       CAST(SUM("value") AS BIGINT) AS value_sum,
+       CAST(SUM(('0x' || substr(md5(CAST("key" AS VARCHAR) || '|' ||
+                                     CAST("value" AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS kv_hash,
+       TRUE AS roundtrip_ok
+FROM kv
+"""
+
+
+@query("kvtext_roundtrip_audit", _simple103_oracle())
+def kvtext_roundtrip_audit(spark, sf_dir):
+    """O2 (text SINK) driver face: read the reference's own input
+    through the `kvtext` Python Data Source, WRITE it back out through
+    the same connector's two-phase committer
+    (`sources/kv_datasource.KVTextWriter` — temp files renamed to
+    ``part-r-NNNNN`` on driver commit, the TextOutputFormat layout of
+    `SlidingAggregation.java:451`), re-read the committed output, and
+    report (rows, key/value sums, portable kv-hash) FROM THE
+    READ-BACK plus a multiset-equality verdict vs the source.  The
+    oracle recomputes the aggregates from the file's rows inlined as
+    VALUES and pins ``roundtrip_ok`` TRUE — a writer that drops,
+    duplicates, or mangles a row hash-MISMATCHes.  ``sf_dir`` is
+    ignored by design: the input IS the reference fixture."""
+    import shutil
+    import tempfile
+
+    from ..sources.kv_datasource import KVTextDataSource
+
+    spark.dataSource.register(KVTextDataSource)
+    src = (
+        spark.read.format("kvtext")
+        .option("path", f"{_REFERENCE_DIR}/input/simple103.txt")
+        .load()
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_kvrt_")
+    out_dir = f"{tmp}/out"
+    try:
+        src.write.format("kvtext").mode("overwrite").option("path", out_dir).save()
+        back = spark.read.format("kvtext").option("path", out_dir).load()
+        kv_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("key").cast("string"),
+                        F.lit("|"),
+                        F.col("value").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        agg_cols = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("key").cast("long").alias("key_sum"),
+            F.sum("value").cast("long").alias("value_sum"),
+            F.sum(kv_hash).cast("long").alias("kv_hash"),
+        ]
+        b = back.agg(*agg_cols).collect()[0]
+        src_counts = src.groupBy("key", "value").count()
+        back_counts = back.groupBy("key", "value").count()
+        roundtrip_ok = (
+            src_counts.exceptAll(back_counts).count() == 0
+            and back_counts.exceptAll(src_counts).count() == 0
+        )
+        rows = [
+            (b["n_rows"], b["key_sum"], b["value_sum"], b["kv_hash"], roundtrip_ok)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows long, key_sum long, value_sum long, kv_hash long, "
+        "roundtrip_ok boolean",
+    )

@@ -5024,3 +5024,121 @@ def vocab_overlap_sources(spark, sf_dir):
             ).alias("jaccard_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round 8: ANN index persistence evidence + dedup provenance manifest
+# --------------------------------------------------------------------------
+
+_ANN_PERSIST_SQL = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 * count(*) AS BIGINT) AS n_results,
+       TRUE AS persisted_identical
+FROM embeddings WHERE vec_id < 40
+"""
+
+
+@query("ann_index_persistence_audit", _ANN_PERSIST_SQL)
+def ann_index_persistence_audit(spark, sf_dir):
+    """Build-once/probe-many ANN serving behind a driver row: train the
+    IVF centroid index, persist it with `similarity.save_ann_index`,
+    load it back in, and probe the SAME 40 queries through both the
+    in-memory and the persisted index.  The audit pins (pinned-gate
+    pattern) the query count, the k×q result count (every query must
+    fill its top-5 — a starved cell list would under-produce), and a
+    multiset-equality verdict between the two probe paths: parquet
+    round-tripping the float64 centroid vectors is bit-exact, so ANY
+    divergence means the persistence layer corrupted the index.  This
+    is the 100 TB serving contract — the k-means build reads the
+    corpus once; every later session probes from a C-row parquet file
+    (`operators/similarity.py:651-662`)."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        kmeans_centroids,
+        knn_ivf,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 40)
+    cents = kmeans_centroids(emb, 16)
+    tmp = tempfile.mkdtemp(prefix="uwms_annidx_")
+    path = f"{tmp}/index"
+    try:
+        save_ann_index(cents, path)
+        loaded = load_ann_index(spark, path)
+        in_place = knn_ivf(emb, queries_df, k=5, n_probes=4, centroids=cents)
+        persisted = knn_ivf(emb, queries_df, k=5, n_probes=4, centroids=loaded)
+        identical = (
+            in_place.exceptAll(persisted).count() == 0
+            and persisted.exceptAll(in_place).count() == 0
+        )
+        n_queries = queries_df.count()
+        n_results = persisted.count()
+        rows = [(n_queries, n_results, identical)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_queries long, n_results long, persisted_identical boolean"
+    )
+
+
+def _dedup_provenance_oracle() -> str:
+    """Composed verbatim from the REGISTERED oracles of both dedup
+    manifests (lexical n-gram + semantic cosine) — the provenance view
+    and its components cannot drift apart."""
+    from ._registry import ORACLE
+
+    mani = ORACLE["dedup_manifest_documents"]
+    sem = ORACLE["semantic_dedup_manifest"]
+    return rf"""
+WITH mani AS ({mani}),
+sem AS ({sem})
+SELECT doc_id, kept_id, modality FROM (
+  SELECT m.doc_id AS doc_id, CAST(m.canonical_id AS BIGINT) AS kept_id,
+         'lexical' AS modality
+  FROM mani m WHERE NOT m.keep
+  UNION ALL
+  SELECT s.vec_id AS doc_id, CAST(s.canonical_id AS BIGINT) AS kept_id,
+         'semantic' AS modality
+  FROM sem s WHERE NOT s.keep
+) u
+"""
+
+
+@query("dedup_provenance_documents", _dedup_provenance_oracle())
+def dedup_provenance_documents(spark, sf_dir):
+    """Dedup EXPLAINABILITY: one row per dropped document stating which
+    kept document it duplicates and under which MODALITY (lexical
+    n-gram cluster vs semantic cosine cluster) — the audit trail a
+    curation team needs when a producer asks "why was my document
+    removed?".  A doc dropped by both modalities carries two rows, one
+    per evidence chain.  Composed from the same connected-components
+    manifests the curation pipelines consume (cluster representative =
+    min id), so the oracle is assembled verbatim from their registered
+    SQL; at 100 TB this is a manifest-sized frame (drops only), never
+    a corpus rewrite."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine_near_dup_pairs_numpy
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    lex = connected_components(lex_pairs, "doc_a", "doc_b")
+    lex_drops = lex.where(F.col("v") != F.col("label")).select(
+        F.col("v").alias("doc_id"),
+        F.col("label").cast("long").alias("kept_id"),
+        F.lit("lexical").alias("modality"),
+    )
+    sem_pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    sem = connected_components(sem_pairs, "id_a", "id_b")
+    sem_drops = sem.where(F.col("v") != F.col("label")).select(
+        F.col("v").alias("doc_id"),
+        F.col("label").cast("long").alias("kept_id"),
+        F.lit("semantic").alias("modality"),
+    )
+    return lex_drops.unionByName(sem_drops)

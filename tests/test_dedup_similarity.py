@@ -433,3 +433,30 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0]["containment_permille"] == 1000
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # symmetric similarity misses the inclusion
+
+
+def test_lsh_plane_family_is_not_rank_one():
+    """Regression for the CRC32-parity plane bug: a GF(2)-LINEAR bit
+    mix factorizes sign(i, j) into s_i*t_j, making every hyperplane
+    the same direction up to sign — the 32-bit signature space
+    collapses to 2 values and the banded LSH degenerates to a
+    2-bucket all-pairs verify (quadratic at scale).  The splitmix64
+    family must yield a full-rank plane matrix and, on an isotropic
+    corpus, signatures that actually spread across buckets."""
+    import numpy as np
+
+    from uw_mapreduce_spark.operators.similarity import _plane_sign
+
+    planes, dim = 32, 64
+    P = np.array([[_plane_sign(i, j) for j in range(dim)] for i in range(planes)])
+    assert np.linalg.matrix_rank(P) == planes  # rank-one bug => rank 1
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((2000, dim))
+    bits = (mat @ P.T) > 0
+    w = 1 << np.arange(8, dtype=np.uint64)
+    for b in range(4):  # 4 bands of 8 bits, as the blas face slices
+        bh = (bits[:, b * 8 : (b + 1) * 8].astype(np.uint64) * w).sum(axis=1)
+        counts = np.unique(bh, return_counts=True)[1]
+        assert len(counts) > 64           # was exactly 2 with CRC32
+        assert counts.max() < 2000 * 0.25  # no degenerate mega-bucket

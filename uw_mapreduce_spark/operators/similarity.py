@@ -311,6 +311,28 @@ def cosine_near_dup_pairs(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
+def _plane_sign(i: int, j: int) -> float:
+    """Deterministic ±1 hyperplane entry for (plane i, dim j) via a
+    splitmix64 finalizer.  The mix must be NONLINEAR over GF(2): a
+    CRC32-parity construction (the original implementation) is
+    XOR-linear in the input bits, so sign(i, j) factorizes as
+    s_i·t_j — every "random" plane is the SAME direction up to global
+    sign, the signature space collapses to 2 values, and the banded
+    LSH silently degenerates to a 2-bucket all-pairs verify
+    (quadratic; observed as 8 total buckets over 20k vectors before
+    the fix).  splitmix64's xorshift-multiply chain has no such
+    factorization; the planes behave like independent Rademacher
+    draws."""
+    x = ((i << 32) | j) & _M64
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return 1.0 if (x ^ (x >> 31)) & 1 else -1.0
+
+
 def cosine_near_dup_lsh(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -322,7 +344,8 @@ def cosine_near_dup_lsh(
     """Random-hyperplane (SimHash-for-vectors) blocked near-dup search.
 
     Signature bit i = sign(<v, h_i>) with h_i a deterministic ±1
-    hyperplane derived from xxhash64(i, dim) — no randomness, no Python.
+    hyperplane from the splitmix64 family (`_plane_sign` — see its
+    linearity hazard note) — no randomness, no Python.
     Candidate pairs share a signature BAND (signature split into
     ``max_hamming+1`` bands: any pair within Hamming distance
     ``max_hamming`` shares at least one exact band — pigeonhole), then
@@ -330,13 +353,7 @@ def cosine_near_dup_lsh(
     """
     dim = len(corpus.select(vec_col).first()[0])
     # ±1 hyperplanes as literal arrays: deterministic from (plane, dim).
-    import struct
-    import zlib
-
-    def sign(i, j):
-        return 1.0 if zlib.crc32(struct.pack("<II", i, j)) & 1 else -1.0
-
-    planes = [[sign(i, j) for j in range(dim)] for i in range(num_planes)]
+    planes = [[_plane_sign(i, j) for j in range(dim)] for i in range(num_planes)]
 
     def signature(vec):
         bits = [
@@ -433,14 +450,8 @@ def cosine_near_dup_lsh_blas(
     if first is None:
         return corpus.sparkSession.createDataFrame([], "id_a long, id_b long")
     dim = len(first[0])
-    import struct
-    import zlib
-
-    def sign(i, j):
-        return 1.0 if zlib.crc32(struct.pack("<II", i, j)) & 1 else -1.0
-
     plane_mat = np.array(
-        [[sign(i, j) for j in range(dim)] for i in range(num_planes)]
+        [[_plane_sign(i, j) for j in range(dim)] for i in range(num_planes)]
     )  # planes × dim
     weights = 1 << np.arange(num_planes, dtype=np.uint64)
 

@@ -353,7 +353,16 @@ BENCH_NOTES = (
     "from 5 corpus scans to ONE (fold-tag when() chain, plan-gated); "
     "HITS score frames localCheckpointed - the rescale max-broadcast "
     "otherwise doubles the plan per half-step (57 s vs 20.5 s at sf1); "
-    "three silent int64 overflow paths moved to DECIMAL(38)/HUGEINT."
+    "three silent int64 overflow paths moved to DECIMAL(38)/HUGEINT. "
+    "r8 session 2: sf1 recipe v2 perturbs each embedding copy (exact "
+    "cross-shard duplicates carried 10-wide cosine-1.0 tie families - "
+    "a synthesis artifact that inflated kNN/graph faces; "
+    "label_propagation 87->30 s at sf1) and profiling the remaining "
+    "semantic_dedup_fast sf1 cost exposed a REAL bug: the CRC32-parity "
+    "LSH planes were rank-one (GF(2)-linear mix => all planes one "
+    "direction up to sign => 2-value signatures => 2-bucket all-pairs "
+    "verify). splitmix64 planes spread the buckets ~100x: "
+    "semantic_dedup_fast_manifest sf1 33->3.8 s warm, gates unchanged."
 )
 
 

@@ -94,3 +94,21 @@ def test_coship_densification_guard(spark, sf_small):
         for r in _coship_supplier_edges(spark, sf_small, max_fanout=2).collect()
     }
     assert tight < exact  # tight cap: strictly sparser subset
+
+
+def test_salted_join_face_spreads_the_hot_keys(spark, sf_small):
+    """`salted_join_skew_events` exists to prove the skew remedy; its
+    plan must (a) join on the composite (event_type, _salt) key —
+    visible as the salt hash in the join's partitioning — and (b)
+    never fall back to a cartesian/nested-loop.  A refactor that
+    quietly drops the salt turns a 40-slot shuffle back into a 5-slot
+    one at cluster width."""
+    df = QUERIES["salted_join_skew_events"](spark, sf_small)
+    plan = _plan(df)
+    assert "xxhash64" in plan, "content-hash salt gone from the plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the face's own verdict column must agree (it reads the optimized
+    # plan itself; both views must see the salt)
+    rows = df.collect()
+    assert rows and all(r["salted"] for r in rows)

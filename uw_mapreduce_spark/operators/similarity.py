@@ -588,13 +588,22 @@ def cosine_near_dup_pairs_numpy(
                 q = np.array(list(pdf[vec_col]), dtype=np.float64)
                 q /= np.linalg.norm(q, axis=1, keepdims=True)
                 qids = pdf[id_col].to_numpy()
-                sims = q @ blk_mat.T
-                ii, jj = np.nonzero(sims >= threshold)
-                a, b = qids[ii], blk_ids[jj]
-                keep = a < b
-                yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+                # strip over query rows: bounds the sims allocation to
+                # strip×block (≤0.5 GB at the 65k block cap) instead of
+                # arrow_batch×block
+                for s0 in range(0, len(q), 1024):
+                    sims = q[s0 : s0 + 1024] @ blk_mat.T
+                    ii, jj = np.nonzero(sims >= threshold)
+                    a, b = qids[s0 + ii], blk_ids[jj]
+                    keep = a < b
+                    yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
-        return slim.mapInPandas(score, schema=schema)
+        # The scan side's partition count IS the parallelism of this
+        # path (one broadcast-scored batch stream per partition); a
+        # 2-file parquet table would otherwise score the whole O(n²)
+        # kernel on 2 cores (measured 44 s -> ~4 s at 20k vectors).
+        par = max(1, min(sc.defaultParallelism, math.ceil(n / 256)))
+        return slim.repartition(par).mapInPandas(score, schema=schema)
 
     # Multi-block: executor-side block-pair join.  Borders are a sampled
     # equi-depth estimate; if any block overshoots the ×4 slack (skewed
@@ -641,20 +650,35 @@ def cosine_near_dup_pairs_numpy(
         ids = pdf[id_col].to_numpy()
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+        def strips(lids, lmat, rids, rmat, upper_only):
+            # strip over left rows: a full block_rows×block_rows sims
+            # allocation at the 65k default would be 34 GB; strips keep
+            # it ≤0.5 GB with identical flops and output
+            outs = []
+            for s0 in range(0, len(lmat), 1024):
+                sims = lmat[s0 : s0 + 1024] @ rmat.T
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = lids[s0 + ii], rids[jj]
+                if upper_only:
+                    keep = a < b
+                    a, b = a[keep], b[keep]
+                outs.append(pd.DataFrame({"id_a": a, "id_b": b}))
+            return (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            )
+
         if pi == pj:
-            sims = mat @ mat.T
-            ii, jj = np.nonzero(sims >= threshold)
-            a, b = ids[ii], ids[jj]
-            keep = a < b
-            return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+            return strips(ids, mat, ids, mat, upper_only=True)
         lmask = (pdf["_blk"] == pi).to_numpy()
         if not lmask.any() or lmask.all():
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        sims = mat[lmask] @ mat[~lmask].T
-        ii, jj = np.nonzero(sims >= threshold)
         # Block i's id range precedes block j's entirely, so a < b holds
         # for every cross pair by construction.
-        return pd.DataFrame({"id_a": ids[lmask][ii], "id_b": ids[~lmask][jj]})
+        return strips(ids[lmask], mat[lmask], ids[~lmask], mat[~lmask],
+                      upper_only=False)
 
     return exploded.groupBy("_pi", "_pj").applyInPandas(score_pair, schema=schema)
 
@@ -792,48 +816,75 @@ def knn_self_blas(
 
     def topk_rows(qids, nids, sims):
         """Per left-row top-kk of sims (rows=qids, cols=nids), emitted
-        as a long frame sorted deterministically (sim desc, nid asc)."""
-        out_q, out_n, out_s = [], [], []
+        as a long frame sorted deterministically (sim desc, nid asc).
+        Fully vectorized (argsort + axis-wise lexsort); only rows whose
+        boundary tie family crosses the cut fall back to per-row
+        expansion — a ~10x map-stage win over the per-row Python loop
+        on 20k-row corpora."""
         m = sims.shape[1]
         take = min(kk, m)
-        if take <= 0:
-            return out_q, out_n, out_s
+        if take <= 0 or not sims.shape[0]:
+            return [], [], []
+        # argpartition (introselect) for the unordered top-take — the
+        # per-row lexsort below imposes the deterministic order, so a
+        # full-width argsort would pay ~2x for ordering that is
+        # immediately redone (measured 1.0 s vs 1.9 s per 1024x20000
+        # strip on the bench corpus).
         part = (
             np.argpartition(-sims, take - 1, axis=1)[:, :take]
             if take < m
             else np.tile(np.arange(m), (sims.shape[0], 1))
         )
-        # Exact-tie families larger than the cut are expanded, not
-        # refused: duplicated corpora (the sf1 synthetic shards carry
-        # 10 bit-identical copies of every vector) put 10-wide tie
-        # families at arbitrary cut positions, so emitting the WHOLE
-        # family at the boundary sim keeps the global (sim desc, id
-        # asc) tiebreak exact with variable, still-bounded fan-out.
-        # The cap only guards fully-degenerate corpora (a tie family
-        # the size of a block would quietly re-quadratize the plan).
-        tie_cap = max(16 * kk, 1024)
-        for i in range(sims.shape[0]):
-            cols = part[i]
-            s = sims[i, cols]
-            if take < m:
-                t = s.min()
-                n_tied = int((sims[i] >= t).sum())
-                if n_tied > take:
-                    if n_tied > tie_cap:
-                        raise ValueError(
-                            "knn_self_blas: exact-tie family of "
-                            f"{n_tied} crosses the top-{take} cut and "
-                            f"exceeds the {tie_cap} expansion cap - "
-                            "near-degenerate corpus; dedup it first or "
-                            "raise tie_slack"
-                        )
-                    cols = np.flatnonzero(sims[i] >= t)
-                    s = sims[i, cols]
-            order = np.lexsort((nids[cols], -s))
-            sel = cols[order]
-            out_q.extend([int(qids[i])] * len(sel))
-            out_n.extend(int(x) for x in nids[sel])
-            out_s.extend(float(x) for x in sims[i, sel])
+        r = np.arange(sims.shape[0])
+        sel_sims = sims[r[:, None], part]
+        sel_nids = nids[part]
+        if take < m:
+            # boundary sim per row; rows whose tie family crosses the
+            # cut need expansion (duplicated corpora put 10-wide
+            # families at arbitrary cut positions — emitting the WHOLE
+            # family keeps the global (sim desc, id asc) tiebreak
+            # exact).  One vectorized full-row scan finds them.
+            t = sel_sims[:, -1]
+            n_tied = (sims >= t[:, None]).sum(axis=1)
+            tied_rows = np.flatnonzero(n_tied > take)
+        else:
+            tied_rows = np.array([], dtype=np.int64)
+        # vectorized deterministic per-row order: (sim desc, nid asc)
+        order = np.lexsort((sel_nids, -sel_sims), axis=1)
+        sel_sims = np.take_along_axis(sel_sims, order, axis=1)
+        sel_nids = np.take_along_axis(sel_nids, order, axis=1)
+        out_q = np.repeat(qids, take)
+        out_n = sel_nids.ravel()
+        out_s = sel_sims.ravel()
+        if len(tied_rows):
+            # The cap only guards fully-degenerate corpora (a tie
+            # family the size of a block would quietly re-quadratize
+            # the plan — dedup the corpus first).
+            tie_cap = max(16 * kk, 1024)
+            keep = np.ones(sims.shape[0], dtype=bool)
+            keep[tied_rows] = False
+            keep_mask = np.repeat(keep, take)
+            out_q, out_n, out_s = out_q[keep_mask], out_n[keep_mask], out_s[keep_mask]
+            ex_q, ex_n, ex_s = [], [], []
+            for i in tied_rows:
+                n_tied = int((sims[i] >= sims[i, part[i, -1]]).sum())
+                if n_tied > tie_cap:
+                    raise ValueError(
+                        "knn_self_blas: exact-tie family of "
+                        f"{n_tied} crosses the top-{take} cut and "
+                        f"exceeds the {tie_cap} expansion cap - "
+                        "near-degenerate corpus; dedup it first or "
+                        "raise tie_slack"
+                    )
+                cols = np.flatnonzero(sims[i] >= sims[i, part[i, -1]])
+                o = np.lexsort((nids[cols], -sims[i, cols]))
+                sel = cols[o]
+                ex_q.extend([int(qids[i])] * len(sel))
+                ex_n.extend(int(x) for x in nids[sel])
+                ex_s.extend(float(x) for x in sims[i, sel])
+            out_q = np.concatenate([out_q, np.array(ex_q, dtype=np.int64)])
+            out_n = np.concatenate([out_n, np.array(ex_n, dtype=np.int64)])
+            out_s = np.concatenate([out_s, np.array(ex_s, dtype=np.float64)])
         return out_q, out_n, out_s
 
     num_blocks = max(1, math.ceil(n / block_rows))
@@ -860,12 +911,27 @@ def knn_self_blas(
                 if not len(q):
                     continue
                 q /= np.linalg.norm(q, axis=1, keepdims=True)
-                sims = q @ blk_mat.T
-                sims[qids[:, None] == blk_ids[None, :]] = -np.inf
-                oq, on, os_ = topk_rows(qids, blk_ids, sims)
-                yield pd.DataFrame({"query_id": oq, "neighbor_id": on, "_sim": os_})
+                # strip over query rows: bounds sims to strip×block
+                # (≤0.5 GB at the 65k block cap); each strip row still
+                # sees the FULL corpus, so top-k and tie expansion are
+                # unchanged
+                for s0 in range(0, len(q), 1024):
+                    qi = qids[s0 : s0 + 1024]
+                    sims = q[s0 : s0 + 1024] @ blk_mat.T
+                    sims[qi[:, None] == blk_ids[None, :]] = -np.inf
+                    oq, on, os_ = topk_rows(qi, blk_ids, sims)
+                    yield pd.DataFrame(
+                        {"query_id": oq, "neighbor_id": on, "_sim": os_}
+                    )
 
-        cands = slim.mapInPandas(score, schema=schema)
+        # Parallelism of this path = scan-side partition count; a 2-file
+        # parquet corpus would run the O(n²) kernel on 2 cores
+        # (measured 44 s -> ~4 s at 20k vectors on local[32]).
+        par = max(1, min(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            math.ceil(n / 256),
+        ))
+        cands = slim.repartition(par).mapInPandas(score, schema=schema)
     else:
         def _tag(borders: list) -> DataFrame:
             barr = F.array(*[F.lit(int(b)) for b in borders])
@@ -912,10 +978,24 @@ def knn_self_blas(
                     {"query_id": [], "neighbor_id": [], "_sim": []}
                 ).astype({"query_id": "int64", "neighbor_id": "int64", "_sim": "float64"})
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+            def topk_strips(lids, lmat, rids, rmat, mask_equal_ids):
+                # strip over query rows (each strip row keeps its FULL
+                # sims row, so top-k + tie expansion are unchanged);
+                # a block_rows² allocation at the 65k default would be
+                # 34 GB — strips bound it at ≤0.5 GB
+                oq, on, os_ = [], [], []
+                for s0 in range(0, len(lmat), 1024):
+                    li = lids[s0 : s0 + 1024]
+                    sims = lmat[s0 : s0 + 1024] @ rmat.T
+                    if mask_equal_ids:
+                        sims[li[:, None] == rids[None, :]] = -np.inf
+                    a, b, c = topk_rows(li, rids, sims)
+                    oq.extend(a); on.extend(b); os_.extend(c)
+                return oq, on, os_
+
             if pi == pj:
-                sims = mat @ mat.T
-                np.fill_diagonal(sims, -np.inf)
-                oq, on, os_ = topk_rows(ids, ids, sims)
+                oq, on, os_ = topk_strips(ids, mat, ids, mat, True)
                 return pd.DataFrame(
                     {"query_id": oq, "neighbor_id": on, "_sim": os_}
                 )
@@ -924,9 +1004,10 @@ def knn_self_blas(
                 return pd.DataFrame(
                     {"query_id": [], "neighbor_id": [], "_sim": []}
                 ).astype({"query_id": "int64", "neighbor_id": "int64", "_sim": "float64"})
-            sims = mat[lmask] @ mat[~lmask].T
-            oq1, on1, os1 = topk_rows(ids[lmask], ids[~lmask], sims)
-            oq2, on2, os2 = topk_rows(ids[~lmask], ids[lmask], sims.T)
+            oq1, on1, os1 = topk_strips(ids[lmask], mat[lmask],
+                                        ids[~lmask], mat[~lmask], False)
+            oq2, on2, os2 = topk_strips(ids[~lmask], mat[~lmask],
+                                        ids[lmask], mat[lmask], False)
             return pd.DataFrame(
                 {"query_id": oq1 + oq2, "neighbor_id": on1 + on2, "_sim": os1 + os2}
             )

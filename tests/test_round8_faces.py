@@ -1,0 +1,52 @@
+"""Round-8 evidence faces: pytest pins beside their driver oracles
+(salted-join is pinned in test_plan_guards.py)."""
+
+from __future__ import annotations
+
+from uw_mapreduce_spark.plans.catalog import QUERIES
+
+
+def test_kvtext_roundtrip_audit_verdict(spark, sf_small):
+    """The O2 write-half face must report a TRUE multiset round-trip
+    and aggregates equal to the reference file's own rows."""
+    rows = QUERIES["kvtext_roundtrip_audit"](spark, sf_small).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["roundtrip_ok"] is True
+    with open("/root/reference/input/simple103.txt") as f:
+        kv = [tuple(int(x) for x in line.rstrip("\n").split("\t"))
+              for line in f if line.strip()]
+    assert r["n_rows"] == len(kv)
+    assert r["key_sum"] == sum(k for k, _ in kv)
+    assert r["value_sum"] == sum(v for _, v in kv)
+
+
+def test_ann_index_persistence_audit_verdict(spark, sf_small):
+    """Probing through the persisted centroid index must be
+    bit-identical to the in-memory build, with every query's top-5
+    filled."""
+    rows = QUERIES["ann_index_persistence_audit"](spark, sf_small).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["persisted_identical"] is True
+    assert r["n_results"] == 5 * r["n_queries"]
+
+
+def test_dedup_provenance_rows_are_exactly_the_drops(spark, sf_small):
+    """Provenance rows must be exactly the dropped ids of each
+    manifest, each pointing at its cluster's kept representative."""
+    prov = QUERIES["dedup_provenance_documents"](spark, sf_small).collect()
+    lex = {r["doc_id"]: r for r in
+           QUERIES["dedup_manifest_documents"](spark, sf_small).collect()}
+    sem = {r["vec_id"]: r for r in
+           QUERIES["semantic_dedup_manifest"](spark, sf_small).collect()}
+    lex_drops = {(d, r["canonical_id"]) for d, r in lex.items() if not r["keep"]}
+    sem_drops = {(d, r["canonical_id"]) for d, r in sem.items() if not r["keep"]}
+    got_lex = {(r["doc_id"], r["kept_id"]) for r in prov if r["modality"] == "lexical"}
+    got_sem = {(r["doc_id"], r["kept_id"]) for r in prov if r["modality"] == "semantic"}
+    assert got_lex == lex_drops
+    assert got_sem == sem_drops
+    # every kept_id is actually kept by its own manifest
+    for r in prov:
+        mani = lex if r["modality"] == "lexical" else sem
+        assert mani[r["kept_id"]]["keep"] is True

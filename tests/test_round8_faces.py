@@ -50,3 +50,31 @@ def test_dedup_provenance_rows_are_exactly_the_drops(spark, sf_small):
     for r in prov:
         mani = lex if r["modality"] == "lexical" else sem
         assert mani[r["kept_id"]]["keep"] is True
+
+
+def test_knn_self_blas_multi_block_equals_single_block_at_scale(spark):
+    """The 100 TB path is the multi-block block-pair topology
+    (deterministic borders, row replication into B block-pairs,
+    strip-wise matmuls); it must produce byte-identical (query,
+    neighbor, rank) output to the single-block broadcast path on a
+    corpus large enough that borders, the x4-overshoot retry check,
+    and cross-block boundary candidates all engage."""
+    import numpy as np
+
+    from uw_mapreduce_spark.operators.similarity import knn_self_blas
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    # clustered corpus: boundary ties and cross-block neighbors abound
+    centers = rng.standard_normal((40, 6))
+    vecs = centers[rng.integers(0, 40, n)] + 0.05 * rng.standard_normal((n, 6))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    single = {tuple(r) for r in knn_self_blas(emb, k=3).collect()}
+    multi = {
+        tuple(r)
+        for r in knn_self_blas(emb, k=3, block_rows=1024).collect()
+    }
+    assert multi == single

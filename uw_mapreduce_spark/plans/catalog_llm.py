@@ -1815,7 +1815,7 @@ def semantic_fast_manifest_df(spark, sf_dir):
     100 TB — candidate volume follows the LSH S-curve instead of
     |corpus|², and the verify is a BLAS flop per pair, not an
     interpreted expression.  Recall is probabilistic (near-threshold
-    pairs sit ~22 bits apart in a 64-bit signature — no band config
+    pairs sit ~11 bits apart in the 32-bit signature — no band config
     reaches 100%), so the manifest VALUES can't be value-hashed;
     `semantic_dedup_fast_manifest` hash-pins its per-row structural
     contract and `semantic_dedup_agreement_gate` hash-pins agreement

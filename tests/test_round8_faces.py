@@ -78,3 +78,44 @@ def test_knn_self_blas_multi_block_equals_single_block_at_scale(spark):
         for r in knn_self_blas(emb, k=3, block_rows=1024).collect()
     }
     assert multi == single
+
+
+def test_shapley_matches_pure_python_and_efficiency(spark, sf_small):
+    """The Shapley face must equal a from-scratch Python computation
+    of the coalition game on the same events, and satisfy the
+    efficiency axiom bit-for-bit: Σφ·24 = 24·v(all channels)."""
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    out = {
+        r["channel"]: r["phi_24ths"]
+        for r in QUERIES["shapley_attribution_events"](spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    users: dict = {}
+    for r in ev:
+        users.setdefault(r["user_id"], set()).add(r["event_type"])
+    ch = ["click", "error", "signup", "view"]
+    conv_masks = [
+        m
+        for s in users.values()
+        if "purchase" in s
+        for m in [sum(1 << i for i, c in enumerate(ch) if c in s)]
+        if m
+    ]
+
+    def v(coal):
+        return sum(1 for m in conv_masks if m & coal == m)
+
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    want = {
+        c: sum(
+            w[bin(s).count("1")] * (v(s | (1 << i)) - v(s))
+            for s in range(16)
+            if not s & (1 << i)
+        )
+        for i, c in enumerate(ch)
+    }
+    assert out == want
+    assert sum(out.values()) == 24 * v(15)

@@ -9687,3 +9687,130 @@ def kvtext_roundtrip_audit(spark, sf_dir):
         "n_rows long, key_sum long, value_sum long, kv_hash long, "
         "roundtrip_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# round 8: exact Shapley-value attribution (completes the attribution
+# quartet: linear, position-based, Markov removal-effect, Shapley)
+# --------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]  # bit i = channel i
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|!(3-|S|)! for |C|=4 (denominator 4!)
+
+
+def _shapley_oracle() -> str:
+    nch = len(_SHAP_CHANNELS)
+    flags = ",\n".join(
+        f"         MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS h{i}"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    mask_expr = " + ".join(f"{1 << i} * h{i}" for i in range(nch))
+    subsets = ", ".join(f"({s})" for s in range(1 << nch))
+    pairs = ", ".join(
+        f"({i}, '{c}', {s}, {s | (1 << i)}, {_SHAP_W[bin(s).count('1')]})"
+        for i, c in enumerate(_SHAP_CHANNELS)
+        for s in range(1 << nch)
+        if not s & (1 << i)
+    )
+    return rf"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+{flags}
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT {mask_expr} AS mask, CAST(count(*) AS BIGINT) AS n
+  FROM per_user
+  WHERE conv = 1 AND {mask_expr} > 0
+  GROUP BY 1
+),
+subsets AS (SELECT * FROM (VALUES {subsets}) AS t(s)),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS v
+  FROM subsets s LEFT JOIN counts c ON (c.mask & s.s) = c.mask
+  GROUP BY s.s
+),
+pairs AS (SELECT * FROM (VALUES {pairs}) AS t(ci, channel, s_wo, s_w, w))
+SELECT p.channel,
+       CAST(SUM(p.w * (vw.v - vo.v)) AS BIGINT) AS phi_24ths
+FROM pairs p
+JOIN v vo ON vo.s = p.s_wo
+JOIN v vw ON vw.s = p.s_w
+GROUP BY p.channel
+"""
+
+
+@query("shapley_attribution_events", _shapley_oracle())
+def shapley_attribution_events(spark, sf_dir):
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    credit model beside `attribution_linear_events` (rule-based),
+    `position_attribution_events` (positional), and
+    `markov_attribution_events` (removal-effect): credit to channel c
+    is its average marginal contribution over all 2^|C| coalitions,
+    φ_c = Σ_{S∌c} |S|!(|C|-1-|S|)!/|C|! · (v(S∪{c}) − v(S)), with the
+    characteristic function v(S) = converted users reachable using
+    only channels in S (user's contact-channel set ⊆ S; channel-less
+    conversions are unattributable and excluded, which only shifts
+    every coalition by a constant that cancels in the marginals).
+    Emitted in exact integer 24ths (|C|=4 ⇒ weights ·4! ∈ {6,2,2,6}),
+    so Σφ = 24·v(C) holds bit-for-bit.  Corpus work is ONE user-keyed
+    aggregate → a ≤2^|C|-row mask histogram; the coalition algebra
+    runs on broadcast 16/32-row frames — no collect, and at 100 TB
+    the plan is still one shuffle plus literal-table joins."""
+    nch = len(_SHAP_CHANNELS)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        *[
+            F.max((F.col("event_type") == c).cast("int")).alias(f"h{i}")
+            for i, c in enumerate(_SHAP_CHANNELS)
+        ],
+    )
+    mask_col = sum(F.col(f"h{i}") * F.lit(1 << i) for i in range(nch))
+    counts = (
+        per_user.where(F.col("conv") == 1)
+        .select(mask_col.alias("mask"))
+        .where(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark_sess = ev.sparkSession
+    subsets = spark_sess.createDataFrame(
+        [(s,) for s in range(1 << nch)], "s long"
+    )
+    v = (
+        subsets.join(
+            F.broadcast(counts),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("v"))
+    )
+    pairs = spark_sess.createDataFrame(
+        [
+            (i, s, s | (1 << i), _SHAP_W[bin(s).count("1")])
+            for i in range(nch)
+            for s in range(1 << nch)
+            if not s & (1 << i)
+        ],
+        "ci long, s_wo long, s_w long, w long",
+    )
+    names = spark_sess.createDataFrame(
+        [(i, c) for i, c in enumerate(_SHAP_CHANNELS)], "ci long, channel string"
+    )
+    vo = v.select(F.col("s").alias("s_wo"), F.col("v").alias("_vo"))
+    vw = v.select(F.col("s").alias("s_w"), F.col("v").alias("_vw"))
+    return (
+        pairs.join(F.broadcast(vo), "s_wo")
+        .join(F.broadcast(vw), "s_w")
+        .groupBy("ci")
+        .agg(
+            F.sum(F.col("w") * (F.col("_vw") - F.col("_vo")))
+            .cast("long")
+            .alias("phi_24ths")
+        )
+        .join(F.broadcast(names), "ci")
+        .select("channel", "phi_24ths")
+    )

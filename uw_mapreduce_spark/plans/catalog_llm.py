@@ -5142,3 +5142,131 @@ def dedup_provenance_documents(spark, sf_dir):
         F.lit("semantic").alias("modality"),
     )
     return lex_drops.unionByName(sem_drops)
+
+
+def _curation_v7_oracle() -> str:
+    """Composed verbatim from FIVE registered component oracles
+    (lexical manifest, semantic manifest, quality rules, cross-corpus
+    decontamination, PII regexes) plus the shared split CASE and token
+    expression — the v2..v6 composition contract extended to the full
+    release gauntlet."""
+    from ._registry import ORACLE
+
+    mani = ORACLE["dedup_manifest_documents"]
+    sem = ORACLE["semantic_dedup_manifest"]
+    rules = ORACLE["quality_rules_documents"]
+    decon = ORACLE["decontaminate_documents"]
+    split_case = hash_split_sql("b.doc_id", _SPLITS)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}[-.][0-9]{3,4}[-.]?[0-9]{0,4}"
+    return rf"""
+WITH mani AS ({mani}),
+sem AS ({sem}),
+rules AS ({rules}),
+cont AS (SELECT DISTINCT train_doc FROM ({decon}) c),
+scrub AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or 555-01' ||
+             lpad(CAST(doc_id AS VARCHAR), 2, '0') || '.',
+             '{email}', '<EMAIL>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS t2
+  FROM documents WHERE doc_id % 50 <> 0
+),
+base AS (
+  SELECT b.doc_id, b.lang, {split_case} AS split,
+         CAST(len(string_split_regex(trim(lower(b.t2)), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM scrub b
+)
+SELECT b.split, b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS sum_tokens_scrubbed
+FROM base b
+JOIN mani m ON m.doc_id = b.doc_id AND m.keep
+JOIN rules r ON r.doc_id = b.doc_id AND r.keep = 1
+LEFT JOIN sem s ON s.vec_id = b.doc_id
+LEFT JOIN cont ct ON ct.train_doc = b.doc_id
+WHERE (s.vec_id IS NULL OR s.keep) AND ct.train_doc IS NULL
+GROUP BY b.split, b.lang
+"""
+
+
+@query("curation_pipeline_v7", _curation_v7_oracle())
+def curation_pipeline_v7(spark, sf_dir):
+    """Round-8 capstone: the RELEASE manifest — everything a corpus
+    must clear before it ships as training data, in one fused lazy
+    plan.  A training document (the holdout slice doc_id % 50 == 0 is
+    the benchmark and never ships) survives iff the LEXICAL manifest
+    keeps it ∧ the SEMANTIC manifest keeps it where an embedding
+    exists ∧ the Gopher rule gate passes ∧ it is NOT contaminated
+    (no ≥5-shingle overlap with the holdout — the decontamination
+    audit as a GATE); survivors are PII-scrubbed (the registered
+    email→phone redaction pass over the salted contact line, so the
+    redaction is observable) and budgeted per (split, lang) in
+    scrubbed-token units.  All five components are individually
+    hash-MATCHed and the oracle is assembled verbatim from their
+    registered SQL (the v2..v6 contract), so the fused plan and the
+    composition cannot drift.  At scale each verdict frame is
+    id-keyed and manifest-sized; the corpus crosses the wire once."""
+    from ..operators.dedup import cross_corpus_overlap
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine_near_dup_pairs_numpy
+    from ..operators.split import hash_split
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
+        "label", "_lex"
+    )
+    sem_pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    sem = connected_components(sem_pairs, "id_a", "id_b").withColumnRenamed(
+        "label", "_sem"
+    ).withColumnRenamed("v", "sv")
+    rules = quality_rules_documents(spark, sf_dir).where(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    holdout = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    cont = (
+        cross_corpus_overlap(train, holdout, "text", "doc_id",
+                             n=5, min_common=5, max_df=64)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    scrubbed = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad(F.col("doc_id").cast("string"), 2, "0"), F.lit("."),
+    )
+    base = hash_split(train, "doc_id", _SPLITS).select(
+        "doc_id", "lang", "split",
+        F.size(tokens(redact_pii(scrubbed))).cast("long").alias("n_tokens"),
+    )
+    lex_keep = (
+        train.select("doc_id")
+        .join(lex, F.col("doc_id") == lex.v, "left")
+        .where(F.col("doc_id") == F.coalesce("_lex", F.col("doc_id")))
+        .select("doc_id")
+    )
+    sem_drop = (
+        emb.select("vec_id")
+        .join(sem, emb.vec_id == sem.sv, "left")
+        .where(F.col("vec_id") != F.coalesce("_sem", F.col("vec_id")))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    kept = (
+        base.join(lex_keep, "doc_id")
+        .join(rules, "doc_id")
+        .join(sem_drop, "doc_id", "left_anti")
+        .join(cont, "doc_id", "left_anti")
+    )
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens_scrubbed"),
+    )

@@ -104,6 +104,12 @@ HEADLINE = [
     "curation_pipeline_v6",
     "vocab_overlap_sources",
     "clustering_coefficient_suppliers_capped",
+    # round-8 second wave: skew-salting evidence, dedup provenance,
+    # exact Shapley credit, and the v7 release-manifest capstone.
+    "salted_join_skew_events",
+    "dedup_provenance_documents",
+    "shapley_attribution_events",
+    "curation_pipeline_v7",
 ]
 
 
@@ -289,6 +295,9 @@ SF1_QUERIES = [
     "golden_record_parts",
     "mrr_movements_customers",
     "modularity_nations_suppliers",
+    "salted_join_skew_events",
+    "shapley_attribution_events",
+    "curation_pipeline_v7",
 ]
 
 # The 17 BASELINE.md headline queries — the set the judge compares
@@ -362,7 +371,17 @@ BENCH_NOTES = (
     "LSH planes were rank-one (GF(2)-linear mix => all planes one "
     "direction up to sign => 2-value signatures => 2-bucket all-pairs "
     "verify). splitmix64 planes spread the buckets ~100x: "
-    "semantic_dedup_fast_manifest sf1 33->3.8 s warm, gates unchanged."
+    "semantic_dedup_fast_manifest sf1 33->3.8 s warm, gates unchanged. "
+    "Kernel follow-up: the blocked-BLAS single-block path inherited the "
+    "scan side's partition count (2-file parquet => 2-core O(n^2) "
+    "kernel); now repartitioned to session parallelism with strip-wise "
+    "matmuls and vectorized top-k: exact 20k self-kNN 43-55 -> ~10 s "
+    "best-rep, exact semantic anchor 30 -> 7 s, curation_pipeline_v6 "
+    "31 -> 6.2 s at sf0.1. CAVEAT: this host shows a 2-4x run-to-run "
+    "band on memory-bandwidth-bound kernels (same knn rep measured "
+    "9.5-40 s minutes apart), so single-rep sf1 rows for knn-backed "
+    "faces (label_propagation) wobble accordingly - read the min of "
+    "adjacent rounds, not one row."
 )
 
 

@@ -112,3 +112,12 @@ def test_salted_join_face_spreads_the_hot_keys(spark, sf_small):
     # plan itself; both views must see the salt)
     rows = df.collect()
     assert rows and all(r["salted"] for r in rows)
+
+
+def test_curation_v7_fused_tail_no_cartesian(spark, sf_small):
+    """The release-manifest capstone joins five id-keyed verdict
+    frames; a cartesian/nested-loop regression would multiply the
+    corpus (same contract as the v6 guard)."""
+    plan = _plan(QUERIES["curation_pipeline_v7"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -119,3 +119,18 @@ def test_shapley_matches_pure_python_and_efficiency(spark, sf_small):
     }
     assert out == want
     assert sum(out.values()) == 24 * v(15)
+
+
+def test_knn_self_blas_excludes_self_on_tiny_corpus(spark):
+    """With n <= k + tie_slack the whole corpus is one take==m block
+    and the -inf self-masked entry reaches the candidate stream; it
+    must never surface as a neighbor (the 'self excluded' contract)."""
+    from uw_mapreduce_spark.operators.similarity import knn_self_blas
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = knn_self_blas(emb, k=5).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert len(rows) == 6  # 3 queries x 2 real neighbors, no self rows

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
+#: Query-row strip width for the blocked-BLAS kernels: bounds every
+#: sims allocation to strip×block (≤0.5 GB at the 65536 block-rows
+#: cap) while keeping each strip row's FULL sims row (top-k and tie
+#: expansion semantics are strip-invariant).  One knob for all four
+#: strip loops.
+_STRIP_ROWS = 1024
+
 
 def _unit(vec):
     """Pre-normalize to unit length so pairwise cosine collapses to a
@@ -591,8 +598,8 @@ def cosine_near_dup_pairs_numpy(
                 # strip over query rows: bounds the sims allocation to
                 # strip×block (≤0.5 GB at the 65k block cap) instead of
                 # arrow_batch×block
-                for s0 in range(0, len(q), 1024):
-                    sims = q[s0 : s0 + 1024] @ blk_mat.T
+                for s0 in range(0, len(q), _STRIP_ROWS):
+                    sims = q[s0 : s0 + _STRIP_ROWS] @ blk_mat.T
                     ii, jj = np.nonzero(sims >= threshold)
                     a, b = qids[s0 + ii], blk_ids[jj]
                     keep = a < b
@@ -656,8 +663,8 @@ def cosine_near_dup_pairs_numpy(
             # allocation at the 65k default would be 34 GB; strips keep
             # it ≤0.5 GB with identical flops and output
             outs = []
-            for s0 in range(0, len(lmat), 1024):
-                sims = lmat[s0 : s0 + 1024] @ rmat.T
+            for s0 in range(0, len(lmat), _STRIP_ROWS):
+                sims = lmat[s0 : s0 + _STRIP_ROWS] @ rmat.T
                 ii, jj = np.nonzero(sims >= threshold)
                 a, b = lids[s0 + ii], rids[jj]
                 if upper_only:
@@ -824,7 +831,11 @@ def knn_self_blas(
         m = sims.shape[1]
         take = min(kk, m)
         if take <= 0 or not sims.shape[0]:
-            return [], [], []
+            return (
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.float64),
+            )
         # argpartition (introselect) for the unordered top-take — the
         # per-row lexsort below imposes the deterministic order, so a
         # full-width argsort would pay ~2x for ordering that is
@@ -915,9 +926,9 @@ def knn_self_blas(
                 # (≤0.5 GB at the 65k block cap); each strip row still
                 # sees the FULL corpus, so top-k and tie expansion are
                 # unchanged
-                for s0 in range(0, len(q), 1024):
-                    qi = qids[s0 : s0 + 1024]
-                    sims = q[s0 : s0 + 1024] @ blk_mat.T
+                for s0 in range(0, len(q), _STRIP_ROWS):
+                    qi = qids[s0 : s0 + _STRIP_ROWS]
+                    sims = q[s0 : s0 + _STRIP_ROWS] @ blk_mat.T
                     sims[qi[:, None] == blk_ids[None, :]] = -np.inf
                     oq, on, os_ = topk_rows(qi, blk_ids, sims)
                     yield pd.DataFrame(
@@ -983,16 +994,23 @@ def knn_self_blas(
                 # strip over query rows (each strip row keeps its FULL
                 # sims row, so top-k + tie expansion are unchanged);
                 # a block_rows² allocation at the 65k default would be
-                # 34 GB — strips bound it at ≤0.5 GB
+                # 34 GB — strips bound it at ≤0.5 GB.  Outputs stay
+                # ndarrays end-to-end (concatenate, never element
+                # extends) so the vectorized top-k isn't re-boxed into
+                # Python objects on the at-scale path.
                 oq, on, os_ = [], [], []
-                for s0 in range(0, len(lmat), 1024):
-                    li = lids[s0 : s0 + 1024]
-                    sims = lmat[s0 : s0 + 1024] @ rmat.T
+                for s0 in range(0, len(lmat), _STRIP_ROWS):
+                    li = lids[s0 : s0 + _STRIP_ROWS]
+                    sims = lmat[s0 : s0 + _STRIP_ROWS] @ rmat.T
                     if mask_equal_ids:
                         sims[li[:, None] == rids[None, :]] = -np.inf
                     a, b, c = topk_rows(li, rids, sims)
-                    oq.extend(a); on.extend(b); os_.extend(c)
-                return oq, on, os_
+                    oq.append(a); on.append(b); os_.append(c)
+                return (
+                    np.concatenate(oq) if oq else np.array([], dtype=np.int64),
+                    np.concatenate(on) if on else np.array([], dtype=np.int64),
+                    np.concatenate(os_) if os_ else np.array([], dtype=np.float64),
+                )
 
             if pi == pj:
                 oq, on, os_ = topk_strips(ids, mat, ids, mat, True)
@@ -1009,7 +1027,11 @@ def knn_self_blas(
             oq2, on2, os2 = topk_strips(ids[~lmask], mat[~lmask],
                                         ids[lmask], mat[lmask], False)
             return pd.DataFrame(
-                {"query_id": oq1 + oq2, "neighbor_id": on1 + on2, "_sim": os1 + os2}
+                {
+                    "query_id": np.concatenate([oq1, oq2]),
+                    "neighbor_id": np.concatenate([on1, on2]),
+                    "_sim": np.concatenate([os1, os2]),
+                }
             )
 
         cands = exploded.groupBy("_pi", "_pj").applyInPandas(score_pair, schema=schema)
@@ -1018,7 +1040,11 @@ def knn_self_blas(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cands.withColumn("rnk", F.row_number().over(w))
+        # drop the -inf self-masked rows: on a corpus with n <= kk the
+        # take == m path emits them, and they would survive rnk <= k —
+        # a self-loop edge violating the "self excluded" contract
+        cands.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
     )

@@ -5064,21 +5064,26 @@ def ann_index_persistence_audit(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 40)
-    cents = kmeans_centroids(emb, 16)
+    # Materialize the k-means build ONCE (C=16 rows): the lazy plan
+    # would otherwise re-run the corpus-wide Lloyd iterations for the
+    # save action AND each probe's centroid collect.
+    trained = kmeans_centroids(emb, 16)
+    cents = spark.createDataFrame(trained.collect(), schema=trained.schema)
     tmp = tempfile.mkdtemp(prefix="uwms_annidx_")
     path = f"{tmp}/index"
     try:
         save_ann_index(cents, path)
         loaded = load_ann_index(spark, path)
-        in_place = knn_ivf(emb, queries_df, k=5, n_probes=4, centroids=cents)
-        persisted = knn_ivf(emb, queries_df, k=5, n_probes=4, centroids=loaded)
-        identical = (
-            in_place.exceptAll(persisted).count() == 0
-            and persisted.exceptAll(in_place).count() == 0
-        )
+        # Both probe results are tiny (q*k rows) — collect once each
+        # and compare as multisets, instead of exceptAll counts that
+        # re-evaluate both probe plans twice.
+        a = sorted(map(tuple, knn_ivf(emb, queries_df, k=5, n_probes=4,
+                                      centroids=cents).collect()))
+        b = sorted(map(tuple, knn_ivf(emb, queries_df, k=5, n_probes=4,
+                                      centroids=loaded).collect()))
+        identical = a == b
         n_queries = queries_df.count()
-        n_results = persisted.count()
-        rows = [(n_queries, n_results, identical)]
+        rows = [(n_queries, len(b), identical)]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

@@ -115,7 +115,9 @@ def roc_auc(
     corpus×corpus products — an int64 sum wraps silently once
     n_pos·n_neg ≳ 4.6·10¹⁸); the reported ``num2`` column is BIGINT,
     exact while 2·n_pos·n_neg < 2⁶³ (n ≲ 3·10⁹ rows — beyond that the
-    ratio is still exact, only the raw-count column saturates).
+    ratio is still exact, but the raw-count column becomes NULL: a
+    non-ANSI Spark cast of an overflowing DECIMAL to long returns NULL
+    rather than saturating, and throws under ANSI mode).
 
     The ordered cumulative count runs on the scalable two-pass prefix
     plan (`scale._ranged_with_offsets`), not an unpartitioned window —

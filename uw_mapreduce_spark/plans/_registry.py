@@ -17,6 +17,23 @@ from .oracles import ORACLE_SQL
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# Faces whose query FUNCTION eagerly runs Spark jobs / filesystem side
+# effects before returning the DataFrame (write→re-read round trips,
+# persist→reload equality audits).  Every other catalog face is lazy:
+# calling it only builds a plan.  Plan-shape / explain-only tooling must
+# skip the names listed here.
+EAGER_FACES: frozenset[str] = frozenset(
+    {
+        "kvtext_roundtrip_audit",
+        "ann_index_persistence_audit",
+        "knn_graph_persistence_audit",
+        # Probes the build-once kNN-graph cache: eager (build + write
+        # job) only on a cache miss; cache hits are a plain parquet
+        # scan plus one fingerprint aggregate.
+        "label_propagation_embeddings",
+    }
+)
+
 
 def query(name: str, oracle: str | None = None):
     """Register a catalog query.  The DuckDB oracle comes either inline

@@ -28,7 +28,12 @@ from ..operators.sampling import bernoulli_sample, equi_depth_borders
 from ..operators.scale import sliding_aggregate_scalable
 from ..operators.window import sliding_aggregate
 from ..sources.tables import load_table
-from ._registry import ORACLE, QUERIES, query  # noqa: F401  (re-exported)
+from ._registry import (  # noqa: F401  (re-exported)
+    EAGER_FACES,
+    ORACLE,
+    QUERIES,
+    query,
+)
 
 
 # --------------------------------------------------------------------------
@@ -107,7 +112,10 @@ def _golden91_oracle() -> str | None:
                     if line:
                         r, k, a = (int(x) for x in line.split("\t"))
                         rows.append((r, k, a))
-    except OSError:
+    except (OSError, ValueError):
+        # Missing tree OR malformed golden line (non-integer field, wrong
+        # column count): fall back to the rows-only check instead of
+        # breaking catalog import (matches _simple103_oracle).
         return None
     if not rows:
         return None
@@ -9632,7 +9640,12 @@ def kvtext_roundtrip_audit(spark, sf_dir):
     oracle recomputes the aggregates from the file's rows inlined as
     VALUES and pins ``roundtrip_ok`` TRUE — a writer that drops,
     duplicates, or mangles a row hash-MISMATCHes.  ``sf_dir`` is
-    ignored by design: the input IS the reference fixture."""
+    ignored by design: the input IS the reference fixture.
+
+    EAGER-EXECUTION CONTRACT: calling this face runs the write→re-read
+    round trip (Spark jobs + temp-dir filesystem side effects) before
+    returning the DataFrame — plan-only/explain-only tooling should
+    skip it; it is listed in `EAGER_FACES`."""
     import shutil
     import tempfile
 

@@ -4745,22 +4745,29 @@ def label_propagation_embeddings(spark, sf_dir):
     frontier-monotone settle rule (label once, first round a labeled
     neighbor exists, majority at that moment, ties to the smallest
     label) makes the whole fixpoint deterministic — a fully
-    value-hash-oracled SEMI-SUPERVISED LEARNER.  The kNN graph is
-    built by `knn_self_blas` (blocked-BLAS exact self-kNN,
-    pytest-proven rank-identical to the interpreted `knn_bruteforce`
-    anchor and ~12x faster when every vector is a query); each round
-    after it is one edge join + one argmax window over the frontier's
-    votes, settled labels checkpointed."""
-    from ..operators.similarity import knn_self_blas
+    value-hash-oracled SEMI-SUPERVISED LEARNER.  The kNN graph comes
+    from the BUILD-ONCE artifact (`knn_graph_artifact`): the
+    blocked-BLAS `knn_self_blas` build (pytest-proven rank-identical
+    to the interpreted `knn_bruteforce` anchor and ~12x faster when
+    every vector is a query) runs only when no persisted graph
+    matches the corpus fingerprint — it is the single biggest sf1
+    line item, and every re-run of this face (and any other
+    kNN-graph consumer) probes the k·n parquet edge list instead of
+    re-paying the quadratic build.  Each round after the graph is one
+    edge join + one argmax window over the frontier's votes, settled
+    labels checkpointed.  Cache-miss calls are EAGER (build + write
+    job at call time); the edge scan itself is a plain parquet read,
+    so no localCheckpoint is needed on it."""
+    from ..operators.similarity import knn_graph_artifact
     from ..operators.split import hash_permille
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_self_blas(emb, k=5)
+    knn = knn_graph_artifact(emb, k=5)
     edges = knn.select(
         F.col("query_id").alias("v"),
         F.col("neighbor_id").alias("n"),
         (F.lit(6) - F.col("rnk")).cast("long").alias("wt"),
-    ).localCheckpoint(eager=True)
+    )
     base = emb.select(
         "vec_id",
         F.col("label").cast("long").alias("true_label"),
@@ -5051,7 +5058,14 @@ def ann_index_persistence_audit(spark, sf_dir):
     divergence means the persistence layer corrupted the index.  This
     is the 100 TB serving contract — the k-means build reads the
     corpus once; every later session probes from a C-row parquet file
-    (`operators/similarity.py:651-662`)."""
+    (`save_ann_index`/`load_ann_index` in `operators/similarity.py`).
+
+    EAGER-EXECUTION CONTRACT: unlike the rest of the catalog this face
+    runs Spark jobs, collect()s, and writes/deletes a temp directory
+    when the query FUNCTION is called (the audit must compare two
+    materialized probe paths before it can emit its one verdict row).
+    Plan-shape/explain-only tooling should skip it — it is listed in
+    `plans.catalog.EAGER_FACES` for exactly that purpose."""
     import shutil
     import tempfile
 
@@ -5274,4 +5288,64 @@ def curation_pipeline_v7(spark, sf_dir):
     return kept.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens_scrubbed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round 9: build-once kNN-graph artifact evidence
+# --------------------------------------------------------------------------
+
+_KNN_GRAPH_PERSIST_SQL = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(5 * count(*) AS BIGINT) AS n_edges,
+       TRUE AS persisted_identical
+FROM embeddings
+"""
+
+
+@query("knn_graph_persistence_audit", _KNN_GRAPH_PERSIST_SQL)
+def knn_graph_persistence_audit(spark, sf_dir):
+    """Build-once/probe-many kNN GRAPH serving behind a driver row
+    (the `ann_index_persistence_audit` pattern applied to the edge
+    list): build the exact top-5 self-kNN graph with `knn_self_blas`,
+    persist it with `save_knn_graph`, load it back, and multiset-
+    compare the two edge lists.  Pins (pinned-gate pattern) the
+    vector count, the k·n edge count (every vector must fill its
+    top-5 — a dropped block-pair or starved strip would under-
+    produce), and the persisted-identical verdict: the edge list is
+    three int64 columns, so a parquet round trip is bit-exact and ANY
+    divergence means the persistence layer corrupted the graph.  This
+    is the contract `label_propagation_embeddings` (and every future
+    kNN-graph consumer) relies on when it probes the
+    `knn_graph_artifact` cache instead of re-paying the quadratic
+    BLAS build.
+
+    EAGER-EXECUTION CONTRACT: listed in `EAGER_FACES` — calling this
+    face runs the build, a parquet write, two collects, and temp-dir
+    cleanup before returning its one-row DataFrame."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        knn_self_blas,
+        load_knn_graph,
+        save_knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built = knn_self_blas(emb, k=5)
+    tmp = tempfile.mkdtemp(prefix="uwms_knngraph_")
+    path = f"{tmp}/graph"
+    try:
+        save_knn_graph(built, path)
+        loaded = load_knn_graph(spark, path)
+        a = sorted(map(tuple, built.collect()))
+        b = sorted(map(tuple, loaded.collect()))
+        identical = a == b
+        n_vectors = emb.count()
+        rows = [(n_vectors, len(b), identical)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_vectors long, n_edges long, persisted_identical boolean"
     )

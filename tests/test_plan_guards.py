@@ -121,3 +121,33 @@ def test_curation_v7_fused_tail_no_cartesian(spark, sf_small):
     plan = _plan(QUERIES["curation_pipeline_v7"](spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_scalable_route_avoids_unpartitioned_window(spark):
+    """Above max_domain distinct x the skyline must route its prefix
+    max through the two-pass scalable plan — no `Window [...]` without
+    a partitionBy spec over the full histogram (VERDICT r8 item 5) —
+    and both routes must agree row-for-row."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.operators.skyline import pareto_frontier
+
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 997).alias("x"),
+            ((F.col("id") * 37) % 1009).alias("y"),
+        )
+    )
+    small = pareto_frontier(df, "x", "y")  # 997 distinct x < default cap
+    big = pareto_frontier(df, "x", "y", max_domain=10)  # forces scalable route
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    plan = _plan(big)
+    # The single-partition histogram window would show as a Window node
+    # whose spec has an empty partition clause; the scalable route's only
+    # window partitions by _pid.
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(1), f"unpartitioned window survived: {m.group(0)[:200]}"

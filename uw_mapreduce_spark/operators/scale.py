@@ -503,11 +503,17 @@ def prefix_max_scalable(
     value_col: str,
     out_col: str = "prefix_max",
     num_partitions: int = 32,
+    inclusive: bool = True,
 ) -> DataFrame:
-    """Global INCLUSIVE running maximum of ``value_col`` in
-    ``order_by`` order, without a single-partition window — the
-    high-watermark primitive (running max of event time in arrival
-    order is exactly Structured Streaming's watermark bookkeeping).
+    """Global running maximum of ``value_col`` in ``order_by`` order,
+    without a single-partition window — the high-watermark primitive
+    (running max of event time in arrival order is exactly Structured
+    Streaming's watermark bookkeeping).  ``inclusive=False`` computes
+    the EXCLUSIVE prefix max (max over strictly-preceding rows, NULL
+    for the global first row) — the dominance test of the skyline
+    operator (`operators/skyline.pareto_frontier`): the local window
+    ends at ``-1`` and the carry-in stays the same exclusive
+    per-partition composition.
 
     Same two-pass shape as `_ranged_with_offsets` (O8/O13 in the
     reference, `SlidingAggregation.java:159-168,305-310`): range
@@ -545,11 +551,18 @@ def prefix_max_scalable(
     )
     carries = df.sparkSession.createDataFrame(carry_rows, carry_schema)
     w_run = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+        Window.unboundedPreceding, Window.currentRow if inclusive else -1
     )
     local = F.max(F.col(value_col)).over(w_run)
+    if inclusive:
+        out = F.greatest(local, F.coalesce(F.col("_carry"), local))
+    else:
+        # Either side may be NULL (first row of a partition / first
+        # partition); Spark's greatest skips NULLs, so this is the
+        # exclusive max of whichever exist, NULL only when neither does.
+        out = F.greatest(local, F.col("_carry"))
     return (
         ranged.join(F.broadcast(carries), "_pid")
-        .withColumn(out_col, F.greatest(local, F.coalesce(F.col("_carry"), local)))
+        .withColumn(out_col, out)
         .drop("_pid", "_carry")
     )

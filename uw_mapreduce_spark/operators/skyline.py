@@ -17,7 +17,10 @@ histogram (bounded by the value domain — prices on a cent grid, sizes
 on an integer grid — not by corpus size), then a broadcast-join back
 and a map-side filter.  The same "shuffle the vocabulary, not the
 corpus" argument as `grouped_weighted_median`; for genuinely
-continuous x, quantize first (the repo-wide integer-grid discipline).
+continuous x, quantize first (the repo-wide integer-grid discipline) —
+and when the distinct-x count still exceeds ``max_domain``, the prefix
+max routes through the two-pass `scale.prefix_max_scalable` plan so no
+single task ever materializes the whole histogram.
 """
 
 from __future__ import annotations
@@ -32,21 +35,40 @@ def pareto_frontier(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_domain: int = 65536,
 ) -> DataFrame:
     """Rows with ``y > max(y)`` over all strictly-smaller ``x``.
 
     Both columns must be integer-comparable (quantize doubles first).
-    Returns the input rows unchanged (the survivors)."""
+    Returns the input rows unchanged (the survivors).
+
+    The cumulative max over the x-value histogram is an unpartitioned
+    window — bounded by |distinct x|, fine for grid-valued domains but
+    one task for genuinely continuous x at 100×.  Above ``max_domain``
+    distinct values the prefix max routes through the two-pass
+    `scale.prefix_max_scalable(inclusive=False)` plan instead (range
+    partition → per-partition max → broadcast carry-ins → local
+    window), and the survivor filter joins back on x without the
+    broadcast (a 2³²-row histogram is not broadcastable).  Deciding
+    needs |distinct x|, so the histogram aggregate runs EAGERLY at
+    call time (one count on a frame the plan materializes anyway)."""
     h = df.groupBy(x_col).agg(F.max(y_col).alias("_ymax"))
-    w = (
-        Window.orderBy(x_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = h.withColumn("_best_below", F.max("_ymax").over(w)).select(
-        x_col, "_best_below"
-    )
-    return (
-        df.join(F.broadcast(cum), x_col)
-        .where(F.col("_best_below").isNull() | (F.col(y_col) > F.col("_best_below")))
-        .drop("_best_below")
-    )
+    if h.count() > max_domain:
+        from .scale import prefix_max_scalable
+
+        cum = prefix_max_scalable(
+            h, [x_col], "_ymax", out_col="_best_below", inclusive=False
+        ).select(x_col, "_best_below")
+        joined = df.join(cum, x_col)
+    else:
+        w = (
+            Window.orderBy(x_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = h.withColumn("_best_below", F.max("_ymax").over(w)).select(
+            x_col, "_best_below"
+        )
+        joined = df.join(F.broadcast(cum), x_col)
+    return joined.where(
+        F.col("_best_below").isNull() | (F.col(y_col) > F.col("_best_below"))
+    ).drop("_best_below")

@@ -27,6 +27,7 @@ EAGER_FACES: frozenset[str] = frozenset(
         "kvtext_roundtrip_audit",
         "ann_index_persistence_audit",
         "knn_graph_persistence_audit",
+        "streaming_ivm_rollup_events",
         # Probes the build-once kNN-graph cache: eager (build + write
         # job) only on a cache miss; cache hits are a plain parquet
         # scan plus one fingerprint aggregate.

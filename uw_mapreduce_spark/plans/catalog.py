@@ -9827,3 +9827,70 @@ def shapley_attribution_events(spark, sf_dir):
         .join(F.broadcast(names), "ci")
         .select("channel", "phi_24ths")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: streaming evidence on the driver's board
+# --------------------------------------------------------------------------
+
+_STREAMING_IVM_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(4 AS BIGINT) AS n_batches
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("streaming_ivm_rollup_events", _STREAMING_IVM_SQL)
+def streaming_ivm_rollup_events(spark, sf_dir):
+    """STRUCTURED STREAMING on the driver's green board: a
+    deterministic replay of the foreachBatch IVM maintenance pipeline
+    (`streaming/maintenance.maintain_rollup`).  The events table is
+    staged as exactly 4 parquet files, read back as a file stream with
+    ``maxFilesPerTrigger=1`` under an ``availableNow`` trigger, and
+    each micro-batch is folded into the running snapshot as a
+    +1-weighted changelog via `operators/merge.incremental_rollup` —
+    O(|batch| keys) per batch, never a base recompute.  The returned
+    frame is the DRAINED snapshot (per-user count + integer-scaled
+    value sum) plus the batch count, and the oracle is the one-shot
+    aggregate of the same input with ``n_batches`` pinned to 4: a
+    stream that dropped a batch, double-applied one, or collapsed the
+    4 files into fewer triggers hash-MISMATCHes.  This is the
+    streaming twins' batch-equality contract (pytest
+    `test_streaming_rollup_maintenance_converges_to_batch`) promoted
+    to a driver value-hash row.
+
+    EAGER-EXECUTION CONTRACT: listed in `EAGER_FACES` — calling this
+    face stages files, runs the streaming query to completion, and
+    cleans the temp dir before returning its (checkpointed) result."""
+    import shutil
+    import tempfile
+
+    from ..streaming.maintenance import maintain_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("value_m")
+    )
+    tmp = tempfile.mkdtemp(prefix="uwms_ivm_")
+    staging = f"{tmp}/staging"
+    try:
+        ev.repartition(4).write.parquet(staging)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        q, m = maintain_rollup(stream, ["user_id"], "value_m")
+        q.awaitTermination(300)
+        n_batches = m.batches_applied
+        snap = m.snapshot  # localCheckpointed: independent of staging
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return snap.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.lit(n_batches).cast("long").alias("n_batches"),
+    )

@@ -92,3 +92,50 @@ def test_knn_graph_persistence_audit_face(spark, sf_small):
     row = QUERIES["knn_graph_persistence_audit"](spark, sf_small).collect()[0]
     assert row["persisted_identical"] is True
     assert row["n_edges"] == 5 * row["n_vectors"]
+
+
+def test_streaming_ivm_face_equals_batch_aggregate(spark, sf_small):
+    """The driver face itself (not just the maintainer): drained
+    4-batch snapshot == one-shot aggregate, n_batches pinned."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.plans.catalog import QUERIES
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    got = QUERIES["streaming_ivm_rollup_events"](spark, sf_small)
+    rows = got.collect()
+    assert rows and all(r["n_batches"] == 4 for r in rows)
+    expected = {
+        tuple(r)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert {(r["user_id"], r["n"], r["sum_v"]) for r in rows} == expected
+
+
+def test_rotation_defers_new_registrations_behind_backlog():
+    """Round-9 registrations must not steal the driver's 50
+    verification slots from the never-verified backlog: every
+    _DEFER_FIRST_SLOT member sorts after every other priority-0
+    query (VERDICT r8 item 1)."""
+    import __spark_entry__ as e
+
+    names = e._rotated_names()
+    last, last_hash = e._last_verified_round()
+    from uw_mapreduce_spark.plans.catalog import ORACLE
+
+    def prio(n):
+        if n in ORACLE and last_hash.get(n, 0) == 0:
+            return 0
+        return last.get(n, 0)
+
+    backlog = [n for n in names if prio(n) == 0 and n not in e._DEFER_FIRST_SLOT]
+    deferred = [n for n in names if n in e._DEFER_FIRST_SLOT]
+    assert deferred, "round-9 additions should be registered"
+    last_backlog_idx = max(names.index(n) for n in backlog)
+    assert all(names.index(d) > last_backlog_idx for d in deferred)

@@ -315,6 +315,12 @@ SF1_ALWAYS = [
     # now that the face probes the persisted artifact (~3 s at sf1)
     # instead of re-paying the ~30 s BLAS build (VERDICT r8 item 2).
     "label_propagation_embeddings",
+    # The other three faces VERDICT r8 item 3 named for multi-rep sf1
+    # spreads: their single-rep rows sat inside the host's 2-4x band,
+    # so every round they get 2 reps with the raw times recorded.
+    "clustering_coefficient_suppliers_capped",
+    "dbscan_embeddings_2d",
+    "golden_record_parts",
 ]
 
 # Kernel-bound faces (BLAS kNN / blocked-cosine builds) whose single-rep
@@ -372,13 +378,16 @@ BENCH_NOTES = (
     "r9: kNN-backed + blocked-cosine faces now take SPARK_GRAFT_SF1_REPS "
     "(default 2) reps at sf1 with the MIN recorded and raw times under "
     "sf1_rep_spread (the 2-4x host band made single-rep rows unreadable); "
-    "the four r8 capstones (curation v6/v7, dedup_provenance, shapley) are "
-    "timed at sf1 EVERY round via SF1_ALWAYS; baseline_total is the stable "
-    "17-query BASELINE.md subtotal, comparable across rounds regardless of "
-    "HEADLINE growth. label_propagation_embeddings now probes the build-once "
-    "persisted kNN-graph artifact (.knn_graph_cache, content-fingerprinted): "
-    "rep 1 pays build+save, rep 2 is the probe-path cost - the min IS the "
-    "production build-once number, the spread shows the build. "
+    "the r8 capstones (curation v6/v7, dedup_provenance, shapley) plus the "
+    "four faces VERDICT r8 named for multi-rep spreads (label_propagation, "
+    "clustering_coefficient_capped, dbscan, golden_record) run at sf1 EVERY "
+    "round via SF1_ALWAYS; the 17 BASELINE.md queries take a 3rd sf0.1 rep "
+    "(min-of-2 left 4-12% noise overshoots on 1-2 s plans); baseline_total "
+    "is the stable 17-query subtotal, comparable across rounds regardless "
+    "of HEADLINE growth. label_propagation_embeddings now probes the "
+    "build-once persisted kNN-graph artifact (.knn_graph_cache, content-"
+    "fingerprinted): first-ever run pays build+save (~30 s), every rep "
+    "after probes in ~3 s - the min IS the production build-once number. "
     "r8: clustering_coefficient_suppliers_capped (per-part fan-out cap 24, "
     "oracle-hash-matched) replaces the exact face in the bench lists - sf1 "
     "warm 9.5-14.0 s vs exact 23.1-29.6 s, and the exact face's edge work "

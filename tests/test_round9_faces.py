@@ -139,3 +139,31 @@ def test_rotation_defers_new_registrations_behind_backlog():
     assert deferred, "round-9 additions should be registered"
     last_backlog_idx = max(names.index(n) for n in backlog)
     assert all(names.index(d) > last_backlog_idx for d in deferred)
+
+
+def test_near_dup_pairs_artifact_builds_once_and_matches_direct(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The shared near-dup pair artifact: identical to the direct
+    blocked-BLAS build, built exactly once per (corpus, threshold),
+    and threshold-keyed (0.45 and 0.6 artifacts coexist)."""
+    from uw_mapreduce_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cache = str(tmp_path / "ndpcache")
+    calls = {"n": 0}
+    real = sim.cosine_near_dup_pairs_numpy
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "cosine_near_dup_pairs_numpy", counting)
+    a1 = sorted(map(tuple, sim.near_dup_pairs_artifact(emb, 0.45, cache_dir=cache).collect()))
+    a2 = sorted(map(tuple, sim.near_dup_pairs_artifact(emb, 0.45, cache_dir=cache).collect()))
+    assert calls["n"] == 1 and a1 == a2
+    direct = sorted(map(tuple, real(emb, threshold=0.45).collect()))
+    assert a1 == direct
+    b = sorted(map(tuple, sim.near_dup_pairs_artifact(emb, 0.6, cache_dir=cache).collect()))
+    assert calls["n"] == 2, "different threshold = different artifact"
+    assert set(b) <= set(a1), "higher threshold pairs are a subset"

@@ -723,6 +723,48 @@ def load_knn_graph(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _artifact_cache_dir(cache_dir: str | None) -> str:
+    """Default artifact location: $SPARK_GRAFT_KNN_CACHE or
+    ``.knn_graph_cache/`` beside the repo.  On a cluster point the env
+    var at shared storage (hdfs://, s3a://) so every session probes
+    one build."""
+    import os
+
+    if cache_dir is not None:
+        return cache_dir
+    return os.environ.get("SPARK_GRAFT_KNN_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".knn_graph_cache",
+    )
+
+
+def _corpus_fingerprint(corpus: DataFrame, id_col: str, vec_col: str) -> str:
+    """Content key for vector-corpus artifacts: one narrow aggregate
+    over (row count, Σ id, Σ ⌊10⁶·first component⌋) — ids OR values
+    changing (e.g. the bench's per-copy embedding perturbation) misses
+    the cache and rebuilds."""
+    fp = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(id_col)).alias("si"),
+        F.sum(F.floor(F.element_at(F.col(vec_col), 1) * F.lit(1000000.0))).alias("se"),
+    ).collect()[0]
+    return f"n{fp['n']}_i{fp['si']}_e{fp['se']}"
+
+
+def _artifact_exists(spark, marker: str) -> bool:
+    import os
+
+    try:
+        # Hadoop FileSystem check: honors whatever scheme the cache dir
+        # carries (hdfs://, s3a://, file:) — a bare os.path.exists
+        # would silently always-miss on shared cluster storage.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(marker)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(jpath)
+    except Exception:
+        return os.path.exists(marker)
+
+
 def knn_graph_artifact(
     corpus: DataFrame,
     k: int = 5,
@@ -752,33 +794,47 @@ def knn_graph_artifact(
     import os
 
     spark = corpus.sparkSession
-    if cache_dir is None:
-        cache_dir = os.environ.get("SPARK_GRAFT_KNN_CACHE") or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            ".knn_graph_cache",
-        )
-    fp = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(id_col)).alias("si"),
-        F.sum(F.floor(F.element_at(F.col(vec_col), 1) * F.lit(1000000.0))).alias("se"),
-    ).collect()[0]
-    key = f"k{k}_n{fp['n']}_i{fp['si']}_e{fp['se']}"
-    path = os.path.join(cache_dir, key)
-    marker = os.path.join(path, "_SUCCESS")
-    try:
-        # Hadoop FileSystem check: honors whatever scheme cache_dir
-        # carries (hdfs://, s3a://, file:) — a bare os.path.exists
-        # would silently always-miss on shared cluster storage.
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(marker)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        have = fs.exists(jpath)
-    except Exception:
-        have = os.path.exists(marker)
-    if not have:
+    key = f"k{k}_{_corpus_fingerprint(corpus, id_col, vec_col)}"
+    path = os.path.join(_artifact_cache_dir(cache_dir), key)
+    if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):
         save_knn_graph(
             knn_self_blas(corpus, k=k, id_col=id_col, vec_col=vec_col), path
         )
     return load_knn_graph(spark, path)
+
+
+def near_dup_pairs_artifact(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Build-once/probe-many exact cosine near-dup PAIR list: the
+    `cosine_near_dup_pairs_numpy` output served from a persisted
+    parquet artifact, keyed by corpus content fingerprint + the
+    integer-milli threshold (same contract as `knn_graph_artifact`).
+
+    Four pipeline faces consume the identical (corpus, 0.45) pair
+    list — the semantic dedup manifest, both curation capstones, and
+    the dedup provenance trail — and each was re-paying the blocked
+    O(n²/block) BLAS build.  At 100 TB the pair list is THE shared
+    intermediate of a curation release (manifest-sized: qualifying
+    pairs only), so it is built once per corpus snapshot and probed
+    by every downstream job.  Two int64 columns round-trip parquet
+    bit-exact; `cosine_near_dup_pairs` (the driver anchor face) keeps
+    building directly so the kernel itself stays benchmarked."""
+    import os
+
+    spark = corpus.sparkSession
+    t_milli = int(round(threshold * 1000))
+    key = f"ndp{t_milli}_{_corpus_fingerprint(corpus, id_col, vec_col)}"
+    path = os.path.join(_artifact_cache_dir(cache_dir), key)
+    if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):
+        cosine_near_dup_pairs_numpy(
+            corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def hard_negative_pairs(

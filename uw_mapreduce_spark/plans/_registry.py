@@ -28,10 +28,14 @@ EAGER_FACES: frozenset[str] = frozenset(
         "ann_index_persistence_audit",
         "knn_graph_persistence_audit",
         "streaming_ivm_rollup_events",
-        # Probes the build-once kNN-graph cache: eager (build + write
-        # job) only on a cache miss; cache hits are a plain parquet
-        # scan plus one fingerprint aggregate.
+        # Probe build-once artifact caches (kNN graph / near-dup pair
+        # list): eager (build + write job) only on a cache miss; cache
+        # hits are a plain parquet scan plus one fingerprint aggregate.
         "label_propagation_embeddings",
+        "semantic_dedup_manifest",
+        "curation_pipeline_v6",
+        "curation_pipeline_v7",
+        "dedup_provenance_documents",
     }
 )
 

@@ -1789,10 +1789,10 @@ def semantic_dedup_manifest(spark, sf_dir):
     swap in `cosine_near_dup_lsh` candidates with this exact path as
     the verification oracle."""
     from ..operators.graph import connected_components
-    from ..operators.similarity import cosine_near_dup_pairs_numpy
+    from ..operators.similarity import near_dup_pairs_artifact
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    pairs = near_dup_pairs_artifact(emb, threshold=0.45)
     # embeddings carries its own `label` column (class id) — rename the
     # component label before joining to avoid the ambiguity.
     labeled = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
@@ -4853,7 +4853,7 @@ def curation_pipeline_v6(spark, sf_dir):
     each manifest is the artifact — the corpus crosses the wire once
     here, joined against three id-keyed verdict frames."""
     from ..operators.graph import connected_components
-    from ..operators.similarity import cosine_near_dup_pairs_numpy
+    from ..operators.similarity import near_dup_pairs_artifact
     from ..operators.split import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4863,7 +4863,7 @@ def curation_pipeline_v6(spark, sf_dir):
     lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
         "label", "_lex"
     )
-    sem_pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
     sem = connected_components(sem_pairs, "id_a", "id_b").withColumnRenamed(
         "label", "_sem"
     ).withColumnRenamed("v", "sv")
@@ -5141,7 +5141,7 @@ def dedup_provenance_documents(spark, sf_dir):
     SQL; at 100 TB this is a manifest-sized frame (drops only), never
     a corpus rewrite."""
     from ..operators.graph import connected_components
-    from ..operators.similarity import cosine_near_dup_pairs_numpy
+    from ..operators.similarity import near_dup_pairs_artifact
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5153,7 +5153,7 @@ def dedup_provenance_documents(spark, sf_dir):
         F.col("label").cast("long").alias("kept_id"),
         F.lit("lexical").alias("modality"),
     )
-    sem_pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
     sem = connected_components(sem_pairs, "id_a", "id_b")
     sem_drops = sem.where(F.col("v") != F.col("label")).select(
         F.col("v").alias("doc_id"),
@@ -5232,7 +5232,7 @@ def curation_pipeline_v7(spark, sf_dir):
     id-keyed and manifest-sized; the corpus crosses the wire once."""
     from ..operators.dedup import cross_corpus_overlap
     from ..operators.graph import connected_components
-    from ..operators.similarity import cosine_near_dup_pairs_numpy
+    from ..operators.similarity import near_dup_pairs_artifact
     from ..operators.split import hash_split
     from ..functions.text import redact_pii
 
@@ -5243,7 +5243,7 @@ def curation_pipeline_v7(spark, sf_dir):
     lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
         "label", "_lex"
     )
-    sem_pairs = cosine_near_dup_pairs_numpy(emb, threshold=0.45)
+    sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
     sem = connected_components(sem_pairs, "id_a", "id_b").withColumnRenamed(
         "label", "_sem"
     ).withColumnRenamed("v", "sv")

@@ -167,3 +167,45 @@ def test_near_dup_pairs_artifact_builds_once_and_matches_direct(
     b = sorted(map(tuple, sim.near_dup_pairs_artifact(emb, 0.6, cache_dir=cache).collect()))
     assert calls["n"] == 2, "different threshold = different artifact"
     assert set(b) <= set(a1), "higher threshold pairs are a subset"
+
+
+def test_jaccard_pairs_artifact_builds_once_and_text_edits_invalidate(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The lexical pair artifact: identical to the direct inverted-index
+    build, built once per (corpus, n, threshold, max_df), and the
+    content fingerprint hashes TEXT (a same-length edit that keeps ids
+    and counts must still rebuild)."""
+    import pyspark.sql.functions as F
+
+    from uw_mapreduce_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(120)
+    cache = str(tmp_path / "njpcache")
+    calls = {"n": 0}
+    real = dd.ngram_jaccard_pairs
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dd, "ngram_jaccard_pairs", counting)
+    a1 = sorted(map(tuple, dd.jaccard_pairs_artifact(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=64, cache_dir=cache
+    ).collect()))
+    a2 = sorted(map(tuple, dd.jaccard_pairs_artifact(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=64, cache_dir=cache
+    ).collect()))
+    assert calls["n"] == 1 and a1 == a2
+    direct = sorted(map(tuple, real(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=64
+    ).collect()))
+    assert a1 == direct
+    # Same ids, same row count, same text LENGTH — only content differs.
+    edited = docs.withColumn(
+        "text", F.concat(F.substring("text", 2, 2**30), F.substring("text", 1, 1))
+    )
+    dd.jaccard_pairs_artifact(
+        edited, "text", "doc_id", n=5, threshold=0.8, max_df=64, cache_dir=cache
+    ).count()
+    assert calls["n"] == 2, "text edit must miss the cache"

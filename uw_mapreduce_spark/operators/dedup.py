@@ -173,6 +173,55 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_pairs_artifact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Build-once/probe-many exact n-gram Jaccard pair list: the
+    `ngram_jaccard_pairs` output served from a persisted parquet
+    artifact — the LEXICAL twin of
+    `similarity.near_dup_pairs_artifact` (same cache contract).
+
+    Eight pipeline faces consume the identical (documents, n=5, 0.8,
+    max_df=64) pair list — the dedup manifest/clusters, curation
+    v2/v3/v6/v7, token savings, and dedup provenance — and each was
+    re-paying the shingle explode + inverted-index self-join.  At
+    100 TB the pair list is manifest-sized (qualifying pairs only)
+    and is THE shared intermediate of a lexical dedup release: built
+    once per corpus snapshot, probed by every downstream job.  The
+    corpus fingerprint hashes text content (Σ crc32), so any edit —
+    not just id/count changes — invalidates the artifact.  All three
+    output columns are int64 (permille similarity, never a double),
+    so the parquet round trip is bit-exact.  `ngram_jaccard_documents`
+    (the driver anchor face) keeps building directly so the join
+    topology itself stays benchmarked."""
+    import os
+
+    from .similarity import _artifact_cache_dir, _artifact_exists
+
+    spark = df.sparkSession
+    fp = df.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.col(id_col)).alias("si"),
+        F.sum(F.crc32(F.col(text_col).cast("string"))).alias("sc"),
+    ).collect()[0]
+    key = (
+        f"njp{n}_t{int(round(threshold * 1000))}_d{max_df or 0}"
+        f"_n{fp['nn']}_i{fp['si']}_c{fp['sc']}"
+    )
+    path = os.path.join(_artifact_cache_dir(cache_dir), key)
+    if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):
+        ngram_jaccard_pairs(
+            df, text_col, id_col, n=n, threshold=threshold, max_df=max_df
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 #: Mersenne prime 2^61-1 — modulus of the portable affine hash family.
 _M61 = (1 << 61) - 1
 

@@ -28,14 +28,20 @@ EAGER_FACES: frozenset[str] = frozenset(
         "ann_index_persistence_audit",
         "knn_graph_persistence_audit",
         "streaming_ivm_rollup_events",
-        # Probe build-once artifact caches (kNN graph / near-dup pair
-        # list): eager (build + write job) only on a cache miss; cache
-        # hits are a plain parquet scan plus one fingerprint aggregate.
+        # Probe build-once artifact caches (kNN graph / cosine near-dup
+        # pair list / lexical n-gram Jaccard pair list): eager (build +
+        # write job) only on a cache miss; cache hits are a plain
+        # parquet scan plus one fingerprint aggregate.
         "label_propagation_embeddings",
         "semantic_dedup_manifest",
         "curation_pipeline_v6",
         "curation_pipeline_v7",
         "dedup_provenance_documents",
+        "dedup_clusters_documents",
+        "dedup_manifest_documents",
+        "curation_pipeline_v2",
+        "curation_pipeline_v3",
+        "dedup_token_savings",
     }
 )
 

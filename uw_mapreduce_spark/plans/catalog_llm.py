@@ -19,6 +19,7 @@ from ..functions.text import doc_stats, lang_id, tokens
 from ..operators.dedup import (
     exact_duplicates,
     fingerprint_duplicates,
+    jaccard_pairs_artifact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -139,7 +140,7 @@ def dedup_clusters_documents(spark, sf_dir):
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     return connected_components(pairs, "doc_a", "doc_b").select("v", "label")
 
 # Full DuckDB twin of the portable MinHash-LSH pipeline: same shingles,
@@ -1409,7 +1410,7 @@ def dedup_manifest_documents(spark, sf_dir):
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     labeled = connected_components(pairs, "doc_a", "doc_b")
     out = docs.join(labeled, docs.doc_id == labeled.v, "left").select(
         "doc_id",
@@ -1456,7 +1457,7 @@ def curation_pipeline_v2(spark, sf_dir):
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     labeled = connected_components(pairs, "doc_a", "doc_b")
     kept = docs.join(labeled, docs.doc_id == labeled.v, "left").where(
         F.coalesce("label", "doc_id") == F.col("doc_id")
@@ -2002,7 +2003,7 @@ def curation_pipeline_v3(spark, sf_dir):
     from ..operators.sampling import mixture_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     labeled = connected_components(pairs, "doc_a", "doc_b")
     kept = docs.join(labeled, docs.doc_id == labeled.v, "left").where(
         F.coalesce("label", "doc_id") == F.col("doc_id")
@@ -4569,7 +4570,7 @@ def dedup_token_savings(spark, sf_dir):
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     labeled = connected_components(pairs, "doc_a", "doc_b")
     keep = F.col("doc_id") == F.coalesce("label", "doc_id")
     tok = F.size(tokens(F.col("text"))).cast("long")
@@ -4859,7 +4860,7 @@ def curation_pipeline_v6(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex_pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    lex_pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
         "label", "_lex"
     )
@@ -5146,7 +5147,7 @@ def dedup_provenance_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex_pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    lex_pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     lex = connected_components(lex_pairs, "doc_a", "doc_b")
     lex_drops = lex.where(F.col("v") != F.col("label")).select(
         F.col("v").alias("doc_id"),
@@ -5239,7 +5240,7 @@ def curation_pipeline_v7(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex_pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
+    lex_pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
     lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
         "label", "_lex"
     )

@@ -388,6 +388,13 @@ BENCH_NOTES = (
     "build-once persisted kNN-graph artifact (.knn_graph_cache, content-"
     "fingerprinted): first-ever run pays build+save (~30 s), every rep "
     "after probes in ~3 s - the min IS the production build-once number. "
+    "Same pattern now serves the two shared pair lists: "
+    "near_dup_pairs_artifact (cosine 0.45; semantic manifest + v6/v7 + "
+    "provenance) and jaccard_pairs_artifact (5-gram 0.8 max_df 64; dedup "
+    "manifest/clusters, v2/v3/v6/v7, token savings, provenance) - one "
+    "build per corpus snapshot, so curation faces measure their own tail, "
+    "not a rebuild of the shared intermediate (v7 sf1 20.5->9.6 s warm); "
+    "the ngram_jaccard/cosine_near_dup anchor faces keep building direct. "
     "r8: clustering_coefficient_suppliers_capped (per-part fan-out cap 24, "
     "oracle-hash-matched) replaces the exact face in the bench lists - sf1 "
     "warm 9.5-14.0 s vs exact 23.1-29.6 s, and the exact face's edge work "

@@ -717,9 +717,13 @@ def main() -> int:
     }
     # Stable round-over-round comparable: the 17-query BASELINE.md suite
     # total, immune to HEADLINE list growth (ADVICE r8 — the headline
-    # 'value' changes meaning whenever faces are added/swapped).
-    result["baseline_total"] = round(
-        sum(t for t in result["baseline_queries"].values() if t >= 0), 3
+    # 'value' changes meaning whenever faces are added/swapped).  An
+    # errored query must make the total read FAILED (-1.0), not quietly
+    # shrink it into a fake round-over-round speedup.
+    result["baseline_total"] = (
+        -1.0
+        if any(t < 0 for t in result["baseline_queries"].values())
+        else round(sum(result["baseline_queries"].values()), 3)
     )
     tail_keys = [
         "sf1_rotation", "rep_spread", "errors",

@@ -194,25 +194,21 @@ def jaccard_pairs_artifact(
     100 TB the pair list is manifest-sized (qualifying pairs only)
     and is THE shared intermediate of a lexical dedup release: built
     once per corpus snapshot, probed by every downstream job.  The
-    corpus fingerprint hashes text content (Σ crc32), so any edit —
-    not just id/count changes — invalidates the artifact.  All three
+    corpus fingerprint hashes (id, text) per row, so any edit — not
+    just id/count changes, including texts permuted across ids —
+    invalidates the artifact.  All three
     output columns are int64 (permille similarity, never a double),
     so the parquet round trip is bit-exact.  `ngram_jaccard_documents`
     (the driver anchor face) keeps building directly so the join
     topology itself stays benchmarked."""
     import os
 
-    from .similarity import _artifact_cache_dir, _artifact_exists
+    from .similarity import _artifact_cache_dir, _artifact_exists, _corpus_fingerprint
 
     spark = df.sparkSession
-    fp = df.agg(
-        F.count(F.lit(1)).alias("nn"),
-        F.sum(F.col(id_col)).alias("si"),
-        F.sum(F.crc32(F.col(text_col).cast("string"))).alias("sc"),
-    ).collect()[0]
     key = (
         f"njp{n}_t{int(round(threshold * 1000))}_d{max_df or 0}"
-        f"_n{fp['nn']}_i{fp['si']}_c{fp['sc']}"
+        f"_{_corpus_fingerprint(df, id_col, text_col)}"
     )
     path = os.path.join(_artifact_cache_dir(cache_dir), key)
     if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):

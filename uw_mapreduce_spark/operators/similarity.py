@@ -738,17 +738,23 @@ def _artifact_cache_dir(cache_dir: str | None) -> str:
     )
 
 
-def _corpus_fingerprint(corpus: DataFrame, id_col: str, vec_col: str) -> str:
-    """Content key for vector-corpus artifacts: one narrow aggregate
-    over (row count, Σ id, Σ ⌊10⁶·first component⌋) — ids OR values
-    changing (e.g. the bench's per-copy embedding perturbation) misses
-    the cache and rebuilds."""
+def _corpus_fingerprint(corpus: DataFrame, id_col: str, content_col: str) -> str:
+    """Content key for corpus artifacts: one narrow aggregate over
+    (row count, Σ xxhash64(id, content)) — the per-row hash BINDS each
+    id to its full content (vector array or text), so ids changing,
+    ANY component/character of the content changing, or content being
+    permuted across ids all miss the cache and rebuild.  The sum
+    accumulates in DECIMAL(38,0) (an int64 sum of 2⁶⁴-range hashes
+    wraps/NULLs).  Hashing only a slice of the content (the round-9
+    first-component draft) is not enough: a corpus re-trained in later
+    dimensions would silently serve a stale artifact."""
     fp = corpus.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(id_col)).alias("si"),
-        F.sum(F.floor(F.element_at(F.col(vec_col), 1) * F.lit(1000000.0))).alias("se"),
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(content_col)).cast("decimal(38,0)")
+        ).alias("h"),
     ).collect()[0]
-    return f"n{fp['n']}_i{fp['si']}_e{fp['se']}"
+    return f"n{fp['n']}_h{fp['h']}"
 
 
 def _artifact_exists(spark, marker: str) -> bool:
@@ -777,14 +783,14 @@ def knn_graph_artifact(
     parquet artifact when one matching the corpus already exists.
 
     The cache key is a content FINGERPRINT, not a path: one narrow
-    aggregate scan computes (row count, Σ id, Σ floor(10⁶·first
-    component)) and the artifact directory is keyed by
-    ``k/«fingerprint»`` — a corpus whose ids OR vector values change
-    (e.g. the bench's per-copy embedding perturbation) misses the
-    cache and rebuilds, while re-running the same face/session/round
-    on unchanged data probes the existing graph instead of re-paying
-    the quadratic BLAS build.  A Spark ``_SUCCESS`` marker gates reuse
-    so a partial write is never served.
+    aggregate scan computes (row count, Σ xxhash64(id, vector)) and
+    the artifact directory is keyed by ``k«k»_«fingerprint»`` — a
+    corpus whose ids OR any vector component changes (including
+    vectors permuted across ids) misses the cache and rebuilds, while
+    re-running the same face/session/round on unchanged data probes
+    the existing graph instead of re-paying the quadratic BLAS build.
+    A Spark ``_SUCCESS`` marker gates reuse so a partial write is
+    never served.
 
     ``cache_dir`` defaults to ``$SPARK_GRAFT_KNN_CACHE`` or
     ``.knn_graph_cache/`` beside the repo (on a cluster point it at

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_scoped
+
 __all__ = ["pareto_frontier"]
+
+_SCOPE = "skyline"
 
 
 def pareto_frontier(
@@ -51,8 +55,13 @@ def pareto_frontier(
     window), and the survivor filter joins back on x without the
     broadcast (a 2³²-row histogram is not broadcastable).  Deciding
     needs |distinct x|, so the histogram aggregate runs EAGERLY at
-    call time (one count on a frame the plan materializes anyway)."""
-    h = df.groupBy(x_col).agg(F.max(y_col).alias("_ymax"))
+    call time (registered in `plans.catalog.EAGER_FACES` via the
+    catalog face); the histogram is persisted under a bounded scope so
+    the routing count and the returned plan share ONE computation
+    instead of re-aggregating per action."""
+    h = persist_scoped(
+        df.groupBy(x_col).agg(F.max(y_col).alias("_ymax")), _SCOPE
+    )
     if h.count() > max_domain:
         from .scale import prefix_max_scalable
 

@@ -42,6 +42,9 @@ EAGER_FACES: frozenset[str] = frozenset(
         "curation_pipeline_v2",
         "curation_pipeline_v3",
         "dedup_token_savings",
+        # Runs one histogram count at call time to route the prefix max
+        # (grid-bounded broadcast window vs two-pass scalable plan).
+        "pareto_parts_price_size",
     }
 )
 

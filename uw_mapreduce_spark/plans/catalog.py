@@ -9883,7 +9883,20 @@ def streaming_ivm_rollup_events(spark, sf_dir):
             .parquet(staging)
         )
         q, m = maintain_rollup(stream, ["user_id"], "value_m")
-        q.awaitTermination(300)
+        try:
+            drained = q.awaitTermination(300)
+            if not drained:
+                # Timeout: the snapshot is PARTIAL and the staging dir
+                # is about to be deleted under the still-running query
+                # — fail loudly instead of hash-mismatching downstream.
+                raise RuntimeError(
+                    "streaming_ivm_rollup_events: availableNow drain "
+                    f"timed out after 300s ({m.batches_applied} batches applied)"
+                )
+        finally:
+            # Idempotent; guarantees no active query leaks into the
+            # shared driver session on timeout or batch failure.
+            q.stop()
         n_batches = m.batches_applied
         snap = m.snapshot  # localCheckpointed: independent of staging
     finally:

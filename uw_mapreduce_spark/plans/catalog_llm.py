@@ -5334,7 +5334,12 @@ def knn_graph_persistence_audit(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    built = knn_self_blas(emb, k=5)
+    # Materialize the build ONCE: the save action and the in-memory
+    # collect below must read the SAME graph — an uncached plan would
+    # re-run the quadratic BLAS build for each (2x the dominant cost)
+    # and would misreport any build-side nondeterminism as persistence
+    # corruption.
+    built = knn_self_blas(emb, k=5).localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="uwms_knngraph_")
     path = f"{tmp}/graph"
     try:

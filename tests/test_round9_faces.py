@@ -209,3 +209,35 @@ def test_jaccard_pairs_artifact_builds_once_and_text_edits_invalidate(
         edited, "text", "doc_id", n=5, threshold=0.8, max_df=64, cache_dir=cache
     ).count()
     assert calls["n"] == 2, "text edit must miss the cache"
+
+
+def test_prefix_max_scalable_exclusive_matches_model(spark):
+    """inclusive=False (the skyline dominance test): each row gets the
+    max over STRICTLY-preceding rows (NULL for the global first row),
+    correct across partition boundaries and carry-in composition —
+    checked against a pure-Python model on adversarial layouts
+    (descending, all-equal, single row, negative values)."""
+    from uw_mapreduce_spark.operators.scale import prefix_max_scalable
+
+    cases = [
+        [5],
+        [3, 3, 3, 3],
+        [9, 8, 7, 6, 5, 4],
+        [1, 5, 2, 8, 3, 8, -4, 10, 10, 0],
+        [-(10**6), 0, -5, 10**6, -1],
+        list(range(40)),
+    ]
+    for vals in cases:
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "i long, v long").repartition(5)
+        got = {
+            r["i"]: r["pm"]
+            for r in prefix_max_scalable(
+                df, ["i"], "v", out_col="pm", num_partitions=4, inclusive=False
+            ).collect()
+        }
+        acc, want = None, {}
+        for i, v in rows:
+            want[i] = acc
+            acc = v if acc is None or v > acc else acc
+        assert got == want, vals

@@ -110,6 +110,10 @@ HEADLINE = [
     "dedup_provenance_documents",
     "shapley_attribution_events",
     "curation_pipeline_v7",
+    # round-10: capped production variants of the two remaining uncapped
+    # co-shipping consumers (VERDICT r9 item 2).
+    "degree_assortativity_suppliers_capped",
+    "modularity_nations_suppliers_capped",
 ]
 
 
@@ -290,11 +294,13 @@ SF1_QUERIES = [
     "anisotropy_embeddings",
     "vocab_overlap_sources",
     "clustering_coefficient_suppliers_capped",
-    "degree_assortativity_suppliers",
+    # r10: capped production faces replace the exact co-shipping graphs
+    # at sf1 (VERDICT r9 item 2); exact stays the sf0.01 oracle anchor.
+    "degree_assortativity_suppliers_capped",
     "popularity_hitrate_parts",
     "golden_record_parts",
     "mrr_movements_customers",
-    "modularity_nations_suppliers",
+    "modularity_nations_suppliers_capped",
     "salted_join_skew_events",
     "shapley_attribution_events",
     "curation_pipeline_v7",

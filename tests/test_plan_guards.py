@@ -96,6 +96,33 @@ def test_coship_densification_guard(spark, sf_small):
     assert tight < exact  # tight cap: strictly sparser subset
 
 
+def test_capped_coship_consumers_carry_the_guard(spark, sf_small):
+    """The PRODUCTION assortativity/modularity faces must build their
+    edge list through the densification guard (row_number cap visible
+    in the plan) and never fall back to a cartesian — the exact faces
+    are the sf0.01 anchors, but these are what runs at scale (VERDICT
+    r9 item 2)."""
+    # modularity attaches its 1-row 2m scalar via crossJoin(broadcast),
+    # which plans as ONE BroadcastNestedLoopJoin with a single-row build
+    # side — allowed; anything beyond that is a regression.
+    for name, bnlj_budget in (
+        ("degree_assortativity_suppliers_capped", 0),
+        ("modularity_nations_suppliers_capped", 1),
+    ):
+        plan = _plan(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget, name
+    # The guard itself must be in the edge build these faces call; the
+    # faces localCheckpoint the edges so the cap's Window shows up in
+    # the builder plan, not the (ExistingRDD-rooted) consumer plan.
+    from uw_mapreduce_spark.plans.catalog import _COSHIP_CAP
+
+    builder_plan = _plan(
+        _coship_supplier_edges(spark, sf_small, max_fanout=_COSHIP_CAP)
+    )
+    assert "row_number" in builder_plan and "Window" in builder_plan
+
+
 def test_salted_join_face_spreads_the_hot_keys(spark, sf_small):
     """`salted_join_skew_events` exists to prove the skew remedy; its
     plan must (a) join on the composite (event_type, _salt) key —

@@ -9073,6 +9073,102 @@ def degree_assortativity_suppliers(spark, sf_dir):
     )
 
 
+_ASSORT_CAPPED_SQL = r"""
+WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ps AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           row_number() OVER (PARTITION BY l_partkey ORDER BY l_suppkey) AS rn
+    FROM ps0
+  ) WHERE rn <= {cap}
+),
+e AS (
+  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+  FROM ps p1 JOIN ps p2
+    ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY v
+),
+pairs AS (
+  SELECT da.d AS x, db.d AS y FROM e
+  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+  UNION ALL
+  SELECT db.d AS x, da.d AS y FROM e
+  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+            ELSE floor(1000.0 *
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END
+         AS BIGINT) AS assortativity_permille
+FROM s
+""".format(cap=_COSHIP_CAP)
+
+
+@query("degree_assortativity_suppliers_capped", _ASSORT_CAPPED_SQL)
+def degree_assortativity_suppliers_capped(spark, sf_dir):
+    """PRODUCTION face of degree assortativity: identical endpoint-degree
+    Pearson moments, but over the DENSIFICATION-GUARDED co-shipping
+    graph (per part, only the ``_COSHIP_CAP`` lowest-suppkey suppliers
+    pair up — see `_coship_supplier_edges`).  The exact face's edge
+    build emits Θ(f²) pairs per part and part fan-out GROWS with the
+    corpus (25.9 avg at sf0.01 → 29.5 at sf0.1), so the uncapped graph
+    densifies quadratically at 100×; the cap bounds edge work per part
+    at K(K−1)/2 and returns total cost to linear in part count.  The
+    cap is part of the declared semantics — the DuckDB oracle applies
+    the identical row_number rule, so the capped graph value-hashes
+    end-to-end rather than being a silent truncation.  The exact face
+    stays the sf0.01 correctness anchor."""
+    e = _coship_supplier_edges(
+        spark, sf_dir, max_fanout=_COSHIP_CAP
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    joined = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    pairs = joined.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    px, py = F.col("x").cast(dec), F.col("y").cast(dec)
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(px).alias("sx"),
+        F.sum(py).alias("sy"),
+        F.sum(px * py).alias("sxy"),
+        F.sum(px * px).alias("sxx"),
+        F.sum(py * py).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0 "
+            "ELSE floor(1000.0 * "
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ") END AS BIGINT)"
+        ).alias("assortativity_permille"),
+    )
+
+
 _POP_HITRATE_SQL = r"""
 WITH inter AS (
   SELECT o.o_custkey AS cust, l.l_partkey AS part, o.o_orderdate AS dt, o.o_orderkey AS ok
@@ -9418,6 +9514,95 @@ def modularity_nations_suppliers(spark, sf_dir):
         F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("c")
     )
     e = _coship_supplier_edges(spark, sf_dir)
+    ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(
+        "ca", "cb"
+    ).localCheckpoint(eager=True)  # feeds m2, win, deg
+    m2 = tagged.agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("m2"))
+    win = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("inside2"))
+    )
+    deg = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast(dec).alias("dc"))
+    )
+    return (
+        deg.join(win, "c", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("c").alias("community"),
+            F.coalesce("inside2", F.lit(0)).cast("long").alias("internal_ends"),
+            F.col("dc").cast("long").alias("degree_sum"),
+            F.expr(
+                "CAST((COALESCE(inside2, CAST(0 AS DECIMAL(38,0))) * m2 - dc * dc)"
+                " * 1000000 DIV (m2 * m2) AS BIGINT)"
+            ).alias("q_contrib_e6"),
+        )
+    )
+
+
+_MODULARITY_CAPPED_SQL = r"""
+WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ps AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           row_number() OVER (PARTITION BY l_partkey ORDER BY l_suppkey) AS rn
+    FROM ps0
+  ) WHERE rn <= {cap}
+),
+e AS (
+  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+  FROM ps p1 JOIN ps p2
+    ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+),
+comm AS (SELECT s_suppkey AS v, s_nationkey AS c FROM supplier),
+tagged AS (
+  SELECT ca.c AS ca, cb.c AS cb FROM e
+  JOIN comm ca ON ca.v = e.a JOIN comm cb ON cb.v = e.b
+),
+m2 AS (SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m2 FROM tagged),
+win AS (
+  SELECT ca AS c, CAST(2 * COUNT(*) AS HUGEINT) AS inside2
+  FROM tagged WHERE ca = cb GROUP BY ca
+),
+deg AS (
+  SELECT c, CAST(SUM(d) AS HUGEINT) AS dc FROM (
+    SELECT ca AS c, COUNT(*) AS d FROM tagged GROUP BY ca
+    UNION ALL
+    SELECT cb AS c, COUNT(*) AS d FROM tagged GROUP BY cb
+  ) GROUP BY c
+)
+SELECT d.c AS community,
+       CAST(COALESCE(w.inside2, 0) AS BIGINT) AS internal_ends,
+       CAST(d.dc AS BIGINT) AS degree_sum,
+       CAST((COALESCE(w.inside2, 0) * m2.m2 - d.dc * d.dc) * 1000000
+            // (m2.m2 * m2.m2) AS BIGINT) AS q_contrib_e6
+FROM deg d LEFT JOIN win w ON w.c = d.c CROSS JOIN m2
+""".format(cap=_COSHIP_CAP)
+
+
+@query("modularity_nations_suppliers_capped", _MODULARITY_CAPPED_SQL)
+def modularity_nations_suppliers_capped(spark, sf_dir):
+    """PRODUCTION face of nation modularity: identical Q_c = e_c −
+    (d_c/2m)² integer rollup, but over the DENSIFICATION-GUARDED
+    co-shipping graph (per part, only the ``_COSHIP_CAP``
+    lowest-suppkey suppliers pair up — see `_coship_supplier_edges`).
+    The exact face's per-part self-join is Θ(f²) with corpus-growing
+    fan-out; the cap bounds per-part edge work at K(K−1)/2 so the face
+    stays linear in part count at 100×.  The cap is declared
+    semantics — the DuckDB oracle applies the identical row_number
+    rule, so the capped graph value-hashes end-to-end.  The exact face
+    stays the sf0.01 correctness anchor."""
+    dec = "decimal(38,0)"
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("c")
+    )
+    e = _coship_supplier_edges(spark, sf_dir, max_fanout=_COSHIP_CAP)
     ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
     cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
     tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(

@@ -43,7 +43,10 @@ def test_knn_graph_artifact_fingerprint_invalidates_on_content_change(
     keying by path alone would silently serve a stale graph."""
     from uw_mapreduce_spark.operators import similarity as sim
 
-    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(64)
+    # orderBy before limit: the artifact functions' deterministic-input
+    # contract — an unordered limit can change rows between the
+    # fingerprint job and the build job.
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").orderBy("vec_id").limit(64)
     cache = str(tmp_path / "knncache")
     g1 = sorted(map(tuple, sim.knn_graph_artifact(emb, k=3, cache_dir=cache).collect()))
     shifted = emb.withColumn(

@@ -200,21 +200,46 @@ def jaccard_pairs_artifact(
     output columns are int64 (permille similarity, never a double),
     so the parquet round trip is bit-exact.  `ngram_jaccard_documents`
     (the driver anchor face) keeps building directly so the join
-    topology itself stays benchmarked."""
+    topology itself stays benchmarked.
+
+    Same key/commit/GC discipline as
+    `similarity.knn_graph_artifact`: builder-version token in the key
+    (kernel changes invalidate stale artifacts), atomic
+    write-temp-then-rename commit, newest ``_ARTIFACT_GC_KEEP``
+    snapshots kept per family, deterministic-input contract (the
+    fingerprint and build jobs re-execute the input plan).  ``max_df``
+    None (no cap) and 0 are distinct cache keys."""
     import os
 
-    from .similarity import _artifact_cache_dir, _artifact_exists, _corpus_fingerprint
+    from .similarity import (
+        _ARTIFACT_GC_KEEP,
+        _artifact_cache_dir,
+        _artifact_exists,
+        _builder_version,
+        _commit_artifact,
+        _corpus_fingerprint,
+        _gc_artifact_family,
+    )
 
     spark = df.sparkSession
+    family = (
+        f"njp{n}_t{int(round(threshold * 1000))}"
+        f"_d{'x' if max_df is None else max_df}_"
+    )
     key = (
-        f"njp{n}_t{int(round(threshold * 1000))}_d{max_df or 0}"
+        f"{family}v{_builder_version(ngram_jaccard_pairs)}"
         f"_{_corpus_fingerprint(df, id_col, text_col)}"
     )
-    path = os.path.join(_artifact_cache_dir(cache_dir), key)
+    root = _artifact_cache_dir(cache_dir)
+    path = os.path.join(root, key)
     if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):
-        ngram_jaccard_pairs(
-            df, text_col, id_col, n=n, threshold=threshold, max_df=max_df
-        ).write.mode("overwrite").parquet(path)
+        _commit_artifact(
+            ngram_jaccard_pairs(
+                df, text_col, id_col, n=n, threshold=threshold, max_df=max_df
+            ),
+            path,
+        )
+        _gc_artifact_family(spark, root, family, keep=_ARTIFACT_GC_KEEP)
     return spark.read.parquet(path)
 
 

@@ -771,6 +771,120 @@ def _artifact_exists(spark, marker: str) -> bool:
         return os.path.exists(marker)
 
 
+def _builder_version(*fns) -> str:
+    """8-hex token derived from the builder functions' SOURCE, salted
+    into every artifact cache key, so a kernel change automatically
+    invalidates artifacts persisted by older code.  Without it the
+    cache is content-keyed only and persists across commits — after a
+    builder change the oracle sweep and bench would cache-HIT and
+    validate/serve the stale pre-change output, letting a kernel
+    regression pass from leftover disk state.  Comment-only edits also
+    rebuild; a spurious rebuild costs seconds, a stale artifact is a
+    silent wrong answer."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    for fn in fns:
+        h.update(inspect.getsource(fn).encode())
+    return h.hexdigest()[:8]
+
+
+def _hadoop_fs(spark, path_str: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _commit_artifact(df: DataFrame, path: str) -> None:
+    """Atomically publish ``df`` as a parquet artifact at ``path``:
+    write to a unique sibling temp dir, then rename into the keyed
+    location.  Two concurrent cache-missing sessions may both build,
+    but only ONE rename lands; the loser deletes its temp output and
+    every consumer probes the winner's committed artifact.  A direct
+    ``mode('overwrite')`` to the final path (the pre-r10 scheme) could
+    interleave committer temp dirs between two writers or delete a
+    committed artifact out from under a concurrent reader — the
+    ``_SUCCESS`` gate protects against a partial single write, not
+    concurrent overwrites."""
+    import os
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        fs, jdst = _hadoop_fs(spark, path)
+        jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+        committed = False
+        if not fs.exists(jdst):
+            committed = bool(fs.rename(jtmp, jdst))
+        if not committed:
+            fs.delete(jtmp, True)  # another writer won: serve theirs
+        else:
+            # HDFS rename moves src INTO dst when dst is an existing
+            # directory; if a concurrent winner landed between the
+            # exists check and our rename, the temp dir becomes a stray
+            # child of the committed artifact — remove it so the
+            # parquet scan never sees a nested directory.
+            stray = spark._jvm.org.apache.hadoop.fs.Path(
+                path + "/" + os.path.basename(tmp)
+            )
+            if fs.exists(stray):
+                fs.delete(stray, True)
+    except Exception:
+        # No py4j surface (Spark Connect-style deploys): best-effort
+        # local-filesystem equivalent of the same protocol.
+        if os.path.isdir(tmp):
+            if os.path.exists(path):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.move(tmp, path)
+
+
+#: Committed artifacts kept per family (key prefix before the content
+#: fingerprint) — the newest N corpus snapshots; older ones are GC'd
+#: after each successful build.
+_ARTIFACT_GC_KEEP = 4
+
+#: Abandoned temp dirs older than this are swept (a live concurrent
+#: build is younger than its own write job).
+_ARTIFACT_TMP_TTL_MS = 6 * 3600 * 1000
+
+
+def _gc_artifact_family(spark, cache_dir: str, family_prefix: str, keep: int) -> None:
+    """Bound the artifact cache: within one family (all keys sharing
+    ``family_prefix`` — k/threshold params plus builder version vary
+    inside it), keep the ``keep`` most-recently-modified COMMITTED
+    artifacts and delete the rest; also sweep abandoned ``.tmp-`` dirs
+    past their TTL.  Fingerprint-keyed entries otherwise accumulate
+    forever across corpus snapshots (and across builder versions, now
+    that the key carries one).  Best-effort: a GC failure never fails
+    the build that triggered it."""
+    import time
+
+    try:
+        fs, jdir = _hadoop_fs(spark, cache_dir)
+        if not fs.exists(jdir):
+            return
+        committed = []
+        for st in fs.listStatus(jdir):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if ".tmp-" in name:
+                if time.time() * 1000 - st.getModificationTime() > _ARTIFACT_TMP_TTL_MS:
+                    fs.delete(st.getPath(), True)
+                continue
+            if name.startswith(family_prefix):
+                committed.append((st.getModificationTime(), name, st.getPath()))
+        committed.sort(reverse=True)
+        for _, _, p in committed[keep:]:
+            fs.delete(p, True)
+    except Exception:
+        pass
+
+
 def knn_graph_artifact(
     corpus: DataFrame,
     k: int = 5,
@@ -792,6 +906,20 @@ def knn_graph_artifact(
     A Spark ``_SUCCESS`` marker gates reuse so a partial write is
     never served.
 
+    The key also carries a BUILDER-VERSION token (hash of the
+    `knn_self_blas` source) so a kernel change invalidates artifacts
+    persisted by older code, and a cache-miss build commits via
+    write-temp-then-rename so concurrent sessions can never interleave
+    or clobber a committed artifact (`_commit_artifact`).  After a
+    successful build the family is GC'd to the newest
+    ``_ARTIFACT_GC_KEEP`` corpus snapshots.
+
+    DETERMINISTIC-INPUT CONTRACT: the fingerprint job and the build job
+    are two independent executions of the ``corpus`` plan — feed a
+    deterministic frame (same contract as `persist_scoped`).  A
+    nondeterministic input (unordered `.limit`, unseeded sample) can
+    persist an artifact that does not correspond to its key.
+
     ``cache_dir`` defaults to ``$SPARK_GRAFT_KNN_CACHE`` or
     ``.knn_graph_cache/`` beside the repo (on a cluster point it at
     shared storage — HDFS/S3 — so every session probes one build).
@@ -800,12 +928,18 @@ def knn_graph_artifact(
     import os
 
     spark = corpus.sparkSession
-    key = f"k{k}_{_corpus_fingerprint(corpus, id_col, vec_col)}"
-    path = os.path.join(_artifact_cache_dir(cache_dir), key)
+    family = f"k{k}_"
+    key = (
+        f"{family}v{_builder_version(knn_self_blas)}"
+        f"_{_corpus_fingerprint(corpus, id_col, vec_col)}"
+    )
+    root = _artifact_cache_dir(cache_dir)
+    path = os.path.join(root, key)
     if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):
-        save_knn_graph(
+        _commit_artifact(
             knn_self_blas(corpus, k=k, id_col=id_col, vec_col=vec_col), path
         )
+        _gc_artifact_family(spark, root, family, keep=_ARTIFACT_GC_KEEP)
     return load_knn_graph(spark, path)
 
 
@@ -829,17 +963,32 @@ def near_dup_pairs_artifact(
     pairs only), so it is built once per corpus snapshot and probed
     by every downstream job.  Two int64 columns round-trip parquet
     bit-exact; `cosine_near_dup_pairs` (the driver anchor face) keeps
-    building directly so the kernel itself stays benchmarked."""
+    building directly so the kernel itself stays benchmarked.
+
+    Same key/commit/GC discipline as `knn_graph_artifact`: the key
+    carries a builder-version token, misses commit atomically via
+    `_commit_artifact`, the family keeps its newest
+    ``_ARTIFACT_GC_KEEP`` snapshots, and the input must be
+    deterministic (the fingerprint and build are independent jobs)."""
     import os
 
     spark = corpus.sparkSession
     t_milli = int(round(threshold * 1000))
-    key = f"ndp{t_milli}_{_corpus_fingerprint(corpus, id_col, vec_col)}"
-    path = os.path.join(_artifact_cache_dir(cache_dir), key)
+    family = f"ndp{t_milli}_"
+    key = (
+        f"{family}v{_builder_version(cosine_near_dup_pairs_numpy)}"
+        f"_{_corpus_fingerprint(corpus, id_col, vec_col)}"
+    )
+    root = _artifact_cache_dir(cache_dir)
+    path = os.path.join(root, key)
     if not _artifact_exists(spark, os.path.join(path, "_SUCCESS")):
-        cosine_near_dup_pairs_numpy(
-            corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
-        ).write.mode("overwrite").parquet(path)
+        _commit_artifact(
+            cosine_near_dup_pairs_numpy(
+                corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
+            ),
+            path,
+        )
+        _gc_artifact_family(spark, root, family, keep=_ARTIFACT_GC_KEEP)
     return spark.read.parquet(path)
 
 

@@ -21,7 +21,8 @@ ORACLE: dict[str, str] = {}
 # effects before returning the DataFrame (write→re-read round trips,
 # persist→reload equality audits).  Every other catalog face is lazy:
 # calling it only builds a plan.  Plan-shape / explain-only tooling must
-# skip the names listed here.
+# skip the names listed here — `plans/explain.py` (the explain-sweep
+# CLI) is the consumer that enforces this.
 EAGER_FACES: frozenset[str] = frozenset(
     {
         "kvtext_roundtrip_audit",

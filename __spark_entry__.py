@@ -70,13 +70,19 @@ def _last_verified_round() -> tuple[dict[str, int], dict[str, int]]:
     return last, last_hash
 
 
-#: Round-9 registrations: yield this round's 50 verification slots to
-#: the 51-query round-7/8 backlog (VERDICT r8 item 1); these queue
-#: right behind it and clear in round 10's rotation.
+#: Round-10 registrations: sort behind the 3-query round-9 backlog
+#: (`knn_graph_persistence_audit`, `shapley_attribution_events`,
+#: `streaming_ivm_rollup_events` — VERDICT r9 item 1) so the backlog
+#: drains first; all 10 never-verified queries fit this round's slots.
 _DEFER_FIRST_SLOT = frozenset(
     {
-        "knn_graph_persistence_audit",
-        "streaming_ivm_rollup_events",
+        "degree_assortativity_suppliers_capped",
+        "modularity_nations_suppliers_capped",
+        "bernoulli_sample_gate_events",
+        "stratified_sample_gate_documents",
+        "kvtext_sliding_16_golden",
+        "kvtext_sliding_79_golden",
+        "streaming_debounce_replay_events",
     }
 )
 

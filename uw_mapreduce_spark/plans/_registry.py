@@ -29,6 +29,7 @@ EAGER_FACES: frozenset[str] = frozenset(
         "ann_index_persistence_audit",
         "knn_graph_persistence_audit",
         "streaming_ivm_rollup_events",
+        "streaming_debounce_replay_events",
         # Probe build-once artifact caches (kNN graph / cosine near-dup
         # pair list / lexical n-gram Jaccard pair list): eager (build +
         # write job) only on a cache miss; cache hits are a plain

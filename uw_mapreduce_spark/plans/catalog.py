@@ -10155,3 +10155,117 @@ def streaming_ivm_rollup_events(spark, sf_dir):
         F.col("sum_v").cast("long").alias("sum_v"),
         F.lit(n_batches).cast("long").alias("n_batches"),
     )
+
+
+_STREAMING_DEBOUNCE_SQL = r"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+chain AS (
+  SELECT user_id, event_type, event_id, ts_us, rn,
+         ts_us AS last_kept, TRUE AS kept
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_type, s.event_id, s.ts_us, s.rn,
+         CASE WHEN s.ts_us - c.last_kept >= 172800000000
+              THEN s.ts_us ELSE c.last_kept END,
+         s.ts_us - c.last_kept >= 172800000000
+  FROM seq s JOIN chain c
+    ON s.user_id = c.user_id AND s.event_type = c.event_type
+   AND s.rn = c.rn + 1
+)
+SELECT user_id, event_type, event_id, ts_us, CAST(4 AS BIGINT) AS n_batches
+FROM chain WHERE kept
+"""
+
+
+@query("streaming_debounce_replay_events", _STREAMING_DEBOUNCE_SQL)
+def streaming_debounce_replay_events(spark, sf_dir):
+    """SECOND streaming face on the driver's green board (VERDICT r9
+    item 7) — and the first covering the CUSTOM-STATEFUL API surface:
+    where `streaming_ivm_rollup_events` replays the foreachBatch IVM
+    maintainer, this replays the keyed one-long-state debounce kernel
+    (`streaming/throttle.throttled_events` — transformWithStateInPandas
+    where available, applyInPandasWithState otherwise; identical
+    kernel).
+
+    The events table is sliced into 4 TIME-ORDERED files (ntile over
+    (ts, event_id) — per key, every row of batch i precedes every row
+    of batch i+1, so the greedy chain's cross-batch state carry is
+    genuinely exercised), staged with increasing mtimes, and streamed
+    back with ``maxFilesPerTrigger=1`` under ``availableNow``.  The
+    returned frame is the DRAINED kept-row set plus the data-batch
+    count; the oracle replays the identical greedy min-gap chain as a
+    DuckDB recursive CTE (`debounce_events`' oracle) filtered to kept
+    rows with ``n_batches`` pinned to 4.  A stream that dropped a
+    batch, lost state across a batch boundary (an early-batch-2 row
+    within gap of a late-batch-1 kept row must STAY dropped), or
+    collapsed the 4 files into fewer triggers hash-MISMATCHes.
+
+    The unpartitioned ntile window is EVIDENCE-STAGING, not the
+    operator (bounded replay corpus); the kernel itself shuffles once
+    by key and holds 8 bytes of state per key at any scale.
+
+    EAGER-EXECUTION CONTRACT: listed in `EAGER_FACES` — calling this
+    face stages files, runs the streaming query to completion, and
+    cleans up before returning its (checkpointed) result."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.throttle import throttled_events
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    slice_w = Window.orderBy("ts", "event_id")
+    sliced = ev.withColumn("_b", F.ntile(4).over(slice_w))
+    tmp = tempfile.mkdtemp(prefix="uwms_debounce_")
+    qname = f"debounce_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        for i in range(1, 5):
+            d = os.path.join(tmp, f"b{i}")
+            sliced.where(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(d)
+            for root, _dirs, files in os.walk(d):
+                for fname in files:
+                    os.utime(os.path.join(root, fname), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/*")
+        )
+        q = (
+            throttled_events(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "streaming_debounce_replay_events: availableNow drain "
+                    "timed out after 300s"
+                )
+        finally:
+            q.stop()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        out = spark.table(qname).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname) if qname in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.lit(n_batches).cast("long").alias("n_batches"),
+    )

@@ -347,6 +347,51 @@ SF1_MULTIREP = {
     "pca_top_component_embeddings",
 }
 
+# Exact-anchor vs production-face pairs (VERDICT r9 item 8): every
+# family where an exact face is the correctness anchor and a
+# bounded/banded/bucketed twin is what runs at scale.  The bench emits
+# a `families` block with both members' sf1 seconds side by side so
+# the accuracy-for-cost envelope is auditable per family without
+# reading PLANS.md.
+FAMILIES = {
+    "sliding_window": {
+        "exact": "sliding_sum_91",             # single-partition window plan
+        "production": "sliding_sum_91_scalable",  # two-pass range exchange
+    },
+    "coship_clustering": {
+        "exact": "clustering_coefficient_suppliers",
+        "production": "clustering_coefficient_suppliers_capped",
+    },
+    "coship_assortativity": {
+        "exact": "degree_assortativity_suppliers",
+        "production": "degree_assortativity_suppliers_capped",
+    },
+    "coship_modularity": {
+        "exact": "modularity_nations_suppliers",
+        "production": "modularity_nations_suppliers_capped",
+    },
+    "semantic_dedup": {
+        "exact": "semantic_dedup_manifest",       # blocked-BLAS all-pairs
+        "production": "semantic_dedup_fast_manifest",  # LSH + verify + CC
+    },
+    "minhash": {
+        "exact": "minhash_lsh_documents",         # portable (oracle) family
+        "production": "minhash_lsh_fast_documents",  # xxhash64 family
+    },
+    "lexical_jaccard": {
+        "exact": "ngram_jaccard_documents",       # max_df-cut inverted index
+        "production": "ppjoin_jaccard_documents",  # prefix-filtered, lossless
+    },
+    "ann_topk": {
+        "exact": "knn_cosine_top5",               # brute-force cosine
+        "production": "knn_ivf_top5",             # IVF centroid-bucketed
+    },
+    "cosine_near_dup": {
+        "exact": "cosine_near_dup_pairs",
+        "production": "cosine_near_dup_lsh",
+    },
+}
+
 # The 17 BASELINE.md headline queries — the set the judge compares
 # against the recorded round-1 baseline.  Re-emitted as a compact dict
 # at the END of the bench line so the driver's tail window always
@@ -381,6 +426,18 @@ BASELINE_HEADLINE = [
 #   dedup_exact_documents: r5's 1.13 s did NOT reproduce (0.40-0.61 s
 #   best-of-3 = r4 parity) — host noise, no code change.
 BENCH_NOTES = (
+    "r10: `scale_curve` block measures the four banded/bucketed dedup/ANN "
+    "faces at 10x/30x/100x sf0.1 (documents+embeddings synthesized with the "
+    "sf1 perturbation recipe) - the growth-exponent evidence for the 100 TB "
+    "story; `families` block pairs each exact correctness anchor with its "
+    "production face at sf1 so the accuracy-for-cost envelope is auditable "
+    "per family; assortativity/modularity sf1 rows swap to the _capped "
+    "production faces (exact stays the sf0.01 anchor, same as "
+    "clustering_coefficient in r8). Artifact caches now salt keys with a "
+    "builder-source hash (kernel changes rebuild instead of serving stale "
+    "artifacts), commit atomically, and GC to the newest 4 snapshots per "
+    "family - first post-change runs pay one rebuild of each shared "
+    "artifact. "
     "r9: kNN-backed + blocked-cosine faces now take SPARK_GRAFT_SF1_REPS "
     "(default 2) reps at sf1 with the MIN recorded and raw times under "
     "sf1_rep_spread (the 2-4x host band made single-rep rows unreadable); "
@@ -529,6 +586,77 @@ def ensure_sf1(spark, src_dir: str) -> str | None:
         return SF1_DIR
     except Exception as e:
         print(f"sf1 synthesis failed: {e}", file=sys.stderr)
+        return None
+
+
+# --- dedup/ANN scaling curve above sf1 (VERDICT r9 item 6) -----------------
+# The 100 TB story for the banded/bucketed paths rested on topology
+# arguments; these measured points make it evidence.  Only documents +
+# embeddings are synthesized (the four curve faces read nothing else),
+# with the same per-copy perturbation recipe as sf1 (token-suffixed
+# text, dim-0 embedding nudge) so cross-shard rows are near- but never
+# exact-duplicates.  One rep per point: the goal is the growth
+# EXPONENT, not minima — sf1 (10x sf0.1) / sf3 (30x) / sf10 (100x)
+# give two decades of corpus growth for the fit.
+SCALE_CURVE_QUERIES = [
+    "minhash_lsh_fast_documents",   # banded MinHash (xxhash64 production face)
+    "ppjoin_jaccard_documents",     # prefix-filtered exact Jaccard
+    "semantic_dedup_fast_manifest", # hyperplane-LSH + blocked verify + CC
+    "knn_ivf_top5",                 # centroid-bucketed ANN probe path
+]
+SCALE_CURVE_POINTS = {"sf3": 30, "sf10": 100}
+SCALE_CURVE_TABLES = ("documents", "embeddings")
+
+
+def ensure_docs_scale(spark, src_dir: str, copies: int, tag: str) -> str | None:
+    """Build .bench_data/<tag>/ holding ONLY documents+embeddings at
+    ``copies``x the source, same perturbation recipe as `ensure_sf1`;
+    idempotent via a _READY marker."""
+    import pyspark.sql.functions as F
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_data", tag)
+    recipe = f"{SF1_RECIPE}-x{copies}"
+    marker = os.path.join(out_dir, "_READY")
+    try:
+        with open(marker) as f:
+            if f.read().strip() == recipe:
+                return out_dir
+    except OSError:
+        pass
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        for table in SCALE_CURVE_TABLES:
+            base = spark.read.parquet(f"{src_dir}/{table}.parquet")
+            copies_frames = []
+            for i in range(copies):
+                c = base
+                for k in SF1_KEYS[table]:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * SF1_OFFSET))
+                if table == "documents" and i:
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
+                    )
+                if table == "embeddings" and i:
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x, idx: F.when(
+                                idx == 0, x + F.lit(i / 1000.0)
+                            ).otherwise(x).cast("float"),
+                        ),
+                    )
+                copies_frames.append(c)
+            out = copies_frames[0]
+            for c in copies_frames[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        with open(marker, "w") as f:
+            f.write(recipe + "\n")
+        return out_dir
+    except Exception as e:
+        print(f"{tag} synthesis failed: {e}", file=sys.stderr)
         return None
 
 
@@ -708,6 +836,66 @@ def main() -> int:
             result["sf1_value"] = round(
                 sum(t for t in sf1_timings.values() if t >= 0), 3
             )
+
+        # Scaling curve: the four banded/bucketed dedup/ANN faces at
+        # 10x/30x/100x sf0.1, one rep each (growth exponent, not
+        # minima).  Opt out with SPARK_GRAFT_SKIP_SCALE_CURVE=1.
+        if sf1_dir and not os.environ.get("SPARK_GRAFT_SKIP_SCALE_CURVE"):
+            curve: dict[str, dict] = {}
+            points = {"sf1": sf1_dir}
+            for tag, copies in SCALE_CURVE_POINTS.items():
+                d = ensure_docs_scale(spark, sf_dir, copies, tag)
+                if d:
+                    points[tag] = d
+            for tag, d in points.items():
+                row: dict[str, float] = {}
+                for t in SCALE_CURVE_TABLES:
+                    row[f"n_{t}"] = spark.read.parquet(f"{d}/{t}.parquet").count()
+                for name in SCALE_CURVE_QUERIES:
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    try:
+                        QUERIES[name](spark, d).count()
+                        row[name] = round(time.time() - t0, 3)
+                    except Exception as e:
+                        msg = " ".join(f"{type(e).__name__}: {e}".split())
+                        print(f"scale-curve error in {name}@{tag}: {msg[:300]}",
+                              file=sys.stderr)
+                        row[name] = -1.0
+                    import gc
+                    gc.collect()
+                curve[tag] = row
+            result["scale_curve"] = curve
+
+        # Exact-anchor vs production sf1 numbers per family (VERDICT r9
+        # item 8).  Members already timed in this round's sf1 slice
+        # reuse that number; the rest get one rep here.  Kept OUT of
+        # sf1_value so the comparable suite total is unchanged.
+        if sf1_dir and not os.environ.get("SPARK_GRAFT_SKIP_FAMILIES"):
+            fam_out: dict[str, dict] = {}
+            for fam, pair in FAMILIES.items():
+                entry: dict[str, dict] = {}
+                for role, name in pair.items():
+                    prior = result.get("sf1_queries", {}).get(name, -2.0)
+                    if prior >= 0:
+                        entry[role] = {"face": name, "sf1_sec": prior}
+                        continue
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    try:
+                        QUERIES[name](spark, sf1_dir).count()
+                        entry[role] = {
+                            "face": name, "sf1_sec": round(time.time() - t0, 3)
+                        }
+                    except Exception as e:
+                        msg = " ".join(f"{type(e).__name__}: {e}".split())
+                        print(f"families error in {name}@sf1: {msg[:300]}",
+                              file=sys.stderr)
+                        entry[role] = {"face": name, "sf1_sec": -1.0}
+                    import gc
+                    gc.collect()
+                fam_out[fam] = entry
+            result["families"] = fam_out
 
     # The round driver archives only the LAST 2000 chars of this line
     # (r7's full line exceeded it, so neither the suite total nor a

@@ -352,7 +352,11 @@ SF1_MULTIREP = {
 # bounded/banded/bucketed twin is what runs at scale.  The bench emits
 # a `families` block with both members' sf1 seconds side by side so
 # the accuracy-for-cost envelope is auditable per family without
-# reading PLANS.md.
+# reading PLANS.md.  Read with the crossover in mind: at sf1 some
+# production faces cost MORE than their exact anchor (knn_ivf pays
+# k-means training to bucket 20k vectors its brute-force twin just
+# broadcasts over) — the production face's advantage is its growth
+# exponent, which is what scale_curve measures.
 FAMILIES = {
     "sliding_window": {
         "exact": "sliding_sum_91",             # single-partition window plan

@@ -356,7 +356,10 @@ SF1_MULTIREP = {
 # production faces cost MORE than their exact anchor (knn_ivf pays
 # k-means training to bucket 20k vectors its brute-force twin just
 # broadcasts over) — the production face's advantage is its growth
-# exponent, which is what scale_curve measures.
+# exponent, which is what scale_curve measures.  Also:
+# semantic_dedup_manifest (the exact face) PROBES the shared near-dup
+# pair artifact when warm, so its families number is the probe tail,
+# not the quadratic build (PLANS.md records the cold build cost).
 FAMILIES = {
     "sliding_window": {
         "exact": "sliding_sum_91",             # single-partition window plan

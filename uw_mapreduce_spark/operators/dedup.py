@@ -226,8 +226,10 @@ def jaccard_pairs_artifact(
         f"njp{n}_t{int(round(threshold * 1000))}"
         f"_d{'x' if max_df is None else max_df}_"
     )
+    # Version covers the kernel AND its shingle projection — a
+    # tokenization-only change also rebuilds.
     key = (
-        f"{family}v{_builder_version(ngram_jaccard_pairs)}"
+        f"{family}v{_builder_version(ngram_jaccard_pairs, _shingles)}"
         f"_{_corpus_fingerprint(df, id_col, text_col)}"
     )
     root = _artifact_cache_dir(cache_dir)

@@ -927,10 +927,14 @@ def knn_graph_artifact(
     job); the returned frame is always a plain parquet scan."""
     import os
 
+    from .scale import _deterministic_borders
+
     spark = corpus.sparkSession
     family = f"k{k}_"
+    # Version covers the kernel AND the helper that shapes its blocks —
+    # a borders-only change also rebuilds.
     key = (
-        f"{family}v{_builder_version(knn_self_blas)}"
+        f"{family}v{_builder_version(knn_self_blas, _deterministic_borders)}"
         f"_{_corpus_fingerprint(corpus, id_col, vec_col)}"
     )
     root = _artifact_cache_dir(cache_dir)
@@ -972,11 +976,14 @@ def near_dup_pairs_artifact(
     deterministic (the fingerprint and build are independent jobs)."""
     import os
 
+    from .scale import _deterministic_borders
+
     spark = corpus.sparkSession
     t_milli = int(round(threshold * 1000))
     family = f"ndp{t_milli}_"
     key = (
-        f"{family}v{_builder_version(cosine_near_dup_pairs_numpy)}"
+        f"{family}"
+        f"v{_builder_version(cosine_near_dup_pairs_numpy, _deterministic_borders)}"
         f"_{_corpus_fingerprint(corpus, id_col, vec_col)}"
     )
     root = _artifact_cache_dir(cache_dir)

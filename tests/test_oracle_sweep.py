@@ -32,6 +32,12 @@ def test_registry_consistency():
     assert set(ORACLE) <= set(QUERIES)
     assert all(sql and sql.strip() for sql in ORACLE.values())
     assert len(QUERIES) >= 173  # the round-6 catalog floor
+    # Every EAGER_FACES entry must name a live query: a renamed face
+    # would otherwise leave a stale entry, and the explain-sweep CLI
+    # would explain (and trigger) the renamed face's side effects.
+    from uw_mapreduce_spark.plans.catalog import EAGER_FACES
+
+    assert EAGER_FACES <= set(QUERIES), sorted(EAGER_FACES - set(QUERIES))
 
 
 def test_doc_counters_match_registry():

@@ -74,12 +74,15 @@ def test_ngram_jaccard_stays_inverted_index(spark, sf_small):
 
 
 def test_coship_densification_guard(spark, sf_small):
-    """The capped co-shipping builder must (a) carry the per-part
-    row_number cap in its plan (Window + the <= filter) and (b) be a
-    true guard: identical to the exact graph when the cap exceeds every
-    part's fan-out, strictly sparser under a tight cap."""
+    """The capped co-shipping builder must (a) carry the per-part cap
+    in its plan (the sorted-array slice feeding the map-side pair
+    expansion — no window, no self-join: two exchanges, not four) and
+    (b) be a true guard: identical to the exact graph when the cap
+    exceeds every part's fan-out, strictly sparser under a tight cap."""
     capped_plan = _plan(_coship_supplier_edges(spark, sf_small, max_fanout=24))
-    assert "row_number" in capped_plan and "Window" in capped_plan
+    assert "slice" in capped_plan and "collect_set" in capped_plan
+    assert "Window" not in capped_plan  # the r10 rewrite removed it
+    assert "Join" not in capped_plan  # pairs expand map-side
 
     exact = {
         (r.a, r.b) for r in _coship_supplier_edges(spark, sf_small).collect()
@@ -113,14 +116,14 @@ def test_capped_coship_consumers_carry_the_guard(spark, sf_small):
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget, name
     # The guard itself must be in the edge build these faces call; the
-    # faces localCheckpoint the edges so the cap's Window shows up in
-    # the builder plan, not the (ExistingRDD-rooted) consumer plan.
+    # faces localCheckpoint the edges so the cap's array slice shows up
+    # in the builder plan, not the (ExistingRDD-rooted) consumer plan.
     from uw_mapreduce_spark.plans.catalog import _COSHIP_CAP
 
     builder_plan = _plan(
         _coship_supplier_edges(spark, sf_small, max_fanout=_COSHIP_CAP)
     )
-    assert "row_number" in builder_plan and "Window" in builder_plan
+    assert "slice" in builder_plan and "collect_set" in builder_plan
 
 
 def test_salted_join_face_spreads_the_hot_keys(spark, sf_small):

@@ -8898,14 +8898,33 @@ def _coship_supplier_edges(spark, sf_dir, max_fanout: int | None = None):
     work per part is bounded by K(K−1)/2 and total cost returns to
     linear in part count.  None = exact graph (the sf0.01 oracle
     anchor)."""
-    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     if max_fanout is not None:
-        w = Window.partitionBy("l_partkey").orderBy("l_suppkey")
-        ps = (
-            ps.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_fanout)
-            .drop("_rn")
+        # Capped path: ONE exchange builds the K-lowest-suppkey array per
+        # part (collect_set dedups and map-side-combines in the same
+        # aggregate the cap rule reads), then the ≤K(K−1)/2 pairs per
+        # part expand MAP-SIDE from the sorted array — no window, no
+        # self-join.  Two exchanges total (group by part, distinct
+        # pairs) vs four for the row_number+join form (measured sf1:
+        # assortativity_capped 7.2→?, modularity_capped 10.4→? — see
+        # PLANS.md r10); same declared semantics, the K lowest suppkeys
+        # per part pair up, identical to the oracle's row_number rule.
+        capped = li.groupBy("l_partkey").agg(
+            F.slice(
+                F.array_sort(F.collect_set("l_suppkey")), 1, max_fanout
+            ).alias("_sks")
         )
+        pairs = capped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_sks, (x, i) ->"
+                    " transform(slice(_sks, i + 2, size(_sks)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_p")
+        )
+        return pairs.select("_p.a", "_p.b").distinct()
+    ps = li.distinct()
     p2 = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
     return (
         ps.join(p2, (ps.l_partkey == p2.pk) & (ps.l_suppkey < p2.s2))

@@ -93,8 +93,15 @@ def power_iteration_top_component(
     direction as ``iters`` grows; near-isotropic corpora (λ2/λ1 → 1)
     need proportionally more steps — the ITERATE itself is exact and
     engine-reproducible at any step count."""
+    from ..caching import persist_scoped
+
     spark = df.sparkSession
-    q = df.select(_quantized(vec_col, scale).alias("_c"))
+    # quantize ONCE: the dim probe + every iteration's matvec read this
+    # frame — unpersisted, each was a fresh parquet scan + re-quantize
+    # (iters+1 corpus passes; guide §5 — reuse across iterations is the
+    # textbook case for caching)
+    q = persist_scoped(df.select(_quantized(vec_col, scale).alias("_c")), "pca")
+    q.count()
     dim = len(q.first()["_c"])
     w = [1] * dim
     for _ in range(iters):

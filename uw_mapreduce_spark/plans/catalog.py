@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_scoped
 from ..operators.asof import asof_join
 from ..operators.partitioning import rebalance_by_rank
 from ..operators.rank import global_rank, global_rank_scalable
@@ -5680,18 +5681,36 @@ def item_item_cf_parts(spark, sf_dir):
     is floor-scaled from exact integer counts — one double division and
     sqrt per pair, engine-exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # One exchange builds the distinct basket as a sorted array per
+    # order (collect_set IS the per-order distinct); frequencies and
+    # the directed pair expansion both derive from it map-side — the
+    # r9 plan paid a distinct exchange PLUS a basket self-join for the
+    # same pairs (optimization guide §2.4; the capped co-shipping
+    # rewrite's trick).  TPC-H baskets hold ≤7 distinct parts, so the
+    # per-row fan-out is bounded at |basket|·(|basket|−1).
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_parts")
+    )
+    baskets = persist_scoped(baskets, "itemcf")
+    baskets.count()  # materialize once: freq + pair subtrees race under AQE
     freq = (
-        op.groupBy("l_partkey")
+        baskets.select(F.explode("_parts").alias("l_partkey"))
+        .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .where(F.col("n_orders") >= 20)
     )
-    fp = op.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
-    a = fp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = fp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair_expr = F.expr(
+        "flatten(transform(_parts, x ->"
+        " transform(filter(_parts, y -> y != x),"
+        " y -> struct(x AS part_a, y AS part_b))))"
+    )
     co = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") != F.col("part_b"))
+        baskets.select(F.explode(pair_expr).alias("_p"))
+        .select(F.col("_p.part_a").alias("part_a"), F.col("_p.part_b").alias("part_b"))
+        # support prune both endpoints BEFORE the pair exchange —
+        # frequencies broadcast, so the prune is map-side
+        .join(F.broadcast(freq.select(F.col("l_partkey").alias("part_a"))), "part_a")
+        .join(F.broadcast(freq.select(F.col("l_partkey").alias("part_b"))), "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
         .where(F.col("co_count") >= 3)
@@ -6733,17 +6752,24 @@ def quantile_normalize_events(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # Every rollup below (per-source counts, pooled histogram, grand
+    # total) is an exact sum over the (event_type, value) histogram —
+    # derive them from `hs` instead of re-scanning the events table
+    # four times (guide §1.2: one pass where one pass suffices).  `hs`
+    # is distinct-value-sized; persist it for its three consumers.
+    hs = persist_scoped(hs, "qnorm")
+    hs.count()
     ps = hs.withColumn("r", (F.sum("cnt").over(w) - F.col("cnt")).cast("long"))
-    ns = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
-    hp = e.groupBy(F.col("value_u").alias("pv")).agg(
-        F.count(F.lit(1)).cast("long").alias("cntp")
+    ns = hs.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_s"))
+    hp = hs.groupBy(F.col("v").alias("pv")).agg(
+        F.sum("cnt").cast("long").alias("cntp")
     )
     pp = _ranged_with_offsets(hp, ["pv"], "cntp", 32).select(
         "pv",
         (F.col("_prefix") - F.col("cntp")).cast("long").alias("start_p"),
         F.col("_prefix").cast("long").alias("end_p"),
     )
-    n_all = e.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    n_all = hs.agg(F.sum("cnt").cast("long").alias("n_all"))
     k = (
         ps.join(F.broadcast(ns), "event_type")
         .crossJoin(F.broadcast(n_all))
@@ -7697,8 +7723,16 @@ def cf_hitrate_parts(spark, sf_dir):
         F.col("dt").desc(), F.col("ok").desc(), F.col("part").desc()
     )
     ranked = inter.withColumn("rn", F.row_number().over(wq))
+    # `ranked` (one orders⋈lineitem join + one window) used to be
+    # recomputed by every consumer of hold/train — five full passes in
+    # one plan.  Persist it once; every downstream frame reads the
+    # cache (optimization guide §1.2: don't compute things twice).
+    ranked = persist_scoped(ranked, "cfhit")
+    ranked.count()
     hold = ranked.where(F.col("rn") == 1).select("cust", F.col("part").alias("hpart"))
     train = ranked.where(F.col("rn") > 1).select("cust", "part").distinct()
+    train = persist_scoped(train, "cfhit")
+    train.count()
     elig = hold.join(
         train.withColumnRenamed("part", "hpart"), ["cust", "hpart"], "left_anti"
     )
@@ -7708,11 +7742,18 @@ def cf_hitrate_parts(spark, sf_dir):
         .where(F.col("n") >= 20)
     )
     ft = train.join(F.broadcast(freq.select("part")), "part").select("cust", "part")
-    a = ft.select("cust", F.col("part").alias("pa"))
-    b = ft.select("cust", F.col("part").alias("pb"))
+    # co-occurrence via per-user sorted history arrays expanded
+    # map-side (the item_item_cf_parts / capped co-shipping shape): one
+    # cust-keyed exchange + one pair-keyed exchange instead of the
+    # history self-join's two shuffles.
+    hist = ft.groupBy("cust").agg(F.array_sort(F.collect_set("part")).alias("_h"))
+    pair_expr = F.expr(
+        "flatten(transform(_h, x ->"
+        " transform(filter(_h, y -> y != x), y -> struct(x AS pa, y AS pb))))"
+    )
     co = (
-        a.join(b, "cust")
-        .where(F.col("pa") != F.col("pb"))
+        hist.select(F.explode(pair_expr).alias("_p"))
+        .select(F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .where(F.col("c") >= 3)
@@ -9314,8 +9355,15 @@ def popularity_hitrate_parts(spark, sf_dir):
         F.col("dt").desc(), F.col("ok").desc(), F.col("part").desc()
     )
     ranked = inter.withColumn("rn", F.row_number().over(wq))
+    # persist: hold/train consumers would otherwise recompute the
+    # orders⋈lineitem join + window up to 5x in one plan (same fix as
+    # cf_hitrate_parts; optimization guide §1.2)
+    ranked = persist_scoped(ranked, "pophit")
+    ranked.count()
     hold = ranked.where(F.col("rn") == 1).select("cust", F.col("part").alias("hpart"))
     train = ranked.where(F.col("rn") > 1).select("cust", "part").distinct()
+    train = persist_scoped(train, "pophit")
+    train.count()
     elig = hold.join(
         train.withColumnRenamed("part", "hpart"), ["cust", "hpart"], "left_anti"
     )
@@ -9414,9 +9462,13 @@ def golden_record_parts(spark, sf_dir):
     smallest key) — the master-data-management step that turns "these
     rows match" into "this is the record systems should use".
     Composes the blocked fuzzy matcher and min-label CC (both
-    individually oracled) with per-cluster argmax windows PARTITIONED
-    by cluster (cluster-bounded, never corpus-wide); oracle assembled
-    from the registered fuzzy SQL + recursive CTE."""
+    individually oracled) with per-cluster argmax AGGREGATES: each
+    survivorship rule ranks by a (score, −key) pair that is UNIQUE per
+    member (p_partkey is unique), so "row_number()=1 over (score DESC,
+    key ASC)" equals "MAX(struct(score, −key, attr))" exactly — one
+    cluster-keyed exchange replaces the two window exchanges + rollup
+    + two joins the r9 plan paid (optimization guide §2.4; oracle
+    unchanged, still the window form, results provably identical)."""
     from ..operators.graph import connected_components
 
     part = load_table(spark, sf_dir, "part")
@@ -9427,30 +9479,32 @@ def golden_record_parts(spark, sf_dir):
     mem = lab.join(part, "p_partkey").select(
         "canonical_key", "p_partkey", "p_name", "p_brand", "p_size",
         F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long").alias("price_c"),
-    ).localCheckpoint(eager=True)  # three consumers (two picks + agg)
-    wn = Window.partitionBy("canonical_key").orderBy(
-        F.length("p_name").desc(), F.col("p_partkey").asc()
     )
-    name_pick = (
-        mem.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") == 1)
-        .select("canonical_key", F.col("p_name").alias("golden_name"))
-    )
-    wb = Window.partitionBy("canonical_key").orderBy(
-        F.col("p_size").desc(), F.col("p_partkey").asc()
-    )
-    brand_pick = (
-        mem.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
-        .select("canonical_key", F.col("p_brand").alias("golden_brand"))
-    )
-    agg = mem.groupBy("canonical_key").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.max("price_c").cast("long").alias("max_price_c"),
-    )
+    # argmax via struct MAX: (length(p_name) DESC, p_partkey ASC) is a
+    # total order per cluster, so the struct max's payload field IS the
+    # window-rank-1 row's attribute.
+    name_best = F.max(
+        F.struct(
+            F.length("p_name").alias("_s"),
+            (-F.col("p_partkey")).alias("_k"),
+            F.col("p_name").alias("_v"),
+        )
+    )["_v"]
+    brand_best = F.max(
+        F.struct(
+            F.col("p_size").alias("_s"),
+            (-F.col("p_partkey")).alias("_k"),
+            F.col("p_brand").alias("_v"),
+        )
+    )["_v"]
     return (
-        agg.join(name_pick, "canonical_key")
-        .join(brand_pick, "canonical_key")
+        mem.groupBy("canonical_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            name_best.alias("golden_name"),
+            brand_best.alias("golden_brand"),
+            F.max("price_c").cast("long").alias("max_price_c"),
+        )
         .where(F.col("n_members") >= 2)
         .select("canonical_key", "n_members", "golden_name", "golden_brand", "max_price_c")
     )

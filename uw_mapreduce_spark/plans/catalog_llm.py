@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_scoped
 from ..functions.multimodal import attach_media, extract_features
 from ..functions.text import doc_stats, lang_id, tokens
 from ..operators.dedup import (
@@ -2967,6 +2968,10 @@ def keyness_terms_by_source(spark, sf_dir):
         F.col("tok") != ""
     )
     o = flat.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    # vocabulary-sized; persist — `o` feeds the scored join plus three
+    # margin rollups, which would otherwise re-tokenize the corpus 4x
+    o = persist_scoped(o, "keyness")
+    o.count()
     st = o.groupBy("source").agg(F.sum("obs").alias("s"))
     tt = o.groupBy("tok").agg(F.sum("obs").alias("t"))
     n = o.agg(F.sum("obs").alias("n"))
@@ -4723,17 +4728,26 @@ def textrank_terms_documents(spark, sf_dir):
     from ..operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tk")
+    # Adjacent-token pairs MAP-SIDE: zip the token array with itself
+    # shifted by one (two slices) instead of posexplode + self-join on
+    # (doc_id, position) — the join shuffled the whole exploded token
+    # table twice to pair rows that were born adjacent in one array
+    # (optimization guide §2.4: remove shuffles outright).  Same pairs,
+    # same multiplicity: (ts[i], ts[i+1]) for every i.
+    td = docs.select(tokens(F.col("text")).alias("_ts")).where(
+        F.size("_ts") >= 2
     )
-    a = toks.select("doc_id", "i", F.col("tk").alias("a"))
-    b = toks.select("doc_id", (F.col("i") - 1).alias("i"), F.col("tk").alias("b"))
+    adjp = F.zip_with(
+        F.slice(F.col("_ts"), 1, F.size("_ts") - 1),
+        F.slice(F.col("_ts"), 2, F.size("_ts") - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
     adj = (
-        a.join(b, ["doc_id", "i"])
+        td.select(F.explode(adjp).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .where(
             (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
         )
-        .select("a", "b")
     )
     edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -4928,18 +4942,32 @@ def curation_pipeline_v6(spark, sf_dir):
     from ..operators.graph import connected_components
     from ..operators.similarity import near_dup_pairs_artifact
     from ..operators.split import hash_split
+    from ..parallel import run_concurrently
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex_pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
-    lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
-        "label", "_lex"
-    )
-    sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
-    sem = connected_components(sem_pairs, "id_a", "id_b").withColumnRenamed(
-        "label", "_sem"
-    ).withColumnRenamed("v", "sv")
+    # The lexical and semantic branches are independent chains of small
+    # blocking jobs (artifact probe + CC rounds); overlap them on driver
+    # threads so one branch's stragglers back-fill the other's idle
+    # cores (guide §2.6).  Deterministic — results unchanged.
+    def _lex_branch():
+        lex_pairs = jaccard_pairs_artifact(
+            docs, "text", "doc_id", n=5, threshold=0.8, max_df=64
+        )
+        return connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
+            "label", "_lex"
+        )
+
+    def _sem_branch():
+        sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
+        return (
+            connected_components(sem_pairs, "id_a", "id_b")
+            .withColumnRenamed("label", "_sem")
+            .withColumnRenamed("v", "sv")
+        )
+
+    lex, sem = run_concurrently(_lex_branch, _sem_branch)
     rules = quality_rules_documents(spark, sf_dir).where(F.col("keep") == 1).select(
         "doc_id"
     )
@@ -5215,19 +5243,30 @@ def dedup_provenance_documents(spark, sf_dir):
     a corpus rewrite."""
     from ..operators.graph import connected_components
     from ..operators.similarity import near_dup_pairs_artifact
+    from ..parallel import run_concurrently
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex_pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
-    lex = connected_components(lex_pairs, "doc_a", "doc_b")
+    # independent modality chains — overlap their blocking jobs on
+    # driver threads (guide §2.6), results unchanged
+    lex, sem = run_concurrently(
+        lambda: connected_components(
+            jaccard_pairs_artifact(
+                docs, "text", "doc_id", n=5, threshold=0.8, max_df=64
+            ),
+            "doc_a",
+            "doc_b",
+        ),
+        lambda: connected_components(
+            near_dup_pairs_artifact(emb, threshold=0.45), "id_a", "id_b"
+        ),
+    )
     lex_drops = lex.where(F.col("v") != F.col("label")).select(
         F.col("v").alias("doc_id"),
         F.col("label").cast("long").alias("kept_id"),
         F.lit("lexical").alias("modality"),
     )
-    sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
-    sem = connected_components(sem_pairs, "id_a", "id_b")
     sem_drops = sem.where(F.col("v") != F.col("label")).select(
         F.col("v").alias("doc_id"),
         F.col("label").cast("long").alias("kept_id"),
@@ -5308,18 +5347,30 @@ def curation_pipeline_v7(spark, sf_dir):
     from ..operators.similarity import near_dup_pairs_artifact
     from ..operators.split import hash_split
     from ..functions.text import redact_pii
+    from ..parallel import run_concurrently
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    lex_pairs = jaccard_pairs_artifact(docs, "text", "doc_id", n=5, threshold=0.8, max_df=64)
-    lex = connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
-        "label", "_lex"
-    )
-    sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
-    sem = connected_components(sem_pairs, "id_a", "id_b").withColumnRenamed(
-        "label", "_sem"
-    ).withColumnRenamed("v", "sv")
+    # independent lexical / semantic verdict chains — overlap their
+    # blocking jobs on driver threads (guide §2.6), results unchanged
+    def _lex_branch():
+        lex_pairs = jaccard_pairs_artifact(
+            docs, "text", "doc_id", n=5, threshold=0.8, max_df=64
+        )
+        return connected_components(lex_pairs, "doc_a", "doc_b").withColumnRenamed(
+            "label", "_lex"
+        )
+
+    def _sem_branch():
+        sem_pairs = near_dup_pairs_artifact(emb, threshold=0.45)
+        return (
+            connected_components(sem_pairs, "id_a", "id_b")
+            .withColumnRenamed("label", "_sem")
+            .withColumnRenamed("v", "sv")
+        )
+
+    lex, sem = run_concurrently(_lex_branch, _sem_branch)
     rules = quality_rules_documents(spark, sf_dir).where(F.col("keep") == 1).select(
         "doc_id"
     )

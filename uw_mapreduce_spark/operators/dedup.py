@@ -34,24 +34,33 @@ _SCOPE = "uwms.dedup"
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set.
 
-    Joins the candidate pairs to the shingle table on each side, so the
-    intersection count is computed ONLY for candidate pairs — cost is
-    O(|pairs| · shingles/doc), never the full shared-shingle self-join.
-    The candidate frame is small (bounded by the LSH S-curve), so AQE
-    broadcasts it against the shingle table.
+    Packs each doc's (already-distinct) shingles into one sorted array
+    with a single doc-keyed exchange, attaches the two arrays to each
+    candidate pair, and computes |A∩B| MAP-SIDE via ``array_intersect``
+    — the former shape exploded every candidate to |shingles(a)| rows
+    and re-shuffled that frame against the shingle table on
+    (doc_b, shingle), a second corpus-sized exchange the arrays make
+    unnecessary (optimization guide §2.3/§2.4).  ``sh`` is distinct per
+    (doc, shingle), so the intersect size and array sizes are exactly
+    the old intersection/shingle counts.
     """
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    docsh = sh.groupBy("doc").agg(F.array_sort(F.collect_set("shingle")).alias("_sh"))
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
+        pairs.join(
+            docsh.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("_sha")),
+            "doc_a",
         )
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .join(
+            docsh.select(F.col("doc").alias("doc_b"), F.col("_sh").alias("_shb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sha", "_shb")).alias("common"),
+            F.size("_sha").alias("n_a"),
+            F.size("_shb").alias("n_b"),
+        )
         .withColumn(
             "jaccard_permille",
             F.floor(
@@ -717,33 +726,11 @@ def ppjoin_pairs(
         .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = (
-        common.join(
-            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard_permille",
-            F.floor(
-                F.lit(1000.0)
-                * F.col("common")
-                / (F.col("n_a") + F.col("n_b") - F.col("common"))
-            ).cast("long"),
-        )
-    )
-    out = jac.where(F.col("jaccard_permille") >= t_milli).select(
-        "doc_a", "doc_b", "jaccard_permille"
+    # exact verify via per-doc shingle arrays + map-side array_intersect
+    # (see _jaccard_for_pairs — removes the exploded candidate×shingle
+    # re-shuffle the former per-shingle verify join paid)
+    out = _jaccard_for_pairs(cand, sh).where(
+        F.col("jaccard_permille") >= t_milli
     )
     return materialize_and_release(out)
 

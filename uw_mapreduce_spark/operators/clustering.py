@@ -173,17 +173,8 @@ def dbscan_grid(
         F.col(y_col).cast("long").alias("y"),
     ).withColumn("cx", fdiv("x")).withColumn("cy", fdiv("y"))
 
-    # HALF-neighborhood candidate generation (optimization guide §2.3:
-    # shuffle fewer bytes): every UNDIRECTED pair is produced exactly
-    # once — same-cell pairs from a self-join with id<id, cross-cell
-    # pairs by probing only the 4 FORWARD neighbor cells (each adjacent
-    # cell pair has one forward orientation, so {a,b} meets once) —
-    # then symmetrized to the directed multiset the consumers expect.
-    # Join input drops from 9|P| probe rows to 5|P| and the distance
-    # predicate runs on half the candidates; output is IDENTICAL to
-    # the former full-3x3 probe (each directed pair exactly once).
     offs = p.sparkSession.createDataFrame(
-        [(0, 1), (1, -1), (1, 0), (1, 1)], "dx long, dy long"
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
     )
     probe = p.crossJoin(F.broadcast(offs)).select(
         F.col("id").alias("ida"),
@@ -200,38 +191,13 @@ def dbscan_grid(
         F.col("cy").alias("ccy"),
     )
     dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
-    within = dx * dx + dy * dy <= F.lit(e2)
-    cross = (
+    # each directed pair materializes exactly once: b's home cell is
+    # unique and a probes it iff the cells are adjacent
+    pairs = (
         probe.join(home, ["ccx", "ccy"])
-        .where(within)
+        .where((F.col("ida") != F.col("idb")) & (dx * dx + dy * dy <= F.lit(e2)))
         .select("ida", "idb")
-    )
-    same_home = p.select(
-        F.col("id").alias("idb"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        "cx",
-        "cy",
-    )
-    same = (
-        p.select(
-            F.col("id").alias("ida"),
-            F.col("x").alias("xa"),
-            F.col("y").alias("ya"),
-            "cx",
-            "cy",
-        )
-        .join(same_home, ["cx", "cy"])
-        .where((F.col("ida") < F.col("idb")) & within)
-        .select("ida", "idb")
-    )
-    # checkpoint the UNDIRECTED list (that is where the join work is);
-    # the directed view is a cheap map-side union both ways over it,
-    # reused by count, core edges, border
-    und = cross.unionByName(same).localCheckpoint(eager=True)
-    pairs = und.unionByName(
-        und.select(F.col("idb").alias("ida"), F.col("ida").alias("idb"))
-    )
+    ).localCheckpoint(eager=True)  # reused by count, core edges, border
 
     core = (
         pairs.groupBy("ida")

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_scoped
 from ..operators.asof import asof_join
 from ..operators.partitioning import rebalance_by_rank
 from ..operators.rank import global_rank, global_rank_scalable
@@ -5681,36 +5680,18 @@ def item_item_cf_parts(spark, sf_dir):
     is floor-scaled from exact integer counts — one double division and
     sqrt per pair, engine-exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    # One exchange builds the distinct basket as a sorted array per
-    # order (collect_set IS the per-order distinct); frequencies and
-    # the directed pair expansion both derive from it map-side — the
-    # r9 plan paid a distinct exchange PLUS a basket self-join for the
-    # same pairs (optimization guide §2.4; the capped co-shipping
-    # rewrite's trick).  TPC-H baskets hold ≤7 distinct parts, so the
-    # per-row fan-out is bounded at |basket|·(|basket|−1).
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("_parts")
-    )
-    baskets = persist_scoped(baskets, "itemcf")
-    baskets.count()  # materialize once: freq + pair subtrees race under AQE
+    op = li.select("l_orderkey", "l_partkey").distinct()
     freq = (
-        baskets.select(F.explode("_parts").alias("l_partkey"))
-        .groupBy("l_partkey")
+        op.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .where(F.col("n_orders") >= 20)
     )
-    pair_expr = F.expr(
-        "flatten(transform(_parts, x ->"
-        " transform(filter(_parts, y -> y != x),"
-        " y -> struct(x AS part_a, y AS part_b))))"
-    )
+    fp = op.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = fp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     co = (
-        baskets.select(F.explode(pair_expr).alias("_p"))
-        .select(F.col("_p.part_a").alias("part_a"), F.col("_p.part_b").alias("part_b"))
-        # support prune both endpoints BEFORE the pair exchange —
-        # frequencies broadcast, so the prune is map-side
-        .join(F.broadcast(freq.select(F.col("l_partkey").alias("part_a"))), "part_a")
-        .join(F.broadcast(freq.select(F.col("l_partkey").alias("part_b"))), "part_b")
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") != F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
         .where(F.col("co_count") >= 3)
@@ -6755,10 +6736,10 @@ def quantile_normalize_events(spark, sf_dir):
     # Every rollup below (per-source counts, pooled histogram, grand
     # total) is an exact sum over the (event_type, value) histogram —
     # derive them from `hs` instead of re-scanning the events table
-    # four times (guide §1.2: one pass where one pass suffices).  `hs`
-    # is distinct-value-sized; persist it for its three consumers.
-    hs = persist_scoped(hs, "qnorm")
-    hs.count()
+    # four times (guide §1.2).  No persist: the `hs` exchange is an
+    # IDENTICAL subtree in all four consumers, so AQE's runtime
+    # exchange reuse computes it once (a persist barrier measured
+    # strictly slower here).
     ps = hs.withColumn("r", (F.sum("cnt").over(w) - F.col("cnt")).cast("long"))
     ns = hs.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_s"))
     hp = hs.groupBy(F.col("v").alias("pv")).agg(
@@ -7723,16 +7704,8 @@ def cf_hitrate_parts(spark, sf_dir):
         F.col("dt").desc(), F.col("ok").desc(), F.col("part").desc()
     )
     ranked = inter.withColumn("rn", F.row_number().over(wq))
-    # `ranked` (one orders⋈lineitem join + one window) used to be
-    # recomputed by every consumer of hold/train — five full passes in
-    # one plan.  Persist it once; every downstream frame reads the
-    # cache (optimization guide §1.2: don't compute things twice).
-    ranked = persist_scoped(ranked, "cfhit")
-    ranked.count()
     hold = ranked.where(F.col("rn") == 1).select("cust", F.col("part").alias("hpart"))
     train = ranked.where(F.col("rn") > 1).select("cust", "part").distinct()
-    train = persist_scoped(train, "cfhit")
-    train.count()
     elig = hold.join(
         train.withColumnRenamed("part", "hpart"), ["cust", "hpart"], "left_anti"
     )
@@ -7742,18 +7715,11 @@ def cf_hitrate_parts(spark, sf_dir):
         .where(F.col("n") >= 20)
     )
     ft = train.join(F.broadcast(freq.select("part")), "part").select("cust", "part")
-    # co-occurrence via per-user sorted history arrays expanded
-    # map-side (the item_item_cf_parts / capped co-shipping shape): one
-    # cust-keyed exchange + one pair-keyed exchange instead of the
-    # history self-join's two shuffles.
-    hist = ft.groupBy("cust").agg(F.array_sort(F.collect_set("part")).alias("_h"))
-    pair_expr = F.expr(
-        "flatten(transform(_h, x ->"
-        " transform(filter(_h, y -> y != x), y -> struct(x AS pa, y AS pb))))"
-    )
+    a = ft.select("cust", F.col("part").alias("pa"))
+    b = ft.select("cust", F.col("part").alias("pb"))
     co = (
-        hist.select(F.explode(pair_expr).alias("_p"))
-        .select(F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb"))
+        a.join(b, "cust")
+        .where(F.col("pa") != F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .where(F.col("c") >= 3)
@@ -9355,15 +9321,8 @@ def popularity_hitrate_parts(spark, sf_dir):
         F.col("dt").desc(), F.col("ok").desc(), F.col("part").desc()
     )
     ranked = inter.withColumn("rn", F.row_number().over(wq))
-    # persist: hold/train consumers would otherwise recompute the
-    # orders⋈lineitem join + window up to 5x in one plan (same fix as
-    # cf_hitrate_parts; optimization guide §1.2)
-    ranked = persist_scoped(ranked, "pophit")
-    ranked.count()
     hold = ranked.where(F.col("rn") == 1).select("cust", F.col("part").alias("hpart"))
     train = ranked.where(F.col("rn") > 1).select("cust", "part").distinct()
-    train = persist_scoped(train, "pophit")
-    train.count()
     elig = hold.join(
         train.withColumnRenamed("part", "hpart"), ["cust", "hpart"], "left_anti"
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_scoped
+
 from ..functions.multimodal import attach_media, extract_features
 from ..functions.text import doc_stats, lang_id, tokens
 from ..operators.dedup import (
@@ -2968,10 +2968,6 @@ def keyness_terms_by_source(spark, sf_dir):
         F.col("tok") != ""
     )
     o = flat.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("obs"))
-    # vocabulary-sized; persist — `o` feeds the scored join plus three
-    # margin rollups, which would otherwise re-tokenize the corpus 4x
-    o = persist_scoped(o, "keyness")
-    o.count()
     st = o.groupBy("source").agg(F.sum("obs").alias("s"))
     tt = o.groupBy("tok").agg(F.sum("obs").alias("t"))
     n = o.agg(F.sum("obs").alias("n"))

@@ -49,7 +49,13 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark(app_name="perf-probe")
     # Same warmup as bench.py: parquet footers + Python worker pool.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # (scale-curve dirs hold only documents+embeddings)
+    for t in ("lineitem", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            break
+        except Exception:
+            continue
 
     def _noop(it):
         yield from it

@@ -171,34 +171,54 @@ def kmeans_centroids(
         # of norm 2 would swallow its neighborhood regardless of angle.
         .select("cent_id", _unit(F.col(vec_col)).alias(vec_col))
     )
+    # dim probed once (1-row read) so the mean can aggregate the dim
+    # components as COLUMNS — the former posexplode shipped corpus×dim
+    # rows through the shuffle machinery to produce C·dim cells; column
+    # aggregates partial-combine map-side into C rows of dim buffers
+    # (optimization guide §2.3: aggregate before you shuffle).
+    dim = len(corpus.select(vec_col).first()[0])
     centroids = seeds
     for _ in range(iterations):
         assigned = assign_centroids(corpus, centroids, vec_col)
         unit = _unit_frame(assigned, vec_col, "_u", ["cent_id"])
-        means = (
-            unit.select("cent_id", F.posexplode(F.col("_u")).alias("pos", "x"))
-            .groupBy("cent_id", "pos")
-            # Mean via EXACT decimal sum, not F.avg(double): double
-            # addition is order-sensitive, and a shuffled aggregate sums
-            # in nondeterministic order — avg could differ bitwise across
-            # runs and flip near-tie assignments.  decimal(38,18) holds
-            # unit components exactly to 1e-18 with 20 integer digits of
-            # headroom (no overflow until ~1e20 members), so the sum is a
-            # pure function of the multiset.
-            .agg(
-                (F.sum(F.col("x").cast("decimal(38,18)")) / F.count(F.lit(1)))
-                .cast("double")
-                .alias("m")
-            )
-            .groupBy("cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cent_id", F.transform("pm", lambda s: s["m"]).alias(vec_col))
+        # Mean via EXACT decimal sum, not F.avg(double): double
+        # addition is order-sensitive, and a shuffled aggregate sums
+        # in nondeterministic order — avg could differ bitwise across
+        # runs and flip near-tie assignments.  decimal(38,18) holds
+        # unit components exactly to 1e-18 with 20 integer digits of
+        # headroom (no overflow until ~1e20 members), so the sum is a
+        # pure function of the multiset.  Same expression per
+        # component as the former per-(cent_id, pos) aggregate —
+        # values bit-identical, only the shuffle shape changed.
+        sums = unit.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col("_u").getItem(i).cast("decimal(38,18)")).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        means = sums.select(
+            "cent_id",
+            F.array(
+                *[
+                    (F.col(f"_s{i}") / F.col("_n")).cast("double")
+                    for i in range(dim)
+                ]
+            ).alias(vec_col),
         )
         # Unit-normalize the mean so assignment's dot product ranks by
         # true cosine (spherical k-means); seeds with an empty cluster
         # drop out, ids stay stable otherwise.
         means = means.select("cent_id", _unit(F.col(vec_col)).alias(vec_col))
-        centroids = means
+        # EAGER barrier on the C-row centroid frame: left lazy, every
+        # later collect (next iteration's assignment literals, the
+        # caller's final literal collect) re-runs THIS iteration's
+        # corpus aggregate from scratch — O(iterations²) corpus passes
+        # for a frame of C rows (measured: the sf10 IVF build spent
+        # 35 s re-deriving 16 rows).  The checkpoint pins each Lloyd
+        # step to exactly one corpus pass; values are bit-identical
+        # (same plan, materialized once).
+        centroids = means.localCheckpoint(eager=True)
     return centroids
 
 

@@ -110,10 +110,17 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return (
-        tok_df.select("doc", F.explode(grams).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+    # Dedup MAP-SIDE: the distinct key is (doc, shingle) and each doc is
+    # one input row, so array_distinct inside the row is exactly the old
+    # corpus-wide .distinct() — without shuffling the full shingle table
+    # (a 25M-row string exchange at the 100x point; guide §2.4).  The
+    # exploded output is also physically grouped by doc, so downstream
+    # per-doc aggregates partial-combine within the scan task.
+    return tok_df.select(
+        "doc",
+        F.explode(
+            F.array_distinct(F.filter(grams, lambda s: s != F.lit("")))
+        ).alias("shingle"),
     )
 
 

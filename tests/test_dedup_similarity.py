@@ -460,3 +460,41 @@ def test_lsh_plane_family_is_not_rank_one():
         counts = np.unique(bh, return_counts=True)[1]
         assert len(counts) > 64           # was exactly 2 with CRC32
         assert counts.max() < 2000 * 0.25  # no degenerate mega-bucket
+
+
+def test_kmeans_column_vs_posexplode_mean_paths_identical(spark):
+    """The dim guard (VERDICT r10 item 5): above
+    _KMEANS_COLUMN_AGG_MAX_DIM the Lloyd mean falls back from
+    per-dimension column aggregates to the posexplode shape.  Both
+    paths compute the same decimal-exact mean, so forcing the
+    threshold must not change a single centroid bit."""
+    import random
+
+    import uw_mapreduce_spark.operators.similarity as sim
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    col_path = sim.kmeans_centroids(emb, 4, iterations=2).collect()
+    old = sim._KMEANS_COLUMN_AGG_MAX_DIM
+    try:
+        sim._KMEANS_COLUMN_AGG_MAX_DIM = 4  # dim 8 > 4 -> posexplode path
+        exp_path = sim.kmeans_centroids(emb, 4, iterations=2).collect()
+    finally:
+        sim._KMEANS_COLUMN_AGG_MAX_DIM = old
+    a = {r["cent_id"]: list(r["embedding"]) for r in col_path}
+    b = {r["cent_id"]: list(r["embedding"]) for r in exp_path}
+    assert a == b  # bit-identical centroids on either mean shape
+
+
+def test_kmeans_empty_corpus_returns_empty_frame(spark):
+    """ADVICE r10: the dim probe must not TypeError on an empty corpus;
+    the old (pre-column-agg) behavior was an empty centroid frame."""
+    from uw_mapreduce_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = kmeans_centroids(emb, 4, iterations=2)
+    assert out.columns == ["cent_id", "embedding"]
+    assert out.count() == 0

@@ -140,6 +140,11 @@ def test_rotation_defers_new_registrations_behind_backlog():
     backlog = [n for n in names if prio(n) == 0 and n not in e._DEFER_FIRST_SLOT]
     deferred = [n for n in names if n in e._DEFER_FIRST_SLOT]
     assert deferred, "round-9 additions should be registered"
+    if not backlog:
+        # Terminal state reached in round 10: every oracle-backed face
+        # has hash-verified at least once, so there is no never-verified
+        # backlog left to defer behind — the invariant is vacuously true.
+        return
     last_backlog_idx = max(names.index(n) for n in backlog)
     assert all(names.index(d) > last_backlog_idx for d in deferred)
 

@@ -25,10 +25,16 @@ storage would flip this to ``spark.sparkContext.setCheckpointDir`` +
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _scoped: dict[str, list[DataFrame]] = {}
+# Concurrent driver branches (parallel.run_concurrently) may register
+# frames under the same scope; without the lock a same-scope race could
+# transiently exceed ``keep`` or double-unpersist (ADVICE r10).
+_scoped_lock = threading.Lock()
 
 
 def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -64,18 +70,24 @@ def persist_scoped(df: DataFrame, scope: str, keep: int = 2) -> DataFrame:
     If a still-lazy plan outlives its cache entry, Spark recomputes the
     exact same rows — slower, never wrong.
     """
-    if df.storageLevel != StorageLevel.NONE:
-        return df
-    frames = _scoped.setdefault(scope, [])
-    frames.append(df.persist(StorageLevel.MEMORY_AND_DISK))
-    while len(frames) > keep:
-        frames.pop(0).unpersist()
+    with _scoped_lock:
+        if df.storageLevel != StorageLevel.NONE:
+            return df
+        frames = _scoped.setdefault(scope, [])
+        frames.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+        evicted = []
+        while len(frames) > keep:
+            evicted.append(frames.pop(0))
+    for old in evicted:
+        old.unpersist()
     return df
 
 
 def release_scope(scope: str) -> None:
     """Unpersist every frame registered under ``scope``."""
-    for df in _scoped.pop(scope, []):
+    with _scoped_lock:
+        frames = _scoped.pop(scope, [])
+    for df in frames:
         try:
             df.unpersist()
         except Exception:

@@ -61,6 +61,10 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
             F.size("_sha").alias("n_a"),
             F.size("_shb").alias("n_b"),
         )
+        # The pre-array shape joined candidates THROUGH the shared
+        # shingles, so a pair with no overlap never appeared; keep that
+        # contract (ADVICE r10) instead of emitting jaccard=0 rows.
+        .where(F.col("common") > 0)
         .withColumn(
             "jaccard_permille",
             F.floor(

@@ -26,8 +26,28 @@ and reads a counter between them) — O(1) driver data per round.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Per-round frames (labels, ranks, frontiers, survivor sets) whose EXACT
+#: row count — already known from the loop's convergence bookkeeping — is
+#: at or below this bound get an explicit broadcast hint, so the
+#: checkpointed edge list is probed in place instead of being re-shuffled
+#: every round (optimization guide §3.1: size estimates after iterative
+#: checkpoints are unusable, so the known count decides; §2.4: the edge
+#: exchange is the per-round term that grows with the graph).  ~4M rows of
+#: (long, long) is ~100-200 MB built — inside the guide's "a few hundred
+#: MB is fine" band.  Above the bound nothing changes: the planner's
+#: shuffle strategy stands, which is the only correct shape at 100 TB
+#: vertex counts.  Env-overridable for smaller executors.
+_BCAST_MAX_ROWS = int(os.environ.get("UWMS_GRAPH_BROADCAST_MAX_ROWS", "4000000"))
+
+
+def _bcast_if_small(df: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast hint iff the exact known count fits `_BCAST_MAX_ROWS`."""
+    return F.broadcast(df) if 0 <= n_rows <= _BCAST_MAX_ROWS else df
 
 
 def connected_components(
@@ -67,12 +87,18 @@ def connected_components(
         .agg(F.min("b").alias("_mb"))
         .select("v", F.least(F.col("v"), F.col("_mb")).alias("m"))
     ).localCheckpoint(eager=True)  # reused: 2 quotient sides + final map-back
+    # Exact vertex count (cheap: m is checkpointed).  Decides whether the
+    # O(V) map frame is broadcast into the two quotient-build joins — the
+    # alternative exchanges the FULL edge list twice (by a, then by b)
+    # just to rename endpoints (guide §3.1/§2.4).
+    n_verts = m.count()
+    mb = _bcast_if_small(m, n_verts)
 
     q_edges = (
         both.join(
-            m.select(F.col("v").alias("a"), F.col("m").alias("_ma")), "a"
+            mb.select(F.col("v").alias("a"), F.col("m").alias("_ma")), "a"
         )
-        .join(m.select(F.col("v").alias("b"), F.col("m").alias("_mb2")), "b")
+        .join(mb.select(F.col("v").alias("b"), F.col("m").alias("_mb2")), "b")
         .select(F.col("_ma").alias("a"), F.col("_mb2").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
@@ -84,12 +110,17 @@ def connected_components(
     labels = (
         both.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     ).localCheckpoint(eager=True)
+    # The quotient vertex set is FIXED across rounds; one count funds the
+    # per-round broadcast decision for every label-frame join below.
+    n_q = labels.count()
 
     converged = False
     for _ in range(max_iter):
-        # neighbor labels: for each edge a->b, b's current label reaches a
+        # neighbor labels: for each edge a->b, b's current label reaches
+        # a.  Broadcasting the O(V_q) label frame keeps the quotient edge
+        # list un-shuffled round after round.
         nbr = (
-            both.join(labels.withColumnRenamed("v", "b"), "b")
+            both.join(_bcast_if_small(labels.withColumnRenamed("v", "b"), n_q), "b")
             .groupBy(F.col("a").alias("v"))
             .agg(F.min("label").alias("nbr_min"))
         )
@@ -104,7 +135,7 @@ def connected_components(
         )
         updated = (
             labels.join(nbr, "v", "left")
-            .join(ll, "label", "left")
+            .join(_bcast_if_small(ll, n_q), "label", "left")
             .select(
                 "v",
                 best.alias("label"),
@@ -124,7 +155,9 @@ def connected_components(
     # quotient_label(m(v)); a representative with no cross-star edge
     # never enters the quotient and labels its own star.
     return m.join(
-        labels.select(F.col("v").alias("m"), "label"), "m", "left"
+        _bcast_if_small(labels.select(F.col("v").alias("m"), "label"), n_q),
+        "m",
+        "left",
     ).select("v", F.coalesce("label", F.col("m")).alias("label"))
 
 
@@ -259,8 +292,13 @@ def pagerank(edges: DataFrame, *, iterations: int = 5, damping_milli: int = 850,
     )
     ranks = verts.withColumn("rank_micro", F.lit(1000000 // n).cast("long"))
     for _ in range(iterations):
+        # Broadcast the O(V) rank frame (exact count n known) so the
+        # checkpointed degree-annotated edge list never re-shuffles per
+        # round; the contribution sum partial-aggregates map-side and
+        # only C~V rows cross the wire (guide §2.3/§3.1).  Integer sums
+        # are order-independent, so the values are unchanged.
         contrib = (
-            e_deg.join(ranks.withColumnRenamed("v", "u"), "u")
+            e_deg.join(_bcast_if_small(ranks.withColumnRenamed("v", "u"), n), "u")
             .select("v", F.expr("rank_micro DIV outdeg").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("in_sum"))
@@ -304,19 +342,33 @@ def bfs_hops(
     dist = (
         seeds.select("v").distinct().withColumn("hop", F.lit(0).cast("long"))
     ).localCheckpoint(eager=True)
+    # The loop's own bookkeeping (seed count + per-round nxt.count())
+    # yields exact frontier/settled sizes for free — broadcast the small
+    # side of both per-round joins so the checkpointed edge list is
+    # probed in place, never re-shuffled (guide §3.1): the expand join
+    # builds a hash table of the FRONTIER, the settled-set anti-join one
+    # of DIST.  Set semantics (distinct/anti) are join-strategy-invariant.
+    n_dist = dist.count()
     frontier = dist.select("v")
+    n_frontier = n_dist
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.join(both, frontier["v"] == both["a"])
+            both.join(
+                _bcast_if_small(frontier.withColumnRenamed("v", "a"), n_frontier),
+                "a",
+            )
             .select(F.col("b").alias("v"))
             .distinct()
-            .join(dist.select("v"), "v", "left_anti")
+            .join(_bcast_if_small(dist.select("v"), n_dist), "v", "left_anti")
             .withColumn("hop", F.lit(h).cast("long"))
         ).localCheckpoint(eager=True)
-        if nxt.count() == 0:
+        n_new = nxt.count()
+        if n_new == 0:
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        n_dist += n_new
         frontier = nxt.select("v")
+        n_frontier = n_new
     return dist
 
 
@@ -372,10 +424,16 @@ def personalized_pagerank(
         f"CAST(({1000 - damping_milli} * bs"
         f" + {damping_milli} * COALESCE(in_sum, 0)) DIV 1000 AS BIGINT)"
     )
+    # Exact vertex count (cheap: base is checkpointed) funds the same
+    # per-round broadcast decision as `pagerank`: the O(V) rank frame
+    # builds the hash side, the checkpointed edge list never re-shuffles.
+    n_verts = base.count()
     ranks = base.select("v", F.col("bs").alias("rank_micro"))
     for _ in range(iterations):
         contrib = (
-            e_deg.join(ranks.withColumnRenamed("v", "u"), "u")
+            e_deg.join(
+                _bcast_if_small(ranks.withColumnRenamed("v", "u"), n_verts), "u"
+            )
             .select("v", F.expr("rank_micro DIV outdeg").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("in_sum"))
@@ -418,17 +476,22 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     cur = both.select(F.col("a").alias("v")).distinct().localCheckpoint(eager=True)
+    # Survivor-set counts are the loop's own convergence bookkeeping;
+    # broadcasting the O(V) survivor frame into both semi-join sides
+    # keeps the checkpointed edge list un-shuffled per peel (guide §3.1).
+    n_cur = cur.count()
     for _ in range(max_iter):
         deg = (
-            both.join(cur.withColumnRenamed("v", "a"), "a")
-            .join(cur.withColumnRenamed("v", "b"), "b")
+            both.join(_bcast_if_small(cur.withColumnRenamed("v", "a"), n_cur), "a")
+            .join(_bcast_if_small(cur.withColumnRenamed("v", "b"), n_cur), "b")
             .groupBy(F.col("a").alias("v"))
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
         nxt = deg.where(F.col("core_deg") >= k).localCheckpoint(eager=True)
-        n_cur, n_nxt = cur.count(), nxt.count()
+        n_prev, n_nxt = n_cur, nxt.count()
         cur = nxt.select("v").localCheckpoint(eager=True)
-        if n_nxt == n_cur:
+        n_cur = n_nxt
+        if n_nxt == n_prev:
             return nxt.select("v", F.col("core_deg").cast("long").alias("core_deg"))
         if n_nxt == 0:
             return nxt.select("v", F.col("core_deg").cast("long").alias("core_deg"))
@@ -481,23 +544,37 @@ def hits(
     # evaluations of the edge build).  Checkpoint the edge list once and
     # every score frame after its rescale to keep the plan linear.
     edges = edges.localCheckpoint(eager=True)
-    h = edges.select(F.col(src).alias("node")).distinct().withColumn(
-        "score", F.lit(1).cast("long")
+    h = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("score", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
     )
+    # Score frames are O(nodes); with exact counts (cheap on the
+    # checkpointed frames) the edge list builds no shuffle at all in any
+    # half-step — each join probes a broadcast score table and the
+    # weighted sum partial-aggregates map-side (guide §2.3/§3.1).  The
+    # un-broadcast alternative re-exchanged the full edge list FOUR
+    # times per 2-iteration run (the edge checkpoint preserves no useful
+    # partitioning: src and dst keys alternate).
+    n_h = h.count()
     a = None
+    n_a = -1
     for _ in range(iterations):
         a = _rescale_col(
-            edges.join(h.withColumnRenamed("node", src), src)
+            edges.join(_bcast_if_small(h.withColumnRenamed("node", src), n_h), src)
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col(weight) * F.col("score")).cast("long").alias("score")),
             "score",
         ).localCheckpoint(eager=True)
+        n_a = a.count()
         h = _rescale_col(
-            edges.join(a.withColumnRenamed("node", dst), dst)
+            edges.join(_bcast_if_small(a.withColumnRenamed("node", dst), n_a), dst)
             .groupBy(F.col(src).alias("node"))
             .agg(F.sum(F.col(weight) * F.col("score")).cast("long").alias("score")),
             "score",
         ).localCheckpoint(eager=True)
+        n_h = h.count()
     return h.select(F.lit("hub").alias("side"), "node", "score").unionByName(
         a.select(F.lit("authority").alias("side"), "node", "score")
     )
@@ -517,15 +594,26 @@ def weighted_shortest_paths(
     costs answer "how cheaply", e.g. relationship-strength routing,
     fraud-ring cost exposure, network latency radius).
 
-    Undirected: every edge relaxes both ways.  Per round the FULL
-    tentative-distance frame joins the checkpointed edge list and the
-    per-vertex minimum is kept — unlike BFS, a settled vertex can still
-    improve (a longer-hop path may be cheaper), so the frontier
-    optimization does not apply; the bound is the fixed round count
-    (distances after round k are exact over ≤k-edge paths, the
-    classical Bellman-Ford invariant).  Each round is one join + one
-    aggregate, localCheckpointed so the lineage stays linear in rounds;
-    O(1) driver data.  int64 costs — exact, no float accumulation.
+    Undirected: every edge relaxes both ways.  FRONTIER Bellman-Ford
+    (VERDICT r10 item 1): round k relaxes only out of vertices whose
+    tentative distance IMPROVED in round k-1 — a vertex whose d is
+    unchanged would re-offer exactly the candidates it offered when it
+    last improved, all already folded into the running minimum.
+    Invariant (induction on rounds, identical to full Bellman-Ford):
+    after round k every value in ``dist`` is the cost of some ≤k-edge
+    walk, and dist(v) ≤ the cheapest ≤k-edge walk to v — a cheapest
+    ≤k-edge walk ends (≤k-1 walk to u) + one edge, u reached that value
+    in some round j ≤ k-1, entered the frontier, and relaxed u→v in
+    round j+1 ≤ k.  So the frame after ``max_hops`` rounds is
+    row-identical to the full-relaxation version; the per-round join
+    input shrinks from the whole tentative frame to the changed set.
+    The old/new winner per vertex resolves by a struct-min over
+    (d, is_new), old winning ties, so the frontier is exactly the
+    strictly-improved set.  Each round is one frontier×edges join + one
+    aggregate, localCheckpointed; O(1) driver data (the frontier count,
+    which also funds the broadcast decision and an early exit — an
+    empty frontier cannot change any later round).  int64 costs —
+    exact, no float accumulation.
     """
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w"))
@@ -537,16 +625,30 @@ def weighted_shortest_paths(
     dist = (
         seeds.select("v").distinct().withColumn("d", F.lit(0).cast("long"))
     ).localCheckpoint(eager=True)
+    frontier = dist
+    n_frontier = dist.count()
     for _ in range(max_hops):
+        if n_frontier == 0:
+            break
         relaxed = (
-            dist.join(both, dist["v"] == both["a"])
+            both.join(
+                _bcast_if_small(frontier.withColumnRenamed("v", "a"), n_frontier),
+                "a",
+            )
             .select(F.col("b").alias("v"), (F.col("d") + F.col("w")).cast("long").alias("d"))
+            .withColumn("_new", F.lit(1))
         )
-        dist = (
-            dist.unionByName(relaxed)
+        agg = (
+            dist.withColumn("_new", F.lit(0))
+            .unionByName(relaxed)
             .groupBy("v")
-            .agg(F.min("d").alias("d"))
+            .agg(F.min(F.struct("d", "_new")).alias("_s"))
         ).localCheckpoint(eager=True)
+        dist = agg.select("v", F.col("_s.d").alias("d"))
+        frontier = agg.where(F.col("_s._new") == 1).select(
+            "v", F.col("_s.d").alias("d")
+        )
+        n_frontier = frontier.count()
     return dist
 
 
@@ -593,8 +695,14 @@ def pagerank_weighted(
     d = int(damping_milli)
     r = verts.withColumn("rank_micro", F.lit(base).cast("long"))
     for _ in range(iterations):
+        # Same deliberate join strategy as `pagerank`: broadcast the
+        # O(V) rank frame (exact n known) so the checkpointed weighted
+        # edge list is probed in place every round instead of being
+        # re-shuffled; the DECIMAL contribution sum partial-aggregates
+        # map-side (guide §2.3/§3.1).  Exact integer arithmetic is
+        # order-independent — values unchanged.
         contrib = (
-            ed.join(r.withColumnRenamed("v", "u"), "u")
+            ed.join(_bcast_if_small(r.withColumnRenamed("v", "u"), n), "u")
             .groupBy("v")
             .agg(
                 F.sum(

@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
+#: Above this vector dimension, `kmeans_centroids` falls back from
+#: per-dimension column aggregates (dim expressions in one groupBy) to
+#: the posexplode mean — the column form's expression tree grows with
+#: dim and overwhelms codegen at embedding dims in the thousands.
+_KMEANS_COLUMN_AGG_MAX_DIM = 512
+
 #: Query-row strip width for the blocked-BLAS kernels: bounds every
 #: sims allocation to strip×block (≤0.5 GB at the 65536 block-rows
 #: cap) while keeping each strip row's FULL sims row (top-k and tie
@@ -176,7 +182,13 @@ def kmeans_centroids(
     # rows through the shuffle machinery to produce C·dim cells; column
     # aggregates partial-combine map-side into C rows of dim buffers
     # (optimization guide §2.3: aggregate before you shuffle).
-    dim = len(corpus.select(vec_col).first()[0])
+    # CONTRACT: every corpus vector has the probed row's dimension (all
+    # engine corpora are fixed-dim); an empty corpus yields the empty
+    # seed frame instead of a probe TypeError (ADVICE r10).
+    probe = corpus.select(vec_col).first()
+    if probe is None:
+        return seeds
+    dim = len(probe[0])
     centroids = seeds
     for _ in range(iterations):
         assigned = assign_centroids(corpus, centroids, vec_col)
@@ -188,24 +200,45 @@ def kmeans_centroids(
         # unit components exactly to 1e-18 with 20 integer digits of
         # headroom (no overflow until ~1e20 members), so the sum is a
         # pure function of the multiset.  Same expression per
-        # component as the former per-(cent_id, pos) aggregate —
+        # component as the per-(cent_id, pos) aggregate below —
         # values bit-identical, only the shuffle shape changed.
-        sums = unit.groupBy("cent_id").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.col("_u").getItem(i).cast("decimal(38,18)")).alias(f"_s{i}")
-                for i in range(dim)
-            ],
-        )
-        means = sums.select(
-            "cent_id",
-            F.array(
+        if dim <= _KMEANS_COLUMN_AGG_MAX_DIM:
+            sums = unit.groupBy("cent_id").agg(
+                F.count(F.lit(1)).alias("_n"),
                 *[
-                    (F.col(f"_s{i}") / F.col("_n")).cast("double")
+                    F.sum(F.col("_u").getItem(i).cast("decimal(38,18)")).alias(f"_s{i}")
                     for i in range(dim)
-                ]
-            ).alias(vec_col),
-        )
+                ],
+            )
+            means = sums.select(
+                "cent_id",
+                F.array(
+                    *[
+                        (F.col(f"_s{i}") / F.col("_n")).cast("double")
+                        for i in range(dim)
+                    ]
+                ).alias(vec_col),
+            )
+        else:
+            # Dim guard (VERDICT r10 item 5): the column form builds one
+            # aggregate expression per dimension — fine at 64, an
+            # expression-tree/codegen explosion at embedding dims in the
+            # thousands.  Past the threshold, fall back to the
+            # posexplode shape: shuffle carries corpus×dim cells but the
+            # plan stays O(1) expressions.  Identical arithmetic per
+            # component (same decimal sum / count) on fixed-dim input.
+            means = (
+                unit.select("cent_id", F.posexplode(F.col("_u")).alias("pos", "x"))
+                .groupBy("cent_id", "pos")
+                .agg(
+                    (F.sum(F.col("x").cast("decimal(38,18)")) / F.count(F.lit(1)))
+                    .cast("double")
+                    .alias("m")
+                )
+                .groupBy("cent_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cent_id", F.transform("pm", lambda s: s["m"]).alias(vec_col))
+            )
         # Unit-normalize the mean so assignment's dot product ranks by
         # true cosine (spherical k-means); seeds with an empty cluster
         # drop out, ids stay stable otherwise.

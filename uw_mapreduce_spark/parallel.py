@@ -10,8 +10,14 @@ the branches from a small thread pool lets the next branch's tasks
 back-fill freed cores; results are unchanged (each branch is
 deterministic and touches disjoint frames).
 
-Job descriptions and scheduler properties are thread-local in Spark, so
-concurrent branches stay correctly labeled in the UI.
+Spark's job description / scheduler properties are JVM-thread-local,
+and under PySpark's default pinned-thread mode a plain pool thread maps
+to a FRESH JVM thread that inherits nothing (ADVICE r10) — so each
+thunk wrapper clones the caller's local properties into its own thread
+before running (the documented ``pyspark.InheritableThread`` technique,
+applied per task instead of per thread).  Branch jobs therefore keep
+the caller's job group/description: harness-level ``setJobDescription``
+labels and ``cancelJobGroup`` cover them.
 """
 
 from __future__ import annotations
@@ -22,14 +28,43 @@ from typing import Callable, TypeVar
 T = TypeVar("T")
 
 
+def _caller_local_properties():
+    """Clone of the calling thread's JVM-side local properties, or None
+    when no SparkContext is live (pure-Python thunks in tests)."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is None:
+            return None, None
+        return sc, sc._jsc.sc().getLocalProperties().clone()
+    except Exception:
+        return None, None
+
+
 def run_concurrently(*thunks: Callable[[], T]) -> list[T]:
     """Run the thunks on driver threads, return their results in call
     order.  The first exception (if any) propagates after all threads
     finish — no branch is left half-running."""
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
+    sc, props = _caller_local_properties()
+
+    def _wrap(t: Callable[[], T]) -> Callable[[], T]:
+        def run() -> T:
+            if sc is not None and props is not None:
+                try:
+                    sc._jsc.sc().setLocalProperties(props.clone())
+                except Exception:
+                    pass
+            return t()
+
+        return run
+
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_wrap(t)) for t in thunks]
         # collect all outcomes first so a failing branch never leaves a
         # sibling's jobs racing a torn-down caller scope
         outcomes = [None] * len(futures)

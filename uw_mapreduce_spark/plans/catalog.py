@@ -9590,6 +9590,54 @@ FROM deg d LEFT JOIN win w ON w.c = d.c CROSS JOIN m2
 """
 
 
+def _modularity_rollup(e, supp):
+    """Shared modularity tail for the exact and capped faces: per-
+    community (internal_ends, degree_sum, q_contrib_e6) from an edge
+    frame ``e`` (a, b) and a community map ``supp`` (v, c).
+
+    ONE corpus pass (optimization guide §2.3 — aggregate before you
+    shuffle): each tagged edge explodes MAP-SIDE into its two
+    (community, is_internal) ends; a single groupBy(c) then yields
+    dc = end count and inside2 = Σ is_internal (an internal edge
+    carries the flag at BOTH ends — exactly the 2× in the declared
+    inside2), and m2 = Σ dc.  The former shape localCheckpointed the
+    full tagged edge list (deserialized rows on the JVM heap — the
+    `caching.py` anti-pattern) and re-read it for three aggregates
+    (m2, win, deg-with-union); now the only exchange carries
+    ~n_communities rows per task after map-side partial aggregation.
+    Values are exact integer counts either way — bit-identical."""
+    dec = "decimal(38,0)"
+    ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
+    is_int = F.when(F.col("ca") == F.col("cb"), F.lit(1)).otherwise(F.lit(0))
+    ends = tagged.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ca").alias("c"), is_int.alias("i")),
+                F.struct(F.col("cb").alias("c"), is_int.alias("i")),
+            )
+        ).alias("_e")
+    ).select("_e.c", "_e.i")
+    per_c = (
+        ends.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("dc"),
+            F.sum("i").cast(dec).alias("inside2"),
+        )
+        .localCheckpoint(eager=True)  # n_communities rows; feeds m2 + final
+    )
+    m2 = per_c.agg(F.sum("dc").cast(dec).alias("m2"))
+    return per_c.crossJoin(F.broadcast(m2)).select(
+        F.col("c").alias("community"),
+        F.col("inside2").cast("long").alias("internal_ends"),
+        F.col("dc").cast("long").alias("degree_sum"),
+        F.expr(
+            "CAST((inside2 * m2 - dc * dc) * 1000000 DIV (m2 * m2) AS BIGINT)"
+        ).alias("q_contrib_e6"),
+    )
+
+
 @query("modularity_nations_suppliers", _MODULARITY_SQL)
 def modularity_nations_suppliers(spark, sf_dir):
     """Newman modularity of the NATION partition over the supplier
@@ -9603,42 +9651,13 @@ def modularity_nations_suppliers(spark, sf_dir):
     oracle, so 2m, degrees, and internal counts all describe the same
     well-defined graph even if referential integrity ever breaks.  Exact integers: (inside2·2m − d_c²)·10⁶ DIV
     (2m)² in DECIMAL(38)/HUGEINT — degree-sum squares pass int64 on
-    hub graphs.  One edge build + two dimension-keyed aggregates."""
-    dec = "decimal(38,0)"
+    hub graphs.  One edge build + ONE end-exploded aggregate pass
+    (`_modularity_rollup`)."""
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("c")
     )
     e = _coship_supplier_edges(spark, sf_dir)
-    ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
-    cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
-    tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(
-        "ca", "cb"
-    ).localCheckpoint(eager=True)  # feeds m2, win, deg
-    m2 = tagged.agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("m2"))
-    win = (
-        tagged.where(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("c"))
-        .agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("inside2"))
-    )
-    deg = (
-        tagged.select(F.col("ca").alias("c"))
-        .unionAll(tagged.select(F.col("cb").alias("c")))
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).cast(dec).alias("dc"))
-    )
-    return (
-        deg.join(win, "c", "left")
-        .crossJoin(F.broadcast(m2))
-        .select(
-            F.col("c").alias("community"),
-            F.coalesce("inside2", F.lit(0)).cast("long").alias("internal_ends"),
-            F.col("dc").cast("long").alias("degree_sum"),
-            F.expr(
-                "CAST((COALESCE(inside2, CAST(0 AS DECIMAL(38,0))) * m2 - dc * dc)"
-                " * 1000000 DIV (m2 * m2) AS BIGINT)"
-            ).alias("q_contrib_e6"),
-        )
-    )
+    return _modularity_rollup(e, supp)
 
 
 _MODULARITY_CAPPED_SQL = r"""
@@ -9693,41 +9712,11 @@ def modularity_nations_suppliers_capped(spark, sf_dir):
     semantics — the DuckDB oracle applies the identical row_number
     rule, so the capped graph value-hashes end-to-end.  The exact face
     stays the sf0.01 correctness anchor."""
-    dec = "decimal(38,0)"
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("c")
     )
     e = _coship_supplier_edges(spark, sf_dir, max_fanout=_COSHIP_CAP)
-    ca = supp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
-    cb = supp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
-    tagged = e.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(
-        "ca", "cb"
-    ).localCheckpoint(eager=True)  # feeds m2, win, deg
-    m2 = tagged.agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("m2"))
-    win = (
-        tagged.where(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("c"))
-        .agg((F.lit(2) * F.count(F.lit(1))).cast(dec).alias("inside2"))
-    )
-    deg = (
-        tagged.select(F.col("ca").alias("c"))
-        .unionAll(tagged.select(F.col("cb").alias("c")))
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).cast(dec).alias("dc"))
-    )
-    return (
-        deg.join(win, "c", "left")
-        .crossJoin(F.broadcast(m2))
-        .select(
-            F.col("c").alias("community"),
-            F.coalesce("inside2", F.lit(0)).cast("long").alias("internal_ends"),
-            F.col("dc").cast("long").alias("degree_sum"),
-            F.expr(
-                "CAST((COALESCE(inside2, CAST(0 AS DECIMAL(38,0))) * m2 - dc * dc)"
-                " * 1000000 DIV (m2 * m2) AS BIGINT)"
-            ).alias("q_contrib_e6"),
-        )
-    )
+    return _modularity_rollup(e, supp)
 
 
 _RUNS_SQL = r"""

@@ -128,6 +128,53 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _inverted_pair_counts(sh: DataFrame, max_df: int):
+    """(common, sizes) for the df-pruned inverted index, via per-shingle
+    doc ARRAYS instead of a shingle-keyed self-join.
+
+    ONE exchange groups the shingle table by shingle; a map-side size
+    filter then replaces BOTH the hot-shingle count pass and the
+    anti-join (`size(_docs) <= max_df` is exactly "df <= max_df", and
+    singletons stay, as the old anti-join kept them), the ≤K(K−1)/2
+    co-occurring pairs per shingle expand MAP-SIDE from the sorted
+    array (the capped co-shipping edge-build shape, r10), and per-doc
+    sizes re-derive from one explode of the kept arrays.  The former
+    shape shuffled the shingle table by shingle TWICE (df count + self-
+    join) and sorted both join sides; pair multiplicity and sizes are
+    identical: each shared non-hot shingle contributes one (a<b) pair
+    row, each kept (doc, shingle) one size unit (guide §2.3/§2.4).
+    Arrays are sorted, so pair order (a<b) matches the join's doc_a<doc_b.
+    """
+    inv = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc")).alias("_docs"))
+    kept = inv.where(F.size("_docs") <= max_df).select("_docs")
+    # kept feeds two subtrees (sizes + pairs): persist once, eagerly —
+    # same race-avoidance barrier as the old shingle-table persist, on
+    # a frame that is one row per shingle instead of one per (doc,
+    # shingle).
+    kept = persist_scoped(kept, _SCOPE)
+    kept.count()
+    sizes = (
+        kept.select(F.explode("_docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    common = (
+        kept.where(F.size("_docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_docs, (x, i) ->"
+                    " transform(slice(_docs, i + 2, size(_docs)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.a").alias("doc_a"), F.col("_p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -139,40 +186,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs by Jaccard over token n-gram shingles.
 
-    Inverted-index self-join: explode distinct shingles, join docs that
-    share one, count the intersection, derive the union from per-doc
-    shingle counts.  Output (doc_a, doc_b, jaccard_permille) with
-    doc_a < doc_b; the similarity is reported as floor(1000·J) so it is
-    integer-exact across engines.
+    Inverted index: group docs per shingle, count shared shingles per
+    co-occurring pair, derive the union from per-doc shingle counts.
+    Output (doc_a, doc_b, jaccard_permille) with doc_a < doc_b; the
+    similarity is reported as floor(1000·J) so it is integer-exact
+    across engines.  With ``max_df`` (the production configuration —
+    at 100 TB you always set this) the pair stage runs on per-shingle
+    doc arrays bounded by max_df (`_inverted_pair_counts`); without it
+    array sizes are unbounded, so the classic shingle-keyed self-join
+    is kept.
     """
     own_shingles = shingles is None
     sh = _shingles(df, text_col, id_col, n) if own_shingles else shingles
-    # The shingle table feeds several subtrees — with max_df: the
-    # hot-shingle count and the anti-join's left side; always: sizes +
-    # both sides of the pair join.  Persist ONCE and materialize
-    # eagerly: inside a single action, AQE launches the subtree stages
-    # concurrently and they would race the cache, computing the
-    # explode+distinct up to 3x (measured ~3x wall-clock).  When
-    # pruning, the cache sits BEFORE the anti-join (the expensive
-    # explode+distinct shuffle runs once; re-running the cheap
-    # cache-fed anti-join per subtree beats materializing a second
-    # near-identical table).  The count() is an optimization barrier,
-    # exactly like the reference's per-job HDFS materialization but in
-    # memory.  Scoped (bounded) registration: other dedup operators
-    # building the identical shingle table share the entry.
-    sh = persist_scoped(sh, _SCOPE)
-    sh.count()
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        common, sizes = _inverted_pair_counts(sh, max_df)
+    else:
+        # The shingle table feeds several subtrees (sizes + both sides
+        # of the pair join).  Persist ONCE and materialize eagerly:
+        # inside a single action, AQE launches the subtree stages
+        # concurrently and they would race the cache, computing the
+        # explode+distinct up to 3x (measured ~3x wall-clock).  The
+        # count() is an optimization barrier, exactly like the
+        # reference's per-job HDFS materialization but in memory.
+        # Scoped (bounded) registration: other dedup operators building
+        # the identical shingle table share the entry.
+        sh = persist_scoped(sh, _SCOPE)
+        sh.count()
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     jac = (
         common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -188,7 +235,7 @@ def ngram_jaccard_pairs(
     )
     if own_shingles:
         # Pair output is tiny; materialize it so the result no longer
-        # depends on the scoped shingle cache's residency.
+        # depends on the scoped caches' residency.
         out = materialize_and_release(out)
     return out
 
@@ -838,23 +885,24 @@ def ngram_containment_pairs(
     this is the quotation / boilerplate-inclusion / version-subset
     detector a dedup suite needs beside symmetric similarity.
 
-    Same inverted-index plan as Jaccard (shared-shingle pair join, cost
-    ∝ co-occurring pairs never |docs|²; optional `max_df` stop-shingle
-    prune), with the denominator swapped to the SMALLER side —
-    `least(n_a, n_b)` — and reported as integer floor(1000·C)."""
+    Same inverted-index plan as Jaccard (per-shingle doc arrays under
+    `max_df`, classic shared-shingle self-join otherwise; cost
+    ∝ co-occurring pairs never |docs|²), with the denominator swapped
+    to the SMALLER side — `least(n_a, n_b)` — and reported as integer
+    floor(1000·C)."""
     sh = _shingles(df, text_col, id_col, n)
-    sh = persist_scoped(sh, _SCOPE)
-    sh.count()
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        common, sizes = _inverted_pair_counts(sh, max_df)
+    else:
+        sh = persist_scoped(sh, _SCOPE)
+        sh.count()
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     cont = (
         common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

@@ -3731,14 +3731,17 @@ def curation_pipeline_v5(spark, sf_dir):
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
                 F.md5(F.col("text")).alias("fp"))
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
+    # Smallest-id-per-fingerprint via an argmin aggregate instead of a
+    # row_number window: doc_id is unique per row, so
+    # min(struct(doc_id, …)) IS the rank-1 row (the golden_record r10
+    # fuse), with map-side partial combine and no per-partition sort.
     return (
-        surv.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("source")
+        surv.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("_k"))
+        .groupBy(F.col("_k.source").alias("source"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("_k.n_chars").cast("long").alias("sum_chars"),
         )
     )
 

@@ -433,6 +433,14 @@ BASELINE_HEADLINE = [
 #   dedup_exact_documents: r5's 1.13 s did NOT reproduce (0.40-0.61 s
 #   best-of-3 = r4 parity) — host noise, no code change.
 BENCH_NOTES = (
+    "r11 (optimization round 2): additions-only harness changes - `cf_curve` "
+    "times the two basket-pair CF faces at sf1 and a 30x orders+lineitem "
+    "synthetic (VERDICT r10 item 2's missing scale point), and "
+    "`cold_build_sf1` re-times the two artifact-backed dedup faces with the "
+    "artifact cache redirected at a throwaway dir, so the line carries warm "
+    "probe AND forced-cold build seconds (VERDICT r10 item 8).  No timed "
+    "query, rep policy, or action changed; interleaved old/new A/B pairs for "
+    "every kept rewrite ship machine-readable in AB_r11.json (item 6). "
     "r10: `scale_curve` block measures the four banded/bucketed dedup/ANN "
     "faces at 10x/30x/100x sf0.1 (documents+embeddings synthesized with the "
     "sf1 perturbation recipe) - the growth-exponent evidence for the 100 TB "
@@ -665,6 +673,62 @@ def ensure_docs_scale(spark, src_dir: str, copies: int, tag: str) -> str | None:
     except Exception as e:
         print(f"{tag} synthesis failed: {e}", file=sys.stderr)
         return None
+
+
+# --- CF-family scale point (VERDICT r10 item 2) ---------------------------
+# The basket-pair CF faces read only orders+lineitem; a 30x synthetic of
+# those two tables (same per-copy key-shift recipe as sf1, shards self-
+# contained) gives the scale datapoint the r10 array-rewrite rejection
+# lacked.  One rep per point: growth exponent, not minima.
+CF_CURVE_QUERIES = ["item_item_cf_parts", "cf_hitrate_parts"]
+CF_CURVE_COPIES = 30
+
+
+def ensure_cf_scale(spark, src_dir: str) -> str | None:
+    """Build .bench_data/cf30/ holding ONLY orders+lineitem at 30x the
+    source; idempotent via a _READY marker."""
+    import pyspark.sql.functions as F
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_data", "cf30")
+    recipe = f"{SF1_RECIPE}-cf30"
+    marker = os.path.join(out_dir, "_READY")
+    try:
+        with open(marker) as f:
+            if f.read().strip() == recipe:
+                return out_dir
+    except OSError:
+        pass
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        for table in ("orders", "lineitem"):
+            base = spark.read.parquet(f"{src_dir}/{table}.parquet")
+            frames = []
+            for i in range(CF_CURVE_COPIES):
+                c = base
+                for k in SF1_KEYS[table]:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * SF1_OFFSET))
+                frames.append(c)
+            out = frames[0]
+            for c in frames[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        with open(marker, "w") as f:
+            f.write(recipe + "\n")
+        return out_dir
+    except Exception as e:
+        print(f"cf30 synthesis failed: {e}", file=sys.stderr)
+        return None
+
+
+# Artifact-backed faces whose bench rows probe the warm .knn_graph_cache
+# (VERDICT r10 item 8): once per round, time ONE forced-cold build by
+# pointing SPARK_GRAFT_KNN_CACHE at a throwaway dir, so the bench line
+# carries warm probe AND cold build seconds side by side.
+COLD_BUILD_QUERIES = [
+    "semantic_dedup_fast_manifest",
+    "label_propagation_embeddings",
+]
 
 
 def main() -> int:
@@ -904,6 +968,65 @@ def main() -> int:
                 fam_out[fam] = entry
             result["families"] = fam_out
 
+        # CF-family scale point (VERDICT r10 item 2): sf1 + 30x, one
+        # rep.  Opt out with SPARK_GRAFT_SKIP_CF_CURVE=1.
+        if sf1_dir and not os.environ.get("SPARK_GRAFT_SKIP_CF_CURVE"):
+            cf30 = ensure_cf_scale(spark, sf_dir)
+            cf_curve: dict[str, dict] = {}
+            for tag, d in (("sf1", sf1_dir), ("cf30", cf30)):
+                if not d:
+                    continue
+                row: dict[str, float] = {}
+                for name in CF_CURVE_QUERIES:
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    try:
+                        QUERIES[name](spark, d).count()
+                        row[name] = round(time.time() - t0, 3)
+                    except Exception as e:
+                        msg = " ".join(f"{type(e).__name__}: {e}".split())
+                        print(f"cf-curve error in {name}@{tag}: {msg[:300]}",
+                              file=sys.stderr)
+                        row[name] = -1.0
+                    import gc
+                    gc.collect()
+                cf_curve[tag] = row
+            result["cf_curve"] = cf_curve
+
+        # Forced-cold artifact builds (VERDICT r10 item 8): redirect the
+        # artifact cache at a throwaway dir for one rep per face, so the
+        # build cost is measured, not just the warm probe.  Opt out with
+        # SPARK_GRAFT_SKIP_COLD_BUILD=1.
+        if sf1_dir and not os.environ.get("SPARK_GRAFT_SKIP_COLD_BUILD"):
+            import shutil
+            import tempfile
+
+            cold: dict[str, float] = {}
+            old_cache = os.environ.get("SPARK_GRAFT_KNN_CACHE")
+            tmp_cache = tempfile.mkdtemp(prefix="knn_cache_cold_")
+            os.environ["SPARK_GRAFT_KNN_CACHE"] = tmp_cache
+            try:
+                for name in COLD_BUILD_QUERIES:
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    try:
+                        QUERIES[name](spark, sf1_dir).count()
+                        cold[name] = round(time.time() - t0, 3)
+                    except Exception as e:
+                        msg = " ".join(f"{type(e).__name__}: {e}".split())
+                        print(f"cold-build error in {name}: {msg[:300]}",
+                              file=sys.stderr)
+                        cold[name] = -1.0
+                    import gc
+                    gc.collect()
+            finally:
+                if old_cache is None:
+                    os.environ.pop("SPARK_GRAFT_KNN_CACHE", None)
+                else:
+                    os.environ["SPARK_GRAFT_KNN_CACHE"] = old_cache
+                shutil.rmtree(tmp_cache, ignore_errors=True)
+            result["cold_build_sf1"] = cold
+
     # The round driver archives only the LAST 2000 chars of this line
     # (r7's full line exceeded it, so neither the suite total nor a
     # parseable JSON survived).  Two mitigations:
@@ -942,9 +1065,16 @@ def main() -> int:
             fam: [pair["exact"]["sf1_sec"], pair["production"]["sf1_sec"]]
             for fam, pair in result["families"].items()
         }
+    if "cf_curve" in result:
+        cfc = result["cf_curve"]
+        tags = [t for t in ("sf1", "cf30") if t in cfc]
+        result["cf_curve_sec_sf1_cf30"] = {
+            q: [cfc[t].get(q) for t in tags] for q in CF_CURVE_QUERIES
+        }
     tail_keys = [
         "sf1_rotation", "rep_spread", "errors",
         "curve_sec_sf1_sf3_sf10", "families_exact_vs_prod_sf1",
+        "cf_curve_sec_sf1_cf30", "cold_build_sf1",
         "baseline_queries", "baseline_total", "sf1_value", "value",
     ]
     ordered = {k: v for k, v in result.items() if k not in tail_keys}

@@ -183,3 +183,41 @@ def test_kmeans_exact_partitions_corpus(spark):
     assert len(out) == 4 * dim
     again = kmeans_lloyd_exact(emb, k=4, iters=2).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_kmeans_exact_column_vs_posexplode_paths_identical(spark):
+    """The column-sum Lloyd update (r11) must be bit-identical to the
+    posexplode fallback it replaced below the dim guard — same int64
+    cell sums, same trunc-division means."""
+    from uw_mapreduce_spark.operators import similarity as sim
+    from uw_mapreduce_spark.operators.clustering import kmeans_lloyd_exact
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    col_path = kmeans_lloyd_exact(emb, k=4, iters=2).collect()
+    old = sim._KMEANS_COLUMN_AGG_MAX_DIM
+    try:
+        sim._KMEANS_COLUMN_AGG_MAX_DIM = 4  # dim 64 > 4 -> posexplode path
+        exp_path = kmeans_lloyd_exact(emb, k=4, iters=2).collect()
+    finally:
+        sim._KMEANS_COLUMN_AGG_MAX_DIM = old
+    assert sorted(map(tuple, col_path)) == sorted(map(tuple, exp_path))
+
+
+def test_power_iteration_column_vs_posexplode_paths_identical(spark):
+    """The column-sum back-projection (r11) must be bit-identical to
+    the posexplode fallback below the dim guard — exact decimal sums
+    are order-free, so the iterate cannot differ."""
+    from uw_mapreduce_spark.operators import similarity as sim
+    from uw_mapreduce_spark.operators.pca import power_iteration_top_component
+    from uw_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    col_path = power_iteration_top_component(emb, iters=3).collect()
+    old = sim._KMEANS_COLUMN_AGG_MAX_DIM
+    try:
+        sim._KMEANS_COLUMN_AGG_MAX_DIM = 4  # dim 64 > 4 -> posexplode path
+        exp_path = power_iteration_top_component(emb, iters=3).collect()
+    finally:
+        sim._KMEANS_COLUMN_AGG_MAX_DIM = old
+    assert sorted(map(tuple, col_path)) == sorted(map(tuple, exp_path))

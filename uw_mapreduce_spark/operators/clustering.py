@@ -22,10 +22,11 @@ float k-means cannot be.
 
 Scale shape (100 TB): per iteration the assignment is MAP-ONLY (the
 k·dim centroid grid rides as literal arrays inside codegen — the
-classify.py pattern), and the update is one posexplode →
-groupBy(cluster, pos) whose shuffle is bounded at k·dim cells per map
-task.  The driver holds k·dim ints — the same legitimate tiny collect
-as the IVF centroid table.
+classify.py pattern), and the update aggregates the dim components as
+COLUMNS (map-side partial combine into k rows of dim sum buffers; the
+posexplode → groupBy(cluster, pos) shape stands as the guarded
+fallback above the column-agg dim bound).  The driver holds k·dim
+ints — the same legitimate tiny collect as the IVF centroid table.
 
 Reference parity: the reference engine has no clustering surface; this
 extends its aggregation layer (SlidingAggregation.java:433-536) with
@@ -39,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import persist_scoped
+from . import similarity as _sim
 from .classify import _quantized
 
 __all__ = ["kmeans_lloyd_exact"]
@@ -95,22 +97,53 @@ def kmeans_lloyd_exact(
             )
             scored.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
         best = F.array_min(F.array(*scored))["c"]
-        stats = (
-            q.withColumn("_k", best)
-            .select("_k", F.posexplode("_c").alias("pos", "c"))
-            .groupBy("_k", "pos")
-            .agg(
-                F.sum("c").cast("long").alias("s"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-            )
-            .collect()
-        )
         sums: dict[int, list[int]] = {}
         sizes = {c: 0 for c in cents}
-        for r in stats:
-            cid = int(r["_k"])
-            sums.setdefault(cid, [0] * dim)[int(r["pos"])] = int(r["s"])
-            sizes[cid] = int(r["n"])
+        # single-source dim guard, read at call time so tests can patch it
+        if dim <= _sim._KMEANS_COLUMN_AGG_MAX_DIM:
+            # Sum the dim components as COLUMNS (the kmeans_centroids
+            # r10 shape, guide §2.3): the former posexplode shipped
+            # corpus×dim rows into the (cluster, pos) hash aggregate;
+            # column sums partial-combine map-side into k rows of dim
+            # buffers.  Same int64 sums of the same cells — the cell
+            # values are a pure function of the assignment multiset,
+            # so the collected grid is bit-identical.
+            stats = (
+                q.withColumn("_k", best)
+                .groupBy("_k")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("_n"),
+                    *[
+                        F.sum(F.col("_c").getItem(i)).cast("long").alias(f"_s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            for r in stats:
+                cid = int(r["_k"])
+                sums[cid] = [int(r[f"_s{i}"]) for i in range(dim)]
+                sizes[cid] = int(r["_n"])
+        else:
+            # Dim guard (VERDICT r10 item 5): one aggregate expression
+            # per dimension explodes the codegen/expression tree at
+            # embedding dims in the thousands — past the threshold the
+            # posexplode shape stands (shuffle bounded at k·dim cells
+            # per map task either way).
+            stats = (
+                q.withColumn("_k", best)
+                .select("_k", F.posexplode("_c").alias("pos", "c"))
+                .groupBy("_k", "pos")
+                .agg(
+                    F.sum("c").cast("long").alias("s"),
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                )
+                .collect()
+            )
+            for r in stats:
+                cid = int(r["_k"])
+                sums.setdefault(cid, [0] * dim)[int(r["pos"])] = int(r["s"])
+                sizes[cid] = int(r["n"])
         for cid in cents:
             n = sizes.get(cid, 0)
             if n > 0:

@@ -436,9 +436,12 @@ BENCH_NOTES = (
     "r11 (optimization round 2): additions-only harness changes - `cf_curve` "
     "times the two basket-pair CF faces at sf1 and a 30x orders+lineitem "
     "synthetic (VERDICT r10 item 2's missing scale point), and "
-    "`cold_build_sf1` re-times the two artifact-backed dedup faces with the "
+    "`cold_build_sf1` re-times two artifact-backed dedup faces "
+    "(dedup_manifest_documents, label_propagation_embeddings) with the "
     "artifact cache redirected at a throwaway dir, so the line carries warm "
-    "probe AND forced-cold build seconds (VERDICT r10 item 8).  No timed "
+    "probe AND forced-cold build seconds (VERDICT r10 item 8; the list first "
+    "shipped semantic_dedup_fast_manifest, which computes directly with no "
+    "artifact to go cold - swapped for dedup_manifest_documents).  No timed "
     "query, rep policy, or action changed; interleaved old/new A/B pairs for "
     "every kept rewrite ship machine-readable in AB_r11.json (item 6). "
     "r10: `scale_curve` block measures the four banded/bucketed dedup/ANN "
@@ -726,7 +729,13 @@ def ensure_cf_scale(spark, src_dir: str) -> str | None:
 # pointing SPARK_GRAFT_KNN_CACHE at a throwaway dir, so the bench line
 # carries warm probe AND cold build seconds side by side.
 COLD_BUILD_QUERIES = [
-    "semantic_dedup_fast_manifest",
+    # Both rows probe a .knn_graph_cache artifact when warm:
+    # dedup_manifest_documents -> jaccard_pairs_artifact,
+    # label_propagation_embeddings -> the kNN-graph artifact.
+    # (First list shipped semantic_dedup_fast_manifest, which computes
+    # directly and has no artifact to go cold - swapped, disclosed in
+    # BENCH_NOTES.)
+    "dedup_manifest_documents",
     "label_propagation_embeddings",
 ]
 
